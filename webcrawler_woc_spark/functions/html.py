@@ -1,0 +1,166 @@
+"""HTML kernels: link extraction, text extraction, word scan, sitemap parse.
+
+Single pinned implementation consumed by both the Spark engine (Arrow-batched
+pandas UDFs, functions/udfs.py) and the pure-Python oracle (oracle/pyoracle.py)
+— this is what makes the north-rule "byte-identical extracted text per url"
+invariant hold by construction.
+
+Reference semantics replicated (semantics only — the reference uses the Rust
+``select`` crate; we use the stdlib HTMLParser, the public-domain parser
+available in this sandbox; at 100 TB you would swap in selectolax/lolhtml via
+the same batch API, see functions/udfs.py):
+
+* links = href attributes of ``<a>`` elements, normalized, per-page
+  deduplicated (reference get_links_from_html, src/extractors/links.rs:268-274);
+* sitemap text files = one URL per line, trimmed, normalized (reference
+  get_links_from_text, links.rs:277-282);
+* word scan = case-sensitive substring search over the RAW html string
+  (reference check_words_html, links.rs:285-290) — attributes/tags match too;
+* text extraction has NO reference analogue (the reference never extracts
+  text); the recipe below is the pinned engine recipe the corpus `text` column
+  is generated with (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+_BLOCK_TAGS = {
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+    "table", "tr", "br", "title", "article", "section", "header", "footer",
+    "blockquote", "pre",
+}
+_SKIP_TAGS = {"script", "style", "noscript", "template"}
+
+
+class _LinkCollector(HTMLParser):
+    """Collect href attributes of <a> tags in document order."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag == "a":
+            for name, value in attrs:
+                if name == "href" and value is not None:
+                    self.hrefs.append(value)
+                    break  # first href attr only, like attr("href")
+
+
+class _TextCollector(HTMLParser):
+    """Pinned text-extraction recipe.
+
+    Text content of all nodes except script/style/noscript/template; a single
+    newline at every block-element boundary; runs of newlines collapsed; final
+    string stripped. Entities are decoded (convert_charrefs).
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._chunks: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+        elif tag in _BLOCK_TAGS:
+            self._chunks.append("\n")
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+        elif tag in _BLOCK_TAGS:
+            self._chunks.append("\n")
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth == 0 and data:
+            self._chunks.append(data)
+
+
+def extract_hrefs(html: str) -> list[str]:
+    """All <a href> values in document order (pre-normalization)."""
+    parser = _LinkCollector()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass  # salvage whatever was collected before the parse error
+    return parser.hrefs
+
+
+def extract_links(html: str, base_url: str) -> list[str]:
+    """Canonical URLs of all <a href> links, per-page deduplicated.
+
+    Dedup preserves first-seen order (the reference collects into a HashSet —
+    links.rs:273 — so only set membership matters; order here is pinned for
+    determinism).
+    """
+    from .urlnorm import normalize_url
+
+    seen: set[str] = set()
+    out: list[str] = []
+    for href in extract_hrefs(html):
+        canon = normalize_url(href, base_url)
+        if canon is not None and canon not in seen:
+            seen.add(canon)
+            out.append(canon)
+    return out
+
+
+def extract_text(html: str) -> str:
+    """Pinned byte-exact text extraction (see class docstring)."""
+    parser = _TextCollector()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass
+    raw = "".join(parser._chunks)
+    # collapse newline runs (with surrounding spaces/tabs) to single newlines
+    lines = [ln.strip() for ln in raw.split("\n")]
+    return "\n".join(ln for ln in lines if ln != "").strip()
+
+
+def links_from_text(text: str, base_url: str) -> list[str]:
+    """Sitemap-style parse: one URL per line, trimmed, normalized, deduped
+    (reference get_links_from_text, links.rs:277-282)."""
+    from .urlnorm import normalize_url
+
+    seen: set[str] = set()
+    out: list[str] = []
+    for line in text.splitlines():
+        canon = normalize_url(line.strip(), base_url)
+        if canon is not None and canon not in seen:
+            seen.add(canon)
+            out.append(canon)
+    return out
+
+
+def contains_words(html: str, words: list[str]) -> bool:
+    """Case-sensitive any-substring over the RAW html (links.rs:285-290)."""
+    return any(w in html for w in words)
+
+
+def sitemap_urls_from_robots(robots_text: str, base_url: str) -> list[str]:
+    """Extract sitemap URLs from a robots.txt body.
+
+    Replicates the reference's fragile slice semantics (crawler.rs:265-270):
+    keep lines containing "Sitemap"; take ``line[9..]`` (byte offset 9 —
+    robust only for exactly "Sitemap: " prefixes); first whitespace token;
+    trim; normalize against the seed URL.
+    """
+    from .urlnorm import normalize_url
+
+    out: list[str] = []
+    for line in robots_text.splitlines():
+        if "Sitemap" not in line:
+            continue
+        sliced = line[9:]  # byte-9 slice per crawler.rs:268
+        token = sliced.split(None, 1)[0] if sliced.split() else None
+        if token is None:
+            continue
+        canon = normalize_url(token.strip(), base_url)
+        if canon is not None:
+            out.append(canon)
+    return out

@@ -1,0 +1,254 @@
+"""URL canonicalization with Rust ``url``-crate (WHATWG URL Standard) semantics.
+
+This is the single pinned implementation used by BOTH the Spark engine (inside
+Arrow-batched pandas UDFs, see functions/udfs.py) and the pure-Python oracle
+(oracle/pyoracle.py), so the seen-set identity semantics are identical by
+construction.
+
+Reference semantics replicated (cited for parity checking, no code copied):
+* absolute parse, else RFC-3986 join against the base URL —
+  reference ``normalize_url`` at src/extractors/links.rs:295-306 and
+  ``Link::new_relative`` at links.rs:109-118;
+* hrefs starting with ``#`` are dropped before any parsing —
+  links.rs:296-300;
+* link typing by scheme (mailto/tel/other) — links.rs:179-185;
+* Link identity is by canonical URL string only — links.rs:188-200.
+
+WHATWG behaviors implemented (public spec, https://url.spec.whatwg.org):
+* strip leading/trailing C0-control/space; remove ASCII tab/newline anywhere;
+* lowercase scheme and host; strip default port (http 80, https 443, ws 80,
+  wss 443, ftp 21);
+* remove path dot-segments for special schemes; empty path -> "/";
+* percent-encode the path / query / fragment percent-encode sets (UTF-8);
+  existing ``%`` bytes are never re-encoded or decoded;
+* non-special schemes (mailto:, tel:, ...) keep an opaque path;
+* fragments are preserved (the reference does NOT strip fragments unless the
+  raw href *starts* with ``#``).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin
+
+# Schemes the WHATWG standard treats as "special" (authority-based).
+SPECIAL_SCHEMES: dict[str, int | None] = {
+    "http": 80,
+    "https": 443,
+    "ws": 80,
+    "wss": 443,
+    "ftp": 21,
+    "file": None,
+}
+
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*):(.*)$", re.DOTALL)
+_TAB_NL = str.maketrans("", "", "\t\n\r")
+
+# Percent-encode sets per WHATWG (minimal supersets; '%' itself is never
+# re-encoded to avoid double-encoding already-escaped input).
+_PATH_SAFE = set(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    "!$&'()*+,-./:;=@_~%[]|^"  # chars the url crate leaves verbatim in paths
+)
+_QUERY_SAFE = _PATH_SAFE | {"?", "{", "}", "`"}
+_FRAG_SAFE = _PATH_SAFE | {"?", "{", "}"}
+
+
+def _pct_encode(s: str, safe: set[str]) -> str:
+    out = []
+    for ch in s:
+        if ch in safe:
+            out.append(ch)
+        else:
+            out.append("".join(f"%{b:02X}" for b in ch.encode("utf-8")))
+    return "".join(out)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments (url crate applies on parse)."""
+    output: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(output) > 1:
+                output.pop()
+            continue
+        output.append(seg)
+    # trailing "." / ".." imply a trailing slash
+    if path.endswith(("/.", "/..")) and output and output[-1] != "":
+        output.append("")
+    return "/".join(output)
+
+
+def parse_absolute(raw: str) -> str | None:
+    """Parse an absolute URL; return the canonical string or None.
+
+    None corresponds to the reference's ``Url::parse`` Err (links.rs:77-81):
+    the caller then attempts a relative join.
+    """
+    if raw is None:
+        return None
+    s = raw.strip(" \x00\x01\x02\x03\x04\x05\x06\x07\x08\x0b\x0c\x0e\x0f"
+                  "\x10\x11\x12\x13\x14\x15\x16\x17\x18\x19\x1a\x1b\x1c\x1d\x1e\x1f\x7f\t\n\r")
+    s = s.translate(_TAB_NL)
+    m = _SCHEME_RE.match(s)
+    if not m:
+        return None
+    scheme = m.group(1).lower()
+    rest = m.group(2)
+
+    if scheme not in SPECIAL_SCHEMES:
+        # Opaque path (mailto:, tel:, data:, javascript:, unknown schemes).
+        # Split off ?query and #fragment, lightly encode each part.
+        frag = None
+        if "#" in rest:
+            rest, frag = rest.split("#", 1)
+        query = None
+        if "?" in rest:
+            rest, query = rest.split("?", 1)
+        out = scheme + ":" + _pct_encode(rest, _PATH_SAFE | {"?", "{", "}", "`", '"', "<", ">", "\\"})
+        if query is not None:
+            out += "?" + _pct_encode(query, _QUERY_SAFE)
+        if frag is not None:
+            out += "#" + _pct_encode(frag, _FRAG_SAFE)
+        return out
+
+    # Special scheme: authority required. WHATWG tolerates 0..n slashes.
+    rest2 = rest.lstrip("/\\")
+    if rest2 == "":
+        return None  # e.g. "http://" — empty host is a parse error
+    # split authority / path?query#fragment
+    sep_idx = len(rest2)
+    for i, ch in enumerate(rest2):
+        if ch in "/?#\\":
+            sep_idx = i
+            break
+    authority = rest2[:sep_idx]
+    tail = rest2[sep_idx:].replace("\\", "/")
+    if authority == "":
+        return None
+
+    userinfo = ""
+    hostport = authority
+    if "@" in authority:
+        userinfo, hostport = authority.rsplit("@", 1)
+        userinfo += "@"
+    if hostport == "":
+        return None
+    # IPv6 literal
+    port: str | None = None
+    if hostport.startswith("["):
+        end = hostport.find("]")
+        if end == -1:
+            return None
+        host = hostport[: end + 1].lower()
+        rest_hp = hostport[end + 1 :]
+        if rest_hp.startswith(":"):
+            port = rest_hp[1:]
+        elif rest_hp:
+            return None
+    else:
+        if ":" in hostport:
+            host, port = hostport.split(":", 1)
+        else:
+            host = hostport
+        host = host.lower()
+        if host == "":
+            return None
+        try:  # IDN -> punycode like the url crate
+            host.encode("ascii")
+        except UnicodeEncodeError:
+            try:
+                host = host.encode("idna").decode("ascii")
+            except UnicodeError:
+                return None
+    if port is not None:
+        if port == "":
+            port = None
+        elif not port.isdigit():
+            return None
+        elif int(port) == SPECIAL_SCHEMES[scheme]:
+            port = None
+        elif int(port) > 65535:
+            return None
+
+    frag = None
+    if "#" in tail:
+        tail, frag = tail.split("#", 1)
+    query = None
+    if "?" in tail:
+        tail, query = tail.split("?", 1)
+    path = tail if tail.startswith("/") else "/" + tail
+    path = _remove_dot_segments(path)
+    if not path.startswith("/"):
+        path = "/" + path
+    path = _pct_encode(path, _PATH_SAFE)
+
+    out = f"{scheme}://{userinfo}{host}"
+    if port is not None:
+        out += f":{port}"
+    out += path
+    if query is not None:
+        out += "?" + _pct_encode(query, _QUERY_SAFE)
+    if frag is not None:
+        out += "#" + _pct_encode(frag, _FRAG_SAFE)
+    return out
+
+
+def join_url(base: str, rel: str) -> str | None:
+    """RFC-3986 join then canonicalize (reference links.rs:109-118)."""
+    base_canon = parse_absolute(base)
+    if base_canon is None:
+        return None
+    try:
+        joined = urljoin(base_canon, rel.translate(_TAB_NL).strip())
+    except ValueError:
+        return None
+    return parse_absolute(joined)
+
+
+def normalize_url(href: str | None, base_url: str) -> str | None:
+    """The reference's normalize_url (links.rs:295-306): canonical URL or None.
+
+    * href starting with '#'  -> dropped (links.rs:296-300);
+    * absolute parse first    -> links.rs:302-303;
+    * else join against base  -> links.rs:304.
+    """
+    if href is None:
+        return None
+    stripped = href.strip()
+    if stripped.startswith("#"):
+        return None
+    absolute = parse_absolute(stripped)
+    if absolute is not None:
+        return absolute
+    return join_url(base_url, stripped)
+
+
+def link_type_of(url: str) -> str:
+    """Scheme -> LinkType string (reference links.rs:179-185)."""
+    if url.startswith("mailto:"):
+        return "Mail"
+    if url.startswith("tel:"):
+        return "PhoneNo"
+    return "Other"
+
+
+def host_of(url: str) -> str | None:
+    """Host of a canonical URL, or None (opaque-path schemes have no host)."""
+    m = _SCHEME_RE.match(url)
+    if not m or m.group(1).lower() not in SPECIAL_SCHEMES:
+        return None
+    rest = m.group(2).lstrip("/")
+    end = len(rest)
+    for i, ch in enumerate(rest):
+        if ch in "/?#":
+            end = i
+            break
+    authority = rest[:end]
+    if "@" in authority:
+        authority = authority.rsplit("@", 1)[1]
+    if authority.startswith("["):
+        return authority[: authority.find("]") + 1]
+    return authority.split(":", 1)[0] or None
