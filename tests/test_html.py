@@ -100,10 +100,12 @@ class TestSitemaps:
     def test_links_from_text(self):
         # NB: "not a url" is a VALID relative reference — the reference's
         # Link::new_relative joins it against the base (links.rs:109-118)
+        # ...and an empty line joins to the base itself (url-crate join("")).
         text = "  http://a.example/1  \nhttp://a.example/2\n\nnot a url\n"
         assert links_from_text(text, BASE) == [
             "http://a.example/1",
             "http://a.example/2",
+            "http://host0.example/page/1",
             "http://host0.example/page/not%20a%20url",
         ]
 
