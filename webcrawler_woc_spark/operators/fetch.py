@@ -1,0 +1,108 @@
+"""Fetch simulation: frontier ⋈ pages equi-join.
+
+Replaces the reference's HTTP GET (src/crawler.rs:310-316) per the survey's
+design: a frontier URL *present* in the corpus is a successful fetch; an
+absent URL is a fetch failure, which the reference still marks crawled and
+emits with no metadata and no extraction (crawler.rs:209-216).
+
+Scale notes:
+* the join key is the canonical URL string; both sides can be pre-bucketed by
+  ``pmod(xxhash64(url), n_buckets)`` so repeated waves shuffle only the
+  (small) frontier side — at 10^10 URLs the pages side is the 100 TB table
+  and must never be re-shuffled per wave. AQE skew-join covers hot-host skew.
+* only ``url, html, text`` are read from the corpus (column pruning reaches
+  the parquet scan; verified in tests via the explain plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.udfs import host_udf
+
+
+def synth_ipv4(host: Column) -> Column:
+    """Deterministic synthetic A record (stands in for links.rs:309-320).
+
+    For synthetic hosts ``host{d}.example``: 10.0.{d/256}.{d%256}; other
+    hosts resolve to NULL. Pure Catalyst expression (and SQL-expressible for
+    the DuckDB oracle)."""
+    d = F.regexp_extract(host, r"^host(\d+)\.example$", 1)
+    di = F.when(d != "", d.cast("int"))
+    return F.when(
+        di.isNotNull(),
+        F.concat(F.lit("10.0."), (di / 256).cast("int").cast("string"), F.lit("."), (di % 256).cast("string")),
+    )
+
+
+def synth_ipv6(host: Column) -> Column:
+    """Deterministic synthetic AAAA record (stands in for links.rs:323-334)."""
+    d = F.regexp_extract(host, r"^host(\d+)\.example$", 1)
+    di = F.when(d != "", d.cast("int"))
+    return F.when(di.isNotNull(), F.concat(F.lit("fd00::"), F.lower(F.hex(di))))
+
+
+def fetch_join(
+    frontier: DataFrame,
+    pages: DataFrame,
+    content_type_expr=None,
+) -> DataFrame:
+    """Simulated fetch of every frontier URL.
+
+    Returns one row per frontier URL with columns::
+
+        url, url_hash, host, priority, fetched(bool), content_type, headers,
+        ipv4, ipv6, html, page_text
+
+    * ``fetched`` false => fetch failure: content_type/headers/ipv4/ipv6/html
+      are NULL (reference crawler.rs:209-216 emits the bare link);
+    * on success, content_type is derived from the url by
+      ``content_type_expr`` (simulation rule, FIXTURES.md §1), headers is the
+      simulated response header map, DNS columns are synthetic
+      (crawler.rs:219-224).
+    """
+    if content_type_expr is None:
+        from ..sources.corpus import default_content_type_expr
+
+        content_type_expr = default_content_type_expr
+
+    pages_side = pages.select(
+        F.col("url").alias("p_url"),
+        F.col("html"),
+        F.col("text").alias("page_text"),
+    )
+    joined = frontier.join(pages_side, frontier["url"] == pages_side["p_url"], "left")
+    fetched = F.col("p_url").isNotNull()
+    ct = F.when(fetched, content_type_expr(F.col("url")))
+    headers = F.when(
+        fetched,
+        F.create_map(
+            F.lit("content-type"), content_type_expr(F.col("url")),
+            F.lit("content-length"), F.length(F.col("html")).cast("string"),
+        ),
+    )
+    host = F.col("host")
+    return joined.select(
+        F.col("url"),
+        F.col("url_hash"),
+        host,
+        F.col("priority"),
+        fetched.alias("fetched"),
+        ct.alias("content_type"),
+        headers.alias("headers"),
+        F.when(fetched, synth_ipv4(host)).alias("ipv4"),
+        F.when(fetched, synth_ipv6(host)).alias("ipv6"),
+        F.col("html"),
+        F.col("page_text"),
+    )
+
+
+def with_url_hash(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """64-bit URL hash, JVM-side (xxhash64) — join/bucket/bloom key."""
+    return df.withColumn("url_hash", F.xxhash64(F.col(url_col)))
+
+
+def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Host column via the vectorized host kernel."""
+    return df.withColumn("host", host_udf(F.col(url_col)))

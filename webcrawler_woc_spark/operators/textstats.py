@@ -1,0 +1,96 @@
+"""Text-analysis operators for web-text pipelines over ``documents``.
+
+All pure Catalyst expressions (regexp/split/filter/aggregate) — zero Python
+in the hot path — and each has an exact DuckDB-SQL twin in
+``__spark_entry__.oracle_sql`` for the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["的", "是", "不", "了", "在"],
+}
+
+FINGERPRINT_MOD = 10**15 - 11  # keeps acc*31+255 inside int64
+
+
+def _tokens(text):
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars_measured, avg_token_len) — whitespace
+    tokenization, the unit for training-data budget accounting."""
+    toks = _tokens(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic quality signals per doc:
+    length score, punctuation ratio, stopword ratio, all-cap ratio, and the
+    composite (deterministic formula, same in the SQL oracle)."""
+    text = F.col("text")
+    toks = _tokens(text)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
+    stop_list = STOPWORDS["en"]
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*stop_list)))
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(punct / F.greatest(F.length(text), F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop_hits / n_tok, 6).alias("stopword_ratio"),
+        F.round(
+            F.least(F.size(toks) / F.lit(100.0), F.lit(1.0)) * 0.5
+            + (1 - F.least(punct / F.greatest(F.length(text), F.lit(1)) * 10, F.lit(1.0))) * 0.25
+            + F.least(stop_hits / n_tok * 5, F.lit(1.0)) * 0.25,
+            6,
+        ).alias("quality"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-vote language ID (n-gram-free heuristic): argmax of per-lang
+    stopword hit counts; deterministic tiebreak by lang code ASC; no hits at
+    all => 'und'. Output (doc_id, lang_pred, best_hits)."""
+    toks = _tokens(F.col("text"))
+    hit_cols = {
+        lang: F.size(F.filter(toks, lambda t, sw=sw: t.isin(*sw)))
+        for lang, sw in STOPWORDS.items()
+    }
+    df = documents.select("doc_id", *[c.alias(f"hits_{l}") for l, c in hit_cols.items()])
+    langs = sorted(STOPWORDS)  # ASC order = tiebreak priority
+    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when((best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)).otherwise(pred)
+    return df.select("doc_id", pred.alias("lang_pred"), best.alias("best_hits"))
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (order-sensitive, unlike
+    a bag-of-words hash): acc = (acc*31 + ascii(char)) mod FINGERPRINT_MOD,
+    computed as a Catalyst aggregate over the char array. SQL-twin exact."""
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % FINGERPRINT_MOD,
+    )
+    return documents.select("doc_id", fp.alias("fingerprint"))

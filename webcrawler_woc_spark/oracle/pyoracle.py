@@ -1,0 +1,199 @@
+"""Pure-Python single-process oracle for the crawl dataflow (ops 1-19).
+
+Re-implements the reference's BFS loop (src/crawler.rs:32-195) with the
+engine's pinned deterministic semantics (SURVEY.md §7): batch wave barrier,
+race-free seen updates, politeness slots ordering. Shares the kernel
+functions (urlnorm/html) with the engine — the control flow (waves, routing,
+dedup, budgets, residual flush) is written independently, which is what the
+golden E2E tests compare.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from ..functions.html import (
+    contains_words,
+    extract_links,
+    links_from_text,
+    sitemap_urls_from_robots,
+)
+from ..functions.urlnorm import host_of, link_type_of, parse_absolute
+
+HTML_MIMES = ("text/html", "text/html; charset=utf-8")
+DEFAULT_CRAWL_DELAY = 1
+
+
+@dataclass
+class OracleResult:
+    links_out: list[dict] = field(default_factory=list)
+    seen: set[str] = field(default_factory=set)
+    rejected: set[str] = field(default_factory=set)
+    flagged: set[str] = field(default_factory=set)
+    crawl_order: list[tuple[int, str | None, int, str]] = field(default_factory=list)
+    extracted_text: dict[str, str] = field(default_factory=dict)
+    waves: int = 0
+
+
+def _should_crawl(host, whitelist, blacklist) -> bool:
+    """links.rs:122-143, including the neither-list => false quirk."""
+    if whitelist is not None:
+        return host in whitelist if host is not None else False
+    if blacklist is not None:
+        return (host not in blacklist) if host is not None else False
+    return False
+
+
+def _crawl_delays(pages: dict[str, bytes]) -> dict[str, int]:
+    delays: dict[str, int] = {}
+    for url, body in pages.items():
+        if url.endswith("/robots.txt"):
+            host = host_of(url)
+            m = re.search(r"(?m)^Crawl-delay:\s*(\d+)", body.decode("utf-8", "replace"))
+            if host:
+                delays[host] = int(m.group(1)) if m else DEFAULT_CRAWL_DELAY
+    return delays
+
+
+def crawl_oracle(
+    pages: dict[str, bytes],
+    seeds: list[tuple[str, float]],
+    whitelist: list[str] | None = None,
+    blacklist: list[str] | None = None,
+    words: list[str] | None = None,
+    depth: int | None = 1,
+    host_budget: int | None = None,
+    content_type_fn=None,
+    child_priority: float = 0.0,
+    max_waves: int = 50,
+) -> OracleResult:
+    if content_type_fn is None:
+        from ..sources.corpus import default_content_type_py
+
+        content_type_fn = default_content_type_py
+    words = words or []
+    wl = set(whitelist) if whitelist is not None else None
+    bl = set(blacklist) if blacklist is not None else None
+    delays = _crawl_delays(pages) if host_budget is not None else {}
+
+    res = OracleResult()
+    frontier: dict[str, float] = {}
+    for raw, prio in seeds:
+        canon = parse_absolute(raw)
+        if canon is not None:
+            frontier[canon] = float(prio)
+
+    wave = 0
+    while True:
+        if depth is not None and wave >= depth:
+            break
+        if depth is None and (not frontier or wave >= max_waves):
+            break
+
+        # politeness schedule: per-host (priority DESC, url ASC), slot <= budget
+        by_host: dict[str | None, list[str]] = {}
+        for url in frontier:
+            by_host.setdefault(host_of(url), []).append(url)
+        scheduled: list[tuple[str | None, int, str]] = []
+        deferred: dict[str, float] = {}
+        for host in sorted(by_host, key=lambda h: (h is None, h)):
+            urls = sorted(by_host[host], key=lambda u: (-frontier[u], u))
+            if host_budget is None:
+                budget = len(urls)
+            else:
+                budget = max(1, host_budget // delays.get(host, DEFAULT_CRAWL_DELAY))
+            for slot, url in enumerate(urls[:budget], start=1):
+                scheduled.append((host, slot, url))
+            for url in urls[budget:]:
+                deferred[url] = frontier[url]
+        for host, slot, url in scheduled:
+            res.crawl_order.append((wave, host, slot, url))
+
+        children: list[str] = []
+        for host, slot, url in scheduled:
+            res.seen.add(url)
+            fetched = url in pages
+            ct = content_type_fn(url) if fetched else None
+            cw = False
+            if fetched and ct in HTML_MIMES:
+                html = pages[url].decode("utf-8", "replace")
+                if words and contains_words(html, words):
+                    cw = True
+                    res.flagged.add(url)
+                children.extend(extract_links(html, url))
+                from ..functions.html import extract_text
+
+                res.extracted_text[url] = extract_text(html)
+            res.links_out.append(
+                {
+                    "url": url,
+                    "host": host,
+                    "content_type": ct,
+                    "crawled": True,
+                    "link_type": link_type_of(url),
+                    "contains_words": cw,
+                    "fetched": fetched,
+                }
+            )
+
+        # sitemap seeding: first wave of no-depth mode only (crawler.rs:140-148)
+        if depth is None and wave == 0:
+            from ..operators.sitemaps import robots_url_of
+
+            for seed_url, _ in seeds:
+                canon = parse_absolute(seed_url)
+                if canon is None:
+                    continue
+                robots_url = robots_url_of(canon)
+                if robots_url not in pages:
+                    continue
+                robots_body = pages[robots_url].decode("utf-8", "replace")
+                for sm_url in sitemap_urls_from_robots(robots_body, canon):
+                    if sm_url not in pages:
+                        continue
+                    sm_ct = content_type_fn(sm_url)
+                    if sm_ct.split(";")[0].strip() != "text/plain":
+                        continue
+                    sm_body = pages[sm_url].decode("utf-8", "replace")
+                    children.extend(links_from_text(sm_body, sm_url))
+
+        # routing (crawler.rs:82-99, batch semantics)
+        next_frontier: dict[str, float] = dict(deferred)
+        for curl in sorted(set(children)):
+            host = host_of(curl)
+            sc = _should_crawl(host, wl, bl)
+            if sc and curl not in res.seen:
+                next_frontier[curl] = max(child_priority, next_frontier.get(curl, child_priority))
+            elif not sc and curl not in res.rejected:
+                res.rejected.add(curl)
+                res.links_out.append(
+                    {
+                        "url": curl,
+                        "host": host,
+                        "content_type": None,
+                        "crawled": False,
+                        "link_type": link_type_of(curl),
+                        "contains_words": False,
+                        "fetched": False,
+                    }
+                )
+        frontier = next_frontier
+        res.waves += 1
+        wave += 1
+
+    # residual flush, depth mode only (crawler.rs:102-108)
+    if depth is not None:
+        for url in sorted(frontier):
+            res.links_out.append(
+                {
+                    "url": url,
+                    "host": host_of(url),
+                    "content_type": None,
+                    "crawled": False,
+                    "link_type": link_type_of(url),
+                    "contains_words": False,
+                    "fetched": False,
+                }
+            )
+    return res

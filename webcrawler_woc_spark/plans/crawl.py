@@ -1,0 +1,143 @@
+"""Crawl drivers: depth-bounded and run-to-exhaustion BFS loops + resume.
+
+Maps the reference entry points (SURVEY.md §3):
+* ``crawl_with_depth``  (src/crawler.rs:32-109)  -> ``crawl(depth=N)``,
+  including the residual-frontier flush (crawler.rs:102-108) which emits
+  leftover frontier URLs as uncrawled links BYPASSING the rejected dedup;
+* ``crawl_no_depth``    (src/crawler.rs:113-195) -> ``crawl(depth=None)``,
+  sitemap seeding on the first wave only, loop until the frontier empties.
+
+Resume: the warehouse manifest records the last committed wave; ``crawl``
+called on an existing warehouse continues from there (kill/resume test in
+tests/test_resume.py). Per the north rule every wave commit carries counts,
+per-host lineage and the Bloom sidecar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..operators.fetch import with_host, with_url_hash
+from ..operators.politeness import parse_robots_crawl_delay
+from ..operators.sitemaps import sitemap_children
+from .state import Warehouse
+from .wave import run_wave
+
+
+def seed_frontier(
+    spark: SparkSession, wh: Warehouse, seeds: list[tuple[str, float]]
+) -> DataFrame:
+    """Wave-0 frontier from parsed seed URLs (reference cli.rs:114-117:
+    unparsable seeds abort; here they are dropped with the same effect of
+    never being crawled)."""
+    from ..functions.urlnorm import parse_absolute
+
+    rows = []
+    for raw, priority in seeds:
+        canon = parse_absolute(raw)
+        if canon is not None:
+            rows.append((0, canon, float(priority)))
+    df = spark.createDataFrame(rows, "wave int, url string, priority double")
+    df = with_host(with_url_hash(df)).select("wave", "url", "url_hash", "host", "priority")
+    wh.write_wave_table("frontier", 0, df, bucket=True)
+    return df
+
+
+def crawl(
+    spark: SparkSession,
+    wh: Warehouse,
+    pages: DataFrame,
+    seeds: list[tuple[str, float]],
+    cfg: CrawlConfig,
+    content_type_expr=None,
+) -> dict:
+    """Run (or resume) a crawl; returns summary counts."""
+    start_wave = wh.last_wave + 1
+    if start_wave == 0:
+        seed_frontier(spark, wh, seeds)
+
+    robots = None
+    if cfg.host_budget is not None:
+        robots = parse_robots_crawl_delay(pages).cache()
+
+    bloom = wh.load_bloom() if cfg.use_bloom else None
+    seed_urls = [u for u, _ in seeds]
+
+    summary = {"waves": 0, "scheduled_total": 0}
+    if cfg.depth is not None:
+        last = -1
+        for wave in range(start_wave, cfg.depth):
+            # depth mode never consults sitemaps (crawler.rs:30-31)
+            counts = run_wave(
+                spark, wh, pages, wave, cfg, bloom, robots, None, content_type_expr
+            )
+            bloom = wh.load_bloom() if cfg.use_bloom else None
+            summary["waves"] += 1
+            summary["scheduled_total"] += counts["scheduled"]
+            last = wave
+        # residual flush (crawler.rs:102-108): leftover frontier emitted as
+        # fresh uncrawled links, bypassing the rejected dedup.
+        final_wave = cfg.depth
+        residual = wh.read_frontier(final_wave)
+        if residual is not None:
+            _flush_residual(wh, residual, final_wave)
+    else:
+        wave = start_wave
+        while wave < cfg.max_waves:
+            frontier = wh.read_frontier(wave)
+            if frontier is None or frontier.limit(1).count() == 0:
+                break
+            extra = sitemap_children(spark, pages, seed_urls) if wave == 0 else None
+            counts = run_wave(
+                spark, wh, pages, wave, cfg, bloom, robots, extra, content_type_expr
+            )
+            bloom = wh.load_bloom() if cfg.use_bloom else None
+            summary["waves"] += 1
+            summary["scheduled_total"] += counts["scheduled"]
+            wave += 1
+    return summary
+
+
+def _flush_residual(wh: Warehouse, residual: DataFrame, final_wave: int) -> None:
+    """Emit leftover frontier as crawled=false links (op 19)."""
+    from ..functions.udfs import link_type_col
+
+    flush = residual.select(
+        F.col("url"),
+        F.col("url_hash"),
+        F.col("host"),
+        F.lit(None).cast("string").alias("content_type"),
+        F.lit(None).cast("map<string,string>").alias("headers"),
+        F.lit(False).alias("crawled"),
+        F.lit(None).cast("string").alias("ipv4"),
+        F.lit(None).cast("string").alias("ipv6"),
+        link_type_col(F.col("url")).alias("link_type"),
+        F.lit(False).alias("contains_words"),
+    )
+    path = wh.write_wave_table("links_out", final_wave, flush)
+    n = wh.spark.read.parquet(path).count()
+    wh.manifest["waves"][str(final_wave)] = {
+        "tables": {"links_out": path},
+        "counts": {"residual_flush": n},
+        "host_lineage": [],
+        "wall_sec": 0.0,
+        "bloom": wh.manifest["waves"].get(str(final_wave - 1), {}).get("bloom"),
+    }
+    wh.manifest["last_wave"] = final_wave
+    wh._commit_manifest()
+
+
+def read_links_out(wh: Warehouse) -> DataFrame | None:
+    """All emitted links across waves (the four JSON files' content,
+    partitioned by (link_type, crawled) at rest)."""
+    return wh.read_waves("links_out")
+
+
+def read_seen(wh: Warehouse) -> DataFrame | None:
+    return wh.read_waves("seen")
+
+
+def read_crawl_order(wh: Warehouse) -> DataFrame | None:
+    return wh.read_waves("crawl_order")
