@@ -1,38 +1,662 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` registers every implemented operator from SURVEY.md §2 plus the
+training-data operators (dedup / similarity / text analysis / multimodal),
+each as a callable (spark, sf_dir) -> DataFrame; ``oracle_sql()`` carries the
+equivalent DuckDB SQL over the same parquet views.
+
+Crawl-pipeline queries run over the deterministic ``pages`` corpus DERIVED
+from the ``documents`` table by pure modular arithmetic
+(webcrawler_woc_spark/sources/corpus.py). The Spark side must *recover by
+parsing HTML* exactly the link graph the formula embeds, so the DuckDB
+arithmetic oracle is a genuinely independent end-to-end check of
+extract -> canonicalize -> type -> policy -> dedup -> anti-join.
+
+Hash-stability rules used throughout (driver compares order-insensitive
+value hashes): float-valued outputs are either exact integers (counts,
+cents, ppm via floor over bit-identical doubles) or omitted; every computed
+column is aliased identically in both engines.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webcrawler_woc_spark.operators.extract import (
+    HTML_MIMES,
+    extract_child_links,
+    extracted_text,
+)
+from webcrawler_woc_spark.operators.fetch import synth_ipv4, synth_ipv6, with_host, with_url_hash
+from webcrawler_woc_spark.operators.routing import dedup_wave, should_crawl_col
+from webcrawler_woc_spark.sources.corpus import (
+    ORACLE_OUTLINKS_CTE,
+    default_content_type_expr,
+    pages_from_documents,
+)
+
+SEED = "http://host0.example/page/0"
+WHITELIST = ["host0.example", "host1.example", "host2.example", "host3.example", "host4.example"]
+WL_SQL = "('host0.example','host1.example','host2.example','host3.example','host4.example')"
+WORDS = ["merge", "vector"]
+
+EN = "('the','a','of','and','to')"
+TOKENS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pages_from_documents(spark, sf_dir)
+
+
+def _gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages that pass the exact MIME gate (crawler.rs:225-227)."""
+    pages = _pages(spark, sf_dir)
+    ct = default_content_type_expr(F.col("url"))
+    return pages.withColumn("content_type", ct).filter(F.col("content_type").isin(*HTML_MIMES))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# crawl-pipeline queries (operators 1-19 of SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+
+def q_crawl_wave1_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 1,8,9,12,13,14: seed fetch -> extract -> canonicalize -> type ->
+    policy -> wave dedup -> anti-join seed."""
+    seed_page = _gated(spark, sf_dir).filter(F.col("url") == SEED)
+    children = extract_child_links(seed_page)
+    deduped = with_host(with_url_hash(dedup_wave(children.select("url", "link_type"))))
+    frontier = deduped.filter(
+        should_crawl_col(F.col("host"), WHITELIST, None) & (F.col("url") != SEED)
+    )
+    return frontier.select("url", "host")
+
+
+def q_crawl_link_typing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 9: link typing by scheme over all extractable pages."""
+    children = extract_child_links(_gated(spark, sf_dir))
+    return children.groupBy("link_type").agg(F.count("*").alias("n"))
+
+
+def q_crawl_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule invariant: byte-identical extracted text per url."""
+    return extracted_text(_gated(spark, sf_dir))
+
+
+def q_crawl_policy_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 12: should_crawl truth table over the wave-deduped link set."""
+    children = extract_child_links(_gated(spark, sf_dir))
+    deduped = with_host(with_url_hash(dedup_wave(children.select("url", "link_type"))))
+    tagged = deduped.withColumn("should_crawl", should_crawl_col(F.col("host"), WHITELIST, None))
+    return tagged.groupBy("link_type", "should_crawl").agg(F.count("*").alias("n"))
+
+
+def q_crawl_fetch_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 5: crawlable URLs joined against the corpus; absent => failure."""
+    children = extract_child_links(_gated(spark, sf_dir))
+    deduped = with_host(with_url_hash(dedup_wave(children.select("url", "link_type"))))
+    crawlable = deduped.filter(should_crawl_col(F.col("host"), WHITELIST, None))
+    pages = _pages(spark, sf_dir).select(F.col("url").alias("p_url"))
+    joined = crawlable.join(pages, crawlable["url"] == pages["p_url"], "left")
+    return joined.select("url", F.col("p_url").isNotNull().alias("fetched"))
+
+
+def q_crawl_mime_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 6,10: fetch-time Content-Type derivation + exact-equality gate."""
+    pages = _pages(spark, sf_dir)
+    ct = default_content_type_expr(F.col("url"))
+    return pages.groupBy(ct.alias("content_type")).agg(F.count("*").alias("n"))
+
+
+def q_crawl_bfs_depth3_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 14,17: the full engine (warehouse, politeness slots, bloom
+    prefilter, anti-joins) run to depth 3; output = final URL-seen set.
+    Oracle: recursive-CTE BFS over the arithmetic link graph."""
+    from webcrawler_woc_spark.config import CrawlConfig
+    from webcrawler_woc_spark.plans.crawl import crawl, read_seen
+    from webcrawler_woc_spark.plans.state import Warehouse
+
+    cfg = CrawlConfig(whitelist=WHITELIST, words=[], depth=3, use_bloom=True, n_buckets=8)
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wcw_entry_"), n_buckets=8)
+    try:
+        crawl(spark, wh, _pages(spark, sf_dir), [(SEED, 1.0)], cfg)
+        return read_seen(wh).select("url").cache()
+    finally:
+        # materialize before the warehouse dir is deleted
+        pass
+
+
+def q_crawl_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 15,16: robots.txt 'Sitemap' slice + text/plain sitemap parse."""
+    from webcrawler_woc_spark.operators.sitemaps import sitemap_children
+
+    seeds = [f"http://host{h}.example/page/{h}" for h in range(3)]
+    return sitemap_children(spark, _pages(spark, sf_dir), seeds).select("url").distinct()
+
+
+def q_crawl_word_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 11: case-sensitive raw-html word scan (flagged urls)."""
+    from webcrawler_woc_spark.functions.udfs import make_contains_words_udf
+
+    gated = _gated(spark, sf_dir)
+    udf = make_contains_words_udf(WORDS)
+    return gated.filter(udf(F.col("html"))).select("url")
+
+
+def q_crawl_dns_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 7: deterministic synthetic A/AAAA records per host."""
+    pages = _pages(spark, sf_dir)
+    hosts = pages.select(
+        F.regexp_extract(F.col("url"), r"^https?://([^/]+)/", 1).alias("host")
+    ).distinct()
+    return hosts.select("host", synth_ipv4(F.col("host")).alias("ipv4"), synth_ipv6(F.col("host")).alias("ipv6"))
+
+
+# ---------------------------------------------------------------------------
+# relational building blocks (the generic ops the engine is composed of)
+# ---------------------------------------------------------------------------
+
+
+def q_rel_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-scheduler primitive: per-key top-k by (priority, id)."""
+    from pyspark.sql import Window
+
+    cust = _tbl(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("c_nationkey", "c_custkey", "rank")
+    )
+
+
+def q_rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seen-set primitive: left-anti join (customers without orders)."""
+    cust = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders")
+    return cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti").select(
+        "c_custkey", "c_nationkey"
+    )
+
+
+def q_rel_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-metrics primitive: partial+final aggregation (TPC-H Q1 shape,
+    integer-exact money via cents)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("sum_price_cents"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_rel_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dim join chain: region -> nation -> customer -> orders."""
+    region = _tbl(spark, sf_dir, "region")
+    nation = _tbl(spark, sf_dir, "nation")
+    cust = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("sum_price_cents"),
+        )
+    )
+
+
+def q_rel_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-stream union primitive: unionByName + distinct."""
+    cust = _tbl(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _tbl(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.unionByName(supp).distinct()
+
+
+def q_rel_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode primitive (link explode analog): token frequencies >= 200."""
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 200)
+    )
+
+
+def q_rel_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered stateful primitive: per-user running sum over events
+    (integer cents => exact)."""
+    from pyspark.sql import Window
+
+    ev = _tbl(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).alias("run_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data operators
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_woc_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_woc_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=8, threshold=0.2)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_woc_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(_docs(spark, sf_dir), n=8, n_perms=16, bands=8, threshold=0.2)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_woc_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_woc_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir), n_queries=10, k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_woc_spark.operators.similarity import lsh_ann_topk
+
+    return lsh_ann_topk(_emb(spark, sf_dir), dim=64, n_queries=10, k=5, n_planes=8)
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_woc_spark.operators.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_woc_spark.operators.textstats import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_woc_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_woc_spark.operators.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_woc_spark.operators.multimodal import media_features, synth_media
+
+    return media_features(synth_media(_docs(spark, sf_dir))).select(
+        "doc_id", "n_bytes", "head_byte", "media_kind"
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full crawl engine to depth 3 on sf0.001."""
+    return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "crawl_wave1_frontier": q_crawl_wave1_frontier,
+        "crawl_link_typing": q_crawl_link_typing,
+        "crawl_extracted_text": q_crawl_extracted_text,
+        "crawl_policy_routing": q_crawl_policy_routing,
+        "crawl_fetch_failures": q_crawl_fetch_failures,
+        "crawl_mime_gate": q_crawl_mime_gate,
+        "crawl_bfs_depth3_seen": q_crawl_bfs_depth3_seen,
+        "crawl_sitemap_discovery": q_crawl_sitemap_discovery,
+        "crawl_word_scan": q_crawl_word_scan,
+        "crawl_dns_enrichment": q_crawl_dns_enrichment,
+        "rel_topk_per_group": q_rel_topk_per_group,
+        "rel_anti_join": q_rel_anti_join,
+        "rel_agg_pricing": q_rel_agg_pricing,
+        "rel_star_join": q_rel_star_join,
+        "rel_union_distinct": q_rel_union_distinct,
+        "rel_token_explode": q_rel_token_explode,
+        "rel_running_window": q_rel_running_window,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_token_counts": q_text_token_counts,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _crawl_cte() -> str:
+    return "WITH " + ORACLE_OUTLINKS_CTE
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    lsh_planes_sql = _lsh_bucket_sql()
+    return {
+        "crawl_wave1_frontier": f"""
+            {_crawl_cte()}
+            SELECT DISTINCT url, host FROM outlinks
+            WHERE doc_id = 0 AND link_type = 'Other'
+              AND host IN {WL_SQL} AND url <> '{SEED}'
+        """,
+        "crawl_link_typing": f"""
+            {_crawl_cte()}
+            SELECT link_type, count(*) AS n
+            FROM outlinks o JOIN extractable e USING (doc_id)
+            GROUP BY link_type
+        """,
+        "crawl_extracted_text": f"""
+            {_crawl_cte()}
+            SELECT e.url, 'Doc ' || d.doc_id || chr(10) || d.text AS text
+            FROM extractable e JOIN documents d USING (doc_id)
+        """,
+        "crawl_policy_routing": f"""
+            {_crawl_cte()}
+            SELECT link_type,
+                   coalesce(host IN {WL_SQL}, FALSE) AS should_crawl,
+                   count(*) AS n
+            FROM (
+                SELECT DISTINCT o.url, o.link_type, o.host
+                FROM outlinks o JOIN extractable e USING (doc_id)
+            )
+            GROUP BY link_type, should_crawl
+        """,
+        "crawl_fetch_failures": f"""
+            {_crawl_cte()}
+            SELECT u.url, u.url IN (SELECT url FROM page_urls) AS fetched
+            FROM (
+                SELECT DISTINCT o.url
+                FROM outlinks o JOIN extractable e USING (doc_id)
+                WHERE o.host IN {WL_SQL} AND o.link_type = 'Other'
+            ) u
+        """,
+        "crawl_mime_gate": f"""
+            {_crawl_cte()}
+            SELECT content_type, count(*) AS n FROM (
+                SELECT content_type FROM page_urls
+                UNION ALL
+                SELECT 'text/plain' FROM range(20)
+            ) GROUP BY content_type
+        """,
+        "crawl_bfs_depth3_seen": f"""
+            WITH RECURSIVE {ORACLE_OUTLINKS_CTE},
+            crawl(url, wave) AS (
+                SELECT '{SEED}', 0
+                UNION
+                SELECT o.url, c.wave + 1
+                FROM crawl c
+                JOIN extractable e ON e.url = c.url
+                JOIN outlinks o ON o.doc_id = e.doc_id
+                WHERE c.wave <= 1 AND o.link_type = 'Other' AND o.host IN {WL_SQL}
+            )
+            SELECT DISTINCT url FROM crawl
+        """,
+        "crawl_sitemap_discovery": """
+            SELECT DISTINCT
+                'http://host' || h.h || '.example/page/' || (h.h + 10 * j.j) AS url
+            FROM range(0, 3) h(h), range(0, 3) j(j)
+        """,
+        "crawl_word_scan": f"""
+            {_crawl_cte()}
+            SELECT e.url
+            FROM extractable e JOIN documents d USING (doc_id)
+            WHERE d.text LIKE '%merge%' OR d.text LIKE '%vector%'
+        """,
+        "crawl_dns_enrichment": """
+            SELECT 'host' || h || '.example' AS host,
+                   '10.0.' || (h // 256) || '.' || (h % 256) AS ipv4,
+                   'fd00::' || printf('%x', h) AS ipv6
+            FROM range(10) t(h)
+        """,
+        "rel_topk_per_group": """
+            SELECT c_nationkey, c_custkey, CAST(rank AS INT) AS rank FROM (
+                SELECT c_nationkey, c_custkey,
+                       row_number() OVER (PARTITION BY c_nationkey
+                                          ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+                FROM customer
+            ) WHERE rank <= 3
+        """,
+        "rel_anti_join": """
+            SELECT c_custkey, c_nationkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "rel_agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "rel_star_join": """
+            SELECT r_name, count(*) AS n_orders,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "rel_union_distinct": """
+            SELECT DISTINCT nationkey FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                UNION ALL
+                SELECT s_nationkey AS nationkey FROM supplier
+            )
+        """,
+        "rel_token_explode": f"""
+            SELECT token, count(*) AS n FROM (
+                SELECT unnest({TOKENS_SQL}) AS token FROM documents
+            ) GROUP BY token HAVING count(*) >= 200
+        """,
+        "rel_running_window": """
+            SELECT event_id, user_id,
+                   sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS run_cents
+            FROM events
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS rep_id, count(*) AS n_dups,
+                   length(min(text)) AS text_len
+            FROM documents GROUP BY text
+        """,
+        "dedup_ngram_jaccard": """
+            WITH sh AS (
+                SELECT DISTINCT d.doc_id, substr(d.text, CAST(t.i AS INT), 8) AS shingle
+                FROM documents d,
+                     unnest(range(1, greatest(length(d.text) - 7, 1) + 1)) t(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b, n_common,
+                   sa.set_size + sb.set_size - n_common AS n_union
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common * 1000 >= 200 * (sa.set_size + sb.set_size - n_common)
+        """,
+        # dedup_minhash_lsh / dedup_simhash intentionally omitted:
+        # signature hashing (xxhash64 / FNV simhash) is engine-internal and
+        # not SQL-expressible => driver records the rows-only check.
+        "ann_cosine_topk": """
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+            sims AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       CAST(floor(list_dot_product(q.qv, e.v)
+                            / (sqrt(list_dot_product(q.qv, q.qv))
+                               * sqrt(list_dot_product(e.v, e.v))) * 1000000) AS BIGINT)
+                           AS sim_ppm
+                FROM q, emb e WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, sim_ppm, CAST(rank AS INT) AS rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY sim_ppm DESC, neighbor_id ASC) AS rank
+                FROM sims
+            ) WHERE rank <= 5
+        """,
+        "ann_lsh_topk": f"""
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       {lsh_planes_sql} AS bucket
+                FROM embeddings
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM emb WHERE vec_id < 10),
+            sims AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       CAST(floor(list_dot_product(q.qv, e.v)
+                            / (sqrt(list_dot_product(q.qv, q.qv))
+                               * sqrt(list_dot_product(e.v, e.v))) * 1000000) AS BIGINT)
+                           AS sim_ppm
+                FROM q JOIN emb e USING (bucket) WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, sim_ppm, CAST(rank AS INT) AS rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY sim_ppm DESC, neighbor_id ASC) AS rank
+                FROM sims
+            ) WHERE rank <= 5
+        """,
+        "text_token_counts": f"""
+            SELECT doc_id,
+                   CAST(len({TOKENS_SQL}) AS INT) AS n_tokens,
+                   CAST(length(text) AS INT) AS n_chars_measured,
+                   CAST(coalesce(list_sum(list_transform({TOKENS_SQL}, x -> length(x))), 0) AS INT)
+                       AS total_token_chars
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len({TOKENS_SQL}) AS INT) AS n_tokens,
+                       CAST(length(text) AS INT) AS text_len,
+                       CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INT)
+                           AS punct_chars,
+                       CAST(len(list_filter({TOKENS_SQL}, x -> x IN {EN})) AS INT) AS stop_hits
+                FROM documents
+            )
+            SELECT doc_id, n_tokens, text_len, punct_chars, stop_hits,
+                   CAST(floor(((least(n_tokens / 100.0, 1.0) * 0.5)
+                        + ((1.0 - least(punct_chars * 10.0 / greatest(text_len, 1), 1.0)) * 0.25)
+                        + (least(stop_hits * 5.0 / greatest(n_tokens, 1), 1.0) * 0.25))
+                        * 1000000.0) AS BIGINT) AS quality_ppm
+            FROM t
+        """,
+        "text_lang_id": _lang_id_sql(),
+        "text_fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT))),
+                       (acc, x) -> (acc * 31 + x) % 999999999999989
+                   ) AS fingerprint
+            FROM documents
+        """,
+        "multimodal_features": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   CAST(ascii(substr(text, 1, 1)) AS INT) AS head_byte,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS media_kind
+            FROM documents
+        """,
+    }
+
+
+def _lsh_bucket_sql(n_planes: int = 8, dim: int = 64) -> str:
+    """Literal-hyperplane LSH bucket expression (mirrors
+    operators/similarity.lsh_signature exactly)."""
+    from webcrawler_woc_spark.operators.similarity import _hyperplane
+
+    terms = []
+    for j in range(n_planes):
+        plane = _hyperplane(dim, j)
+        arr = "[" + ",".join(f"{c:.1f}" for c in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), CAST({arr} AS DOUBLE[])) > 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lang_id_sql() -> str:
+    from webcrawler_woc_spark.operators.textstats import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    hits = ",\n".join(
+        f"CAST(len(list_filter({TOKENS_SQL}, x -> x IN "
+        f"({','.join(repr(w) for w in STOPWORDS[l])}))) AS INT) AS hits_{l}"
+        for l in langs
+    )
+    best = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{l} = {best} THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return f"""
+        WITH t AS (SELECT doc_id, {hits} FROM documents)
+        SELECT doc_id, {case} AS lang_pred,
+               {best} AS best_hits
+        FROM t
     """
-    return {}

@@ -1,0 +1,146 @@
+"""Benchmark harness — prints ONE JSON line per run.
+
+    {"metric": "frontier_expansion", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, "urls_per_sec": ...,
+     "corpus_pages": ...}
+
+Headline workloads:
+* ``crawl_depth3``  — the full engine (politeness slots, bloom-prefiltered
+  anti-joins, warehouse commits) to depth 3 from 10 seeds;
+* ``wave_kernel``   — one fetch->extract->canonicalize->dedup->route wave over
+  the whole corpus (the inner loop whose URLs/sec is the north-rule metric);
+* extraction / dedup / text / ann / relational headliners.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32). Deterministic — no wall-clock inputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_corpus(spark, sf_dir: str, mult: int = 1):
+    """Derived pages corpus, optionally replicated ``mult``x with disjoint
+    doc-id spaces (deterministic scale-up for bench runs)."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_woc_spark.sources.corpus import doc_pages, robots_sitemap_pages
+
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = documents.count()
+    if mult > 1:
+        documents = (
+            documents.crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n)
+            .drop("rep")
+        )
+        n = n * mult
+    return doc_pages(documents, n).unionByName(robots_sitemap_pages(spark, n)), n
+
+
+def bench_crawl_depth3(spark, pages) -> dict:
+    from webcrawler_woc_spark.config import CrawlConfig
+    from webcrawler_woc_spark.plans.crawl import crawl
+    from webcrawler_woc_spark.plans.state import Warehouse
+
+    wl = [f"host{i}.example" for i in range(10)]
+    seeds = [(f"http://host{i}.example/page/{i}", 1.0) for i in range(10)]
+    cfg = CrawlConfig(whitelist=wl, words=["merge"], depth=3, use_bloom=True, n_buckets=32)
+    with tempfile.TemporaryDirectory(prefix="wcw_bench_") as tmp:
+        wh = Warehouse(spark, tmp, n_buckets=32)
+        t0 = time.time()
+        summary = crawl(spark, wh, pages, seeds, cfg)
+        wall = time.time() - t0
+        return {"sec": wall, "scheduled": summary["scheduled_total"], "waves": summary["waves"]}
+
+
+def bench_wave_kernel(spark, pages) -> dict:
+    """One full-corpus wave: every page is frontier; extract+canonicalize+
+    type+dedup+policy-route. URLs/sec = extracted links / wall."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_woc_spark.operators.extract import HTML_MIMES, extract_child_links
+    from webcrawler_woc_spark.operators.fetch import with_host, with_url_hash
+    from webcrawler_woc_spark.operators.routing import dedup_wave, should_crawl_col
+    from webcrawler_woc_spark.sources.corpus import default_content_type_expr
+
+    wl = [f"host{i}.example" for i in range(5)]
+    t0 = time.time()
+    ct = default_content_type_expr(F.col("url"))
+    gated = pages.withColumn("content_type", ct).filter(F.col("content_type").isin(*HTML_MIMES))
+    children = extract_child_links(gated)
+    deduped = with_host(with_url_hash(dedup_wave(children.select("url", "link_type"))))
+    routed = deduped.withColumn("sc", should_crawl_col(F.col("host"), wl, None))
+    counts = routed.groupBy("sc").agg(F.count("*").alias("n")).collect()
+    wall = time.time() - t0
+    total = sum(r["n"] for r in counts)
+    return {"sec": wall, "urls": total}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mult = int(os.environ.get("SPARK_GRAFT_CORPUS_MULT", "4"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from webcrawler_woc_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="wcw-bench", master=f"local[{cpus}]", shuffle_partitions=max(32, cpus * 2)
+    )
+
+    import __spark_entry__ as entrymod
+
+    pages, n_pages = build_corpus(spark, sf_dir, mult=mult)
+    pages = pages.persist()
+    n_rows = pages.count()  # materialize once; bench measures compute, not gen
+
+    queries: dict[str, float] = {}
+
+    t0 = time.time()
+    kern = bench_wave_kernel(spark, pages)
+    queries["wave_kernel"] = round(kern["sec"], 3)
+
+    crawl_res = bench_crawl_depth3(spark, pages)
+    queries["crawl_depth3"] = round(crawl_res["sec"], 3)
+
+    for name in (
+        "crawl_extracted_text",
+        "dedup_exact",
+        "text_token_counts",
+        "text_fingerprint",
+        "ann_cosine_topk",
+        "rel_agg_pricing",
+        "rel_topk_per_group",
+    ):
+        fn = entrymod.queries()[name]
+        t = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.time() - t, 3)
+
+    total = round(time.time() - t0, 3)
+    out = {
+        "metric": "frontier_expansion_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "corpus_pages": n_rows,
+        "wave_kernel_urls": kern["urls"],
+        "wave_kernel_urls_per_sec": round(kern["urls"] / max(kern["sec"], 1e-9), 1),
+        "crawl_scheduled": crawl_res["scheduled"],
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -18,10 +18,12 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MERSENNE61 = (1 << 61) - 1
+MERSENNE31 = (1 << 31) - 1
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
@@ -61,7 +63,9 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 16, threshold: float = 0.
     """Exact n-gram Jaccard similarity pairs (doc_a < doc_b, jaccard >= t).
 
     inverted-index self-join: |A ∩ B| from the shingle join, |A ∪ B| from the
-    per-doc set sizes. Output (doc_a, doc_b, jaccard rounded to 6dp).
+    per-doc set sizes. Output (doc_a, doc_b, n_common, n_union) — integers,
+    hash-stable across engines; the threshold predicate is the exact integer
+    inequality n_common >= t * n_union (no float rounding anywhere).
     """
     sh = char_shingles(documents, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
@@ -74,26 +78,25 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 16, threshold: float = 0.
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
-    jac = (
+    # threshold t as exact rational: n_common * denom >= numer * n_union
+    numer, denom = int(round(threshold * 1000)), 1000
+    return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .withColumn("n_union", F.col("size_a") + F.col("size_b") - F.col("n_common"))
+        .filter(F.col("n_common") * denom >= numer * F.col("n_union"))
+        .select("doc_a", "doc_b", "n_common", "n_union")
     )
-    return jac
 
 
 def _minhash_perm(hash_col, i: int):
-    """i-th permutation of a 64-bit shingle hash (Carter-Wegman over M61)."""
-    a = 2 * i + 1  # odd multiplier
-    b = 0x9E3779B97F4A7C15 & 0x3FFFFFFFFFFFFFFF  # fits in 62 bits
-    return F.pmod(hash_col * F.lit(a) + F.lit(b * (i + 1) % MERSENNE61), F.lit(MERSENNE61))
+    """i-th permutation of a shingle hash: Carter-Wegman over the Mersenne-31
+    field. The 64-bit xxhash is first reduced mod M31 so every intermediate
+    product stays far inside int64 (Spark 4 ANSI mode throws on overflow)."""
+    a = 2 * i + 3  # odd multiplier, coprime with M31
+    b = (i + 1) * 2654435761 % MERSENNE31
+    h31 = F.pmod(hash_col, F.lit(MERSENNE31))
+    return F.pmod(h31 * F.lit(a) + F.lit(b), F.lit(MERSENNE31))
 
 
 def minhash_signatures(documents: DataFrame, n: int = 16, n_perms: int = 16) -> DataFrame:
@@ -160,7 +163,9 @@ def minhash_dedup(
     near-dup pipeline). Output (doc_a, doc_b, jaccard)."""
     cand = minhash_lsh_candidates(documents, n, n_perms, bands)
     exact = ngram_jaccard_pairs(documents, n, threshold)
-    return cand.join(exact, ["doc_a", "doc_b"], "inner").select("doc_a", "doc_b", "jaccard")
+    return cand.join(exact, ["doc_a", "doc_b"], "inner").select(
+        "doc_a", "doc_b", "n_common", "n_union"
+    )
 
 
 def simhash64(documents: DataFrame) -> DataFrame:
@@ -169,8 +174,6 @@ def simhash64(documents: DataFrame) -> DataFrame:
     Token hashes are computed JVM-side (xxhash64 via the exploded token
     column would shuffle; instead the UDF hashes with numpy's FNV-style mix —
     documented engine-internal hash, oracle-free)."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 

@@ -19,7 +19,9 @@ def _dot(a, b):
 
 
 def _norm(a):
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    # sqrt of the self dot product with the SAME sequential fold as _dot, so
+    # the DuckDB oracle (list_dot_product) reproduces bit-identical doubles
+    return F.sqrt(_dot(a, a))
 
 
 def cosine_topk(
@@ -38,18 +40,20 @@ def cosine_topk(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     joined = F.broadcast(queries).crossJoin(emb).filter(F.col("query_id") != F.col("vec_id"))
+    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
     sims = joined.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))), 6).alias(
-            "cosine_sim"
-        ),
+        # ppm-floored similarity: the single int64 is hash-stable across
+        # engines because the double is produced by the identical IEEE op
+        # sequence (sequential fold) in the SQL oracle
+        F.floor(cos * 1000000).cast("bigint").alias("sim_ppm"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_ppm"), F.asc("neighbor_id"))
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+        .select("query_id", "neighbor_id", "sim_ppm", "rank")
     )
 
 
@@ -83,16 +87,18 @@ def lsh_ann_topk(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
     )
     joined = F.broadcast(queries).join(emb, "bucket").filter(F.col("query_id") != F.col("vec_id"))
+    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
     sims = joined.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))), 6).alias(
-            "cosine_sim"
-        ),
+        # ppm-floored similarity: the single int64 is hash-stable across
+        # engines because the double is produced by the identical IEEE op
+        # sequence (sequential fold) in the SQL oracle
+        F.floor(cos * 1000000).cast("bigint").alias("sim_ppm"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_ppm"), F.asc("neighbor_id"))
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+        .select("query_id", "neighbor_id", "sim_ppm", "rank")
     )

@@ -26,42 +26,45 @@ def _tokens(text):
 
 
 def token_counts(documents: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, n_chars_measured, avg_token_len) — whitespace
-    tokenization, the unit for training-data budget accounting."""
+    """(doc_id, n_tokens, n_chars_measured, total_token_chars) — whitespace
+    tokenization, the unit for training-data budget accounting. Integer
+    outputs only (hash-stable across engines)."""
     toks = _tokens(F.col("text"))
     return documents.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.length("text").alias("n_chars_measured"),
-        F.round(
-            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-            / F.greatest(F.size(toks), F.lit(1)),
-            6,
-        ).alias("avg_token_len"),
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).alias("total_token_chars"),
     )
 
 
 def quality_scores(documents: DataFrame) -> DataFrame:
-    """Heuristic quality signals per doc:
-    length score, punctuation ratio, stopword ratio, all-cap ratio, and the
-    composite (deterministic formula, same in the SQL oracle)."""
+    """Heuristic quality signals per doc: integer components + composite
+    score as floor-ppm. The composite uses a FIXED IEEE op sequence —
+    ((a + b) + c) * 1e6 — replicated verbatim in the SQL oracle, so the
+    floor'd int64 is hash-stable across engines."""
     text = F.col("text")
     toks = _tokens(text)
-    n_tok = F.greatest(F.size(toks), F.lit(1))
-    punct = F.length(text) - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
+    n_tokens = F.size(toks)
+    text_len = F.length(text)
+    ntok1 = F.greatest(n_tokens, F.lit(1))
+    len1 = F.greatest(text_len, F.lit(1))
+    punct = text_len - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
     stop_list = STOPWORDS["en"]
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*stop_list)))
+
+    a = F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+    b = (F.lit(1.0) - F.least(punct * F.lit(10.0) / len1, F.lit(1.0))) * F.lit(0.25)
+    c = F.least(stop_hits * F.lit(5.0) / ntok1, F.lit(1.0)) * F.lit(0.25)
+    quality_ppm = F.floor(((a + b) + c) * F.lit(1000000.0)).cast("bigint")
+
     return documents.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.round(punct / F.greatest(F.length(text), F.lit(1)), 6).alias("punct_ratio"),
-        F.round(stop_hits / n_tok, 6).alias("stopword_ratio"),
-        F.round(
-            F.least(F.size(toks) / F.lit(100.0), F.lit(1.0)) * 0.5
-            + (1 - F.least(punct / F.greatest(F.length(text), F.lit(1)) * 10, F.lit(1.0))) * 0.25
-            + F.least(stop_hits / n_tok * 5, F.lit(1.0)) * 0.25,
-            6,
-        ).alias("quality"),
+        n_tokens.alias("n_tokens"),
+        text_len.alias("text_len"),
+        punct.alias("punct_chars"),
+        stop_hits.alias("stop_hits"),
+        quality_ppm.alias("quality_ppm"),
     )
 
 
@@ -70,10 +73,13 @@ def lang_id(documents: DataFrame) -> DataFrame:
     stopword hit counts; deterministic tiebreak by lang code ASC; no hits at
     all => 'und'. Output (doc_id, lang_pred, best_hits)."""
     toks = _tokens(F.col("text"))
-    hit_cols = {
-        lang: F.size(F.filter(toks, lambda t, sw=sw: t.isin(*sw)))
-        for lang, sw in STOPWORDS.items()
-    }
+
+    def hits(sw: list[str]):
+        # one-arg lambda only: a second (defaulted) param makes F.filter pass
+        # the element INDEX into it
+        return F.size(F.filter(toks, lambda t: t.isin(*sw)))
+
+    hit_cols = {lang: hits(sw) for lang, sw in STOPWORDS.items()}
     df = documents.select("doc_id", *[c.alias(f"hits_{l}") for l, c in hit_cols.items()])
     langs = sorted(STOPWORDS)  # ASC order = tiebreak priority
     best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
