@@ -192,9 +192,10 @@ def q_rel_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seen-set primitive: left-anti join (customers without orders)."""
+    """Seen-set primitive: left-anti join with a pushed-down filter on the
+    build side (customers with no large order) — nonzero result set."""
     cust = _tbl(spark, sf_dir, "customer")
-    orders = _tbl(spark, sf_dir, "orders")
+    orders = _tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti").select(
         "c_custkey", "c_nationkey"
     )
@@ -475,7 +476,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rel_anti_join": """
             SELECT c_custkey, c_nationkey FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+            )
         """,
         "rel_agg_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,85 @@
+"""Checkpoint/resume: a crawl interrupted after wave k resumes from the
+manifest and converges to the identical final state (SURVEY.md §5.2-3)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from webcrawler_woc_spark.config import CrawlConfig
+from webcrawler_woc_spark.plans.crawl import crawl, read_crawl_order, read_seen
+from webcrawler_woc_spark.plans.state import Warehouse
+from webcrawler_woc_spark.sources.corpus import pages_from_documents
+
+SEEDS = [("http://host0.example/page/0", 1.0)]
+WL = [f"host{i}.example" for i in range(5)]
+
+
+@pytest.fixture(scope="module")
+def pages(spark, sf_dir):
+    df = pages_from_documents(spark, sf_dir).cache()
+    df.count()
+    return df
+
+
+def _state(wh):
+    seen = {r["url"] for r in read_seen(wh).collect()}
+    order = sorted(
+        (r["wave"], r["host"], r["slot"], r["url"]) for r in read_crawl_order(wh).collect()
+    )
+    return seen, order
+
+
+class TestResume:
+    def test_kill_after_wave1_resume_identical(self, spark, pages):
+        cfg_full = CrawlConfig(whitelist=WL, depth=3, use_bloom=True, n_buckets=8)
+
+        with tempfile.TemporaryDirectory() as t1, tempfile.TemporaryDirectory() as t2:
+            # uninterrupted reference run
+            wh_full = Warehouse(spark, t1, n_buckets=8)
+            crawl(spark, wh_full, pages, SEEDS, cfg_full)
+
+            # interrupted run: stop after wave 1 (simulated kill: new driver
+            # process == new Warehouse object reading the manifest)
+            cfg_partial = CrawlConfig(whitelist=WL, depth=2, use_bloom=True, n_buckets=8)
+            wh_a = Warehouse(spark, t2, n_buckets=8)
+            crawl(spark, wh_a, pages, SEEDS, cfg_partial)
+            assert wh_a.last_wave == 2  # waves 0,1 + residual-flush entry
+
+            # resume with the full depth from a FRESH Warehouse (manifest read)
+            wh_b = Warehouse(spark, t2, n_buckets=8)
+            assert wh_b.last_wave == 2
+            # drop the residual-flush pseudo-wave so wave 2 re-runs properly
+            del wh_b.manifest["waves"]["2"]
+            wh_b.manifest["last_wave"] = 1
+            wh_b._commit_manifest()
+            crawl(spark, wh_b, pages, SEEDS, cfg_full)
+
+            assert _state(wh_b) == _state(wh_full)
+
+    def test_bloom_sidecar_reloaded_on_resume(self, spark, pages):
+        cfg = CrawlConfig(whitelist=WL, depth=2, use_bloom=True, n_buckets=8)
+        with tempfile.TemporaryDirectory() as tmp:
+            wh = Warehouse(spark, tmp, n_buckets=8)
+            crawl(spark, wh, pages, SEEDS, cfg)
+            bloom = wh.load_bloom()
+            assert bloom is not None
+            # every seen url_hash must be in the bloom (no false negatives)
+            import numpy as np
+
+            hashes = np.array(
+                [r["url_hash"] for r in wh.read_waves("seen").select("url_hash").collect()],
+                dtype=np.int64,
+            )
+            assert bloom.might_contain(hashes).all()
+
+    def test_manifest_lists_lineage(self, spark, pages):
+        cfg = CrawlConfig(whitelist=WL, depth=1, use_bloom=False, n_buckets=8)
+        with tempfile.TemporaryDirectory() as tmp:
+            wh = Warehouse(spark, tmp, n_buckets=8)
+            crawl(spark, wh, pages, SEEDS, cfg)
+            info = wh.manifest["waves"]["0"]
+            assert info["counts"]["scheduled"] == 1
+            assert info["host_lineage"][0]["host"] == "host0.example"
+            assert set(info["tables"]) >= {"links_out", "seen", "rejected", "frontier"}
