@@ -1,0 +1,58 @@
+"""Scaling-efficiency evidence (north rule: >=0.8 from N to 4N parallelism).
+
+Sandbox protocol (BASELINE.md): identical input + job at local[8] and
+local[32] in separate JVMs; eff = (throughput_32 / throughput_8) / 4.
+Writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cores: int, sf_dir: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "scaling_worker.py"), str(cores), sf_dir],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    r8 = run(8, sf_dir)
+    r32 = run(32, sf_dir)
+    eff = (r32["urls_per_sec"] / r8["urls_per_sec"]) / 4.0
+
+    md = f"""# BENCH/BASELINE — scaling evidence (north rule)
+
+Protocol (BASELINE.md): the same frontier-expansion wave kernel
+(fetch-gate -> Arrow-batched extraction -> canonicalize -> wave dedup ->
+policy route) over the identical input (sf0.1 documents-derived corpus,
+replicated x{r8["mult"]} = {r8["urls"]:,} routed URLs), run in separate JVMs at
+local[8] and local[32], fixed 128 partitions. Throughput = routed URLs/sec.
+
+| parallelism | wall sec | URLs/sec |
+|---|---|---|
+| local[8]  | {r8["sec"]} | {r8["urls_per_sec"]:,} |
+| local[32] | {r32["sec"]} | {r32["urls_per_sec"]:,} |
+
+**Scaling efficiency (8 -> 32 cores) = (tp32 / tp8) / 4 = {eff:.3f}**
+(target >= 0.8 per BASELINE.json north_rule)
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({"eff": round(eff, 3), "tp8": r8["urls_per_sec"], "tp32": r32["urls_per_sec"]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,26 @@ from webcrawler_woc_spark.functions.html import (
 BASE = "http://host0.example/page/1"
 
 
+class TestFastStrictParity:
+    def test_fast_matches_strict_on_edge_cases(self):
+        from webcrawler_woc_spark.functions.html import extract_hrefs_strict
+
+        cases = [
+            '<A HREF="x">c</A>',
+            '<a name="n">no</a><a href="y">y</a>',
+            '<a href="/a?x=1&amp;y=2">e</a>',
+            "<a href='sq'>s</a>",
+            "<a href=unq>u</a>",
+            '<div><a href="a"><a href="b"></a></a></div>',
+            "<a href>e</a>",
+            '<a href="">e</a>',
+            '<a\nhref="nl">n</a>',
+            '<a class="c" href="second-attr">x</a>',
+        ]
+        for html in cases:
+            assert extract_hrefs(html) == extract_hrefs_strict(html), html
+
+
 class TestExtractHrefs:
     def test_basic(self):
         html = '<a href="x">one</a><a href="y">two</a>'

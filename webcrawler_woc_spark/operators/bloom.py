@@ -150,17 +150,20 @@ def bloom_prefiltered_anti_join(
 ) -> DataFrame:
     """candidates minus seen, with optional Bloom fast-path.
 
-    With a Bloom filter: definitely-new rows bypass the join; maybe-seen rows
-    are confirmed by the exact anti-join. Without: plain left-anti join.
+    With a Bloom filter: definitely-new rows bypass the join entirely;
+    maybe-seen rows are confirmed by a scan-only exact anti-join
+    (routing.anti_join_scan: the cumulative seen table is scanned against a
+    broadcast of the small maybe-seen set, never shuffled). Without a bloom:
+    the same scan-only anti-join over all candidates.
     """
+    from .routing import anti_join_scan
+
     if bloom is None:
-        return candidates.join(seen.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
+        return anti_join_scan(candidates, seen, ["url_hash", "url"])
     might = make_might_contain_udf(spark, bloom)
     tagged = candidates.withColumn("_maybe_seen", might(F.col("url_hash")))
     definitely_new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
-    confirmed_new = (
-        tagged.filter(F.col("_maybe_seen"))
-        .drop("_maybe_seen")
-        .join(seen.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
+    confirmed_new = anti_join_scan(
+        tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen"), seen, ["url_hash", "url"]
     )
     return definitely_new.unionByName(confirmed_new)

@@ -72,7 +72,24 @@ def fetch_join(
         F.col("html"),
         F.col("text").alias("page_text"),
     )
-    joined = frontier.join(pages_side, frontier["url"] == pages_side["p_url"], "left")
+    # Join strategy for 100 TB: a plain left join (frontier ⋈ pages) would
+    # shuffle the ENTIRE corpus every wave. Instead the (politeness-bounded)
+    # frontier is broadcast into an inner probe of the corpus scan — pages is
+    # only scanned, never shuffled — and fetch failures are recovered with a
+    # second broadcast anti-join against the (small) matched-url set.
+    bf = F.broadcast(frontier)
+    matched = pages_side.join(bf, bf["url"] == pages_side["p_url"], "inner")
+    failed = frontier.join(
+        F.broadcast(matched.select(F.col("p_url").alias("url"))), "url", "left_anti"
+    ).select(
+        "url", "url_hash", "host", "priority",
+        F.lit(None).cast("string").alias("p_url"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("page_text"),
+    )
+    joined = matched.select(
+        "url", "url_hash", "host", "priority", "p_url", "html", "page_text"
+    ).unionByName(failed)
     fetched = F.col("p_url").isNotNull()
     ct = F.when(fetched, content_type_expr(F.col("url")))
     headers = F.when(
@@ -103,6 +120,19 @@ def with_url_hash(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.withColumn("url_hash", F.xxhash64(F.col(url_col)))
 
 
+def host_expr(url: Column) -> Column:
+    """Host of a CANONICAL url as a pure Catalyst expression (JVM-side; the
+    python twin urlnorm.host_of is used only by the oracle and tests).
+
+    Only WHATWG special schemes carry a host; canonical urls already have
+    lowercase hosts, so two regexes suffice: authority capture, then
+    userinfo/port strip (ipv6 literals keep their brackets).
+    """
+    auth = F.regexp_extract(url, r"^(?:https?|ftp|wss?|file)://([^/?#]*)", 1)
+    host = F.regexp_extract(auth, r"^(?:[^@]*@)?(\[[^\]]*\]|[^:]*)", 1)
+    return F.when(host != "", host)
+
+
 def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """Host column via the vectorized host kernel."""
-    return df.withColumn("host", host_udf(F.col(url_col)))
+    """Host column, JVM-side (no python stage in the routing hot path)."""
+    return df.withColumn("host", host_expr(F.col(url_col)))

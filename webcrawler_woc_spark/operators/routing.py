@@ -49,6 +49,20 @@ def should_crawl_col(
     return F.lit(False)
 
 
+def anti_join_scan(small: DataFrame, big: DataFrame, keys: list[str]) -> DataFrame:
+    """small LEFT ANTI big without ever shuffling ``big``.
+
+    A plain left-anti join hash-partitions BOTH sides; when ``big`` is the
+    cumulative seen set (10^10 rows at design scale) that shuffle dominates
+    the wave. Instead: (1) semi-join big against a BROADCAST of small's keys
+    (big is only scanned, stream-side of a broadcast hash join), producing
+    ``hits`` (<= |small|); (2) small anti-joins the broadcast hits.
+    Semantics identical to left-anti; big moves zero bytes over the network.
+    """
+    hits = big.select(*keys).join(F.broadcast(small.select(*keys)), keys, "left_semi")
+    return small.join(F.broadcast(hits), keys, "left_anti")
+
+
 def dedup_wave(children: DataFrame) -> DataFrame:
     """Wave-level dedup by canonical URL (the reference's HashSet inserts).
 
@@ -82,10 +96,6 @@ def route_children(
     crawlable = tagged.filter(F.col("should_crawl"))
     uncrawlable = tagged.filter(~F.col("should_crawl"))
 
-    next_frontier = crawlable.join(
-        seen.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
-    )
-    newly_rejected = uncrawlable.join(
-        rejected.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
-    )
+    next_frontier = anti_join_scan(crawlable, seen, ["url_hash", "url"])
+    newly_rejected = anti_join_scan(uncrawlable, rejected, ["url_hash", "url"])
     return next_frontier, newly_rejected

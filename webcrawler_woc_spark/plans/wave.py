@@ -86,6 +86,7 @@ def run_wave(
     children = extract_child_links(gated).select("url", "link_type")
     if extra_children is not None:
         children = children.unionByName(extra_children.select("url", "link_type"))
+    children = children.cache()  # the pandas-UDF extraction runs exactly once
 
     deduped = with_host(with_url_hash(dedup_wave(children)))
 
@@ -105,7 +106,7 @@ def run_wave(
     # then subtract THIS wave's scheduled urls (batch seen semantics).
     sc_frontier = bloom_prefiltered_anti_join(spark, sc_frontier, seen_prev, bloom)
     sc_frontier = sc_frontier.join(
-        scheduled.select("url_hash", "url"), ["url_hash", "url"], "left_anti"
+        F.broadcast(scheduled.select("url_hash", "url")), ["url_hash", "url"], "left_anti"
     )
 
     # a deferred url rediscovered as a child merges deterministically to the
@@ -202,4 +203,5 @@ def run_wave(
     wh.commit_wave(wave, table_paths, counts, host_lineage, time.time() - t0, bloom)
     scheduled.unpersist()
     fetched.unpersist()
+    children.unpersist()
     return counts
