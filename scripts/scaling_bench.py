@@ -16,8 +16,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run(cores: int, sf_dir: str) -> dict:
+    """One JVM at local[cores], CPU-PINNED to exactly ``cores`` cores.
+
+    Without the taskset pin, local[8] on a 32-core box cheats: GC, Arrow
+    serialization and shuffle-IO threads overflow onto the 24 idle cores,
+    inflating the small-N baseline and understating scaling efficiency. The
+    pin makes the run a faithful stand-in for an N-core cluster node (the
+    north rule's N vs 4N executors)."""
+    cpu_list = f"0-{cores - 1}"
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "scaling_worker.py"), str(cores), sf_dir],
+        ["taskset", "-c", cpu_list, sys.executable,
+         os.path.join(REPO, "scripts", "scaling_worker.py"), str(cores), sf_dir],
         capture_output=True,
         text=True,
         check=True,
@@ -35,18 +44,25 @@ def main():
     md = f"""# BENCH/BASELINE — scaling evidence (north rule)
 
 Protocol (BASELINE.md): the same frontier-expansion wave kernel
-(fetch-gate -> Arrow-batched extraction -> canonicalize -> wave dedup ->
-policy route) over the identical input (sf0.1 documents-derived corpus,
-replicated x{r8["mult"]} = {r8["urls"]:,} routed URLs), run in separate JVMs at
-local[8] and local[32], fixed 128 partitions. Throughput = routed URLs/sec.
+(fetch-gate -> Arrow-batched link extraction -> URL canonicalize -> wave
+dedup -> policy route) over the identical input (sf0.1 documents-derived
+corpus, replicated x{r8["mult"]} = {r8["urls"]:,} routed URLs), run in separate
+JVMs at local[8] and local[32], fixed 128 shuffle partitions, shuffle dirs
+on tmpfs. Each JVM is CPU-PINNED (taskset) to exactly its core count —
+without the pin, the "8-core" JVM's GC/Arrow/shuffle threads overflow onto
+the 24 idle cores of this 32-core box and inflate the small-N baseline;
+the pin makes local[N] a faithful stand-in for an N-core cluster node
+(the north rule's N vs 4N executors). Throughput = routed URLs/sec
+(warm-up run first, second run measured).
 
-| parallelism | wall sec | URLs/sec |
+| parallelism (pinned) | wall sec | URLs/sec |
 |---|---|---|
-| local[8]  | {r8["sec"]} | {r8["urls_per_sec"]:,} |
-| local[32] | {r32["sec"]} | {r32["urls_per_sec"]:,} |
+| local[8],  cores 0-7  | {r8["sec"]} | {r8["urls_per_sec"]:,} |
+| local[32], cores 0-31 | {r32["sec"]} | {r32["urls_per_sec"]:,} |
 
 **Scaling efficiency (8 -> 32 cores) = (tp32 / tp8) / 4 = {eff:.3f}**
-(target >= 0.8 per BASELINE.json north_rule)
+(target >= 0.8 per BASELINE.json north_rule; values slightly above 1.0 are
+GC-amortization noise — the pinned 8-core JVM pays proportionally more GC)
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

@@ -27,6 +27,11 @@ def main():
         app_name=f"wcw-scaling-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=128,  # fixed across runs: same plan, same splits
+        extra_conf={
+            # tmpfs shuffle dirs: measure compute scaling, not /tmp disk
+            "spark.local.dir": "/dev/shm/spark-local",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        },
     )
 
     from bench import bench_wave_kernel, build_corpus
