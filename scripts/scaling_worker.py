@@ -41,9 +41,13 @@ def main():
     pages = pages.repartition(128).persist()
     pages.count()
 
-    # warmup (JIT, python worker pool spin-up) then measured run
+    # warmup (JIT, python worker pool spin-up), then median of 3 measured
+    # runs — single runs at high core counts show 2-3x variance from JIT /
+    # AQE stat timing
     bench_wave_kernel(spark, pages)
-    res = bench_wave_kernel(spark, pages)
+    runs = [bench_wave_kernel(spark, pages) for _ in range(3)]
+    secs = sorted(r["sec"] for r in runs)
+    res = {"urls": runs[0]["urls"], "sec": secs[1]}
 
     print(
         json.dumps(
@@ -52,6 +56,7 @@ def main():
                 "mult": mult,
                 "urls": res["urls"],
                 "sec": round(res["sec"], 3),
+                "all_secs": [round(s, 2) for s in secs],
                 "urls_per_sec": round(res["urls"] / res["sec"], 1),
             }
         )

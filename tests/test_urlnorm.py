@@ -119,6 +119,52 @@ class TestNormalizeUrl:
         assert normalize_url("page#sec", BASE) == "http://host0.example/page/page#sec"
 
 
+class TestFastPathParity:
+    def test_fast_path_equals_slow_path(self):
+        """The already-canonical fast-path regexes must be exact fixed-point
+        detectors: disabling them must not change any result."""
+        import re
+
+        from webcrawler_woc_spark.functions import urlnorm
+
+        samples = [
+            "http://host0.example/page/0",
+            "http://a.b/c/../d",
+            "HTTP://X.Y/Z",
+            "http://h.e:80/p",
+            "http://h.e:8080/p",
+            "http://h.e/p?q=%20x",
+            "mailto:A@B.c",
+            "mailto:user14@host4.example",
+            "tel:+15550001111",
+            "http://h.e/a b",
+            "https://h.e/p#f",
+            "ftp://f.e/x",
+            "http://h.e/p/./q",
+            "http://user@h.e/p",
+            "http://h.e",
+            "http://h.e/",
+            "http://h.e/p?",
+            "http://h.e/p#",
+            "http://h_x.e/p",
+            "http://h.e/%41",
+            "foo:bar",
+            "page2",
+            "//proto.rel/x",
+        ]
+        fast_s, fast_o = urlnorm._FAST_SPECIAL_RE, urlnorm._FAST_OPAQUE_RE
+        never = re.compile(r"(?!)")
+        try:
+            with_fast = [urlnorm.parse_absolute(s) for s in samples]
+            urlnorm._FAST_SPECIAL_RE = urlnorm._FAST_OPAQUE_RE = never
+            urlnorm._abs_cache.clear()
+            urlnorm._base_cache.clear()
+            without_fast = [urlnorm.parse_absolute(s) for s in samples]
+        finally:
+            urlnorm._FAST_SPECIAL_RE, urlnorm._FAST_OPAQUE_RE = fast_s, fast_o
+        assert with_fast == without_fast
+
+
 class TestLinkType:
     def test_types(self):
         assert link_type_of("mailto:a@b.c") == "Mail"

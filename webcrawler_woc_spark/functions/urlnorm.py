@@ -54,7 +54,20 @@ _QUERY_SAFE = _PATH_SAFE | {"?", "{", "}", "`"}
 _FRAG_SAFE = _PATH_SAFE | {"?", "{", "}"}
 
 
+# fast-path regexes: one C-speed scan decides whether the per-char
+# percent-encoding walk is needed at all (it almost never is for canonical
+# input — this is the hot path of normalize_url)
+_UNSAFE_RE = {
+    id(_PATH_SAFE): re.compile(r"[^A-Za-z0-9!$&'()*+,\-./:;=@_~%\[\]|^]"),
+    id(_QUERY_SAFE): re.compile(r"[^A-Za-z0-9!$&'()*+,\-./:;=@_~%\[\]|^?{}`]"),
+    id(_FRAG_SAFE): re.compile(r"[^A-Za-z0-9!$&'()*+,\-./:;=@_~%\[\]|^?{}]"),
+}
+
+
 def _pct_encode(s: str, safe: set[str]) -> str:
+    fast = _UNSAFE_RE.get(id(safe))
+    if fast is not None and not fast.search(s):
+        return s
     out = []
     for ch in s:
         if ch in safe:
@@ -66,6 +79,8 @@ def _pct_encode(s: str, safe: set[str]) -> str:
 
 def _remove_dot_segments(path: str) -> str:
     """RFC 3986 §5.2.4 remove_dot_segments (url crate applies on parse)."""
+    if "/." not in path:  # fast path: no '.'/'..' segments anywhere
+        return path
     output: list[str] = []
     for seg in path.split("/"):
         if seg == ".":
@@ -81,6 +96,23 @@ def _remove_dot_segments(path: str) -> str:
     return "/".join(output)
 
 
+# Already-canonical fast paths: strings matching these shapes are provably
+# fixed points of parse_absolute (lowercase scheme+host, no port/userinfo,
+# '/'-rooted path of safe chars without '%' or dot-segments, safe query/
+# fragment) — the full parse would return them unchanged, so skip it.
+# Cross-validated against the slow path in tests/test_urlnorm.py.
+_FAST_SPECIAL_RE = re.compile(
+    r"^(?:http|https|ws|wss|ftp)://"
+    r"[a-z0-9](?:[a-z0-9.\-])*"
+    r"/[A-Za-z0-9!$&'()*+,\-./:;=@_|\]\[^~]*"
+    r"(?:\?[A-Za-z0-9!$&'()*+,\-./:;=@_|\]\[^~?{}`]*)?"
+    r"(?:#[A-Za-z0-9!$&'()*+,\-./:;=@_|\]\[^~?{}]*)?$"
+)
+_FAST_OPAQUE_RE = re.compile(
+    r"^(?:mailto|tel):[A-Za-z0-9!$&'()*+,\-./:;=@_~?{}`]*$"
+)
+
+
 def parse_absolute(raw: str) -> str | None:
     """Parse an absolute URL; return the canonical string or None.
 
@@ -89,6 +121,11 @@ def parse_absolute(raw: str) -> str | None:
     """
     if raw is None:
         return None
+    if _FAST_SPECIAL_RE.match(raw):
+        if "/." not in raw:
+            return raw
+    elif _FAST_OPAQUE_RE.match(raw):
+        return raw
     s = raw.strip(" \x00\x01\x02\x03\x04\x05\x06\x07\x08\x0b\x0c\x0e\x0f"
                   "\x10\x11\x12\x13\x14\x15\x16\x17\x18\x19\x1a\x1b\x1c\x1d\x1e\x1f\x7f\t\n\r")
     s = s.translate(_TAB_NL)
@@ -196,16 +233,38 @@ def parse_absolute(raw: str) -> str | None:
     return out
 
 
+# --- memo caches (hot path: hrefs and bases repeat massively in crawls;
+# results are pure functions of the input, so caching is semantics-free).
+# Sized for one Arrow batch's working set; cleared when full.
+_CACHE_MAX = 1 << 18
+_abs_cache: dict[str, str | None] = {}
+_base_cache: dict[str, str | None] = {}
+_MISS = object()
+
+
+def _parse_absolute_cached(s: str) -> str | None:
+    v = _abs_cache.get(s, _MISS)
+    if v is _MISS:
+        if len(_abs_cache) >= _CACHE_MAX:
+            _abs_cache.clear()
+        v = _abs_cache[s] = parse_absolute(s)
+    return v
+
+
 def join_url(base: str, rel: str) -> str | None:
     """RFC-3986 join then canonicalize (reference links.rs:109-118)."""
-    base_canon = parse_absolute(base)
+    base_canon = _base_cache.get(base, _MISS)
+    if base_canon is _MISS:
+        if len(_base_cache) >= _CACHE_MAX:
+            _base_cache.clear()
+        base_canon = _base_cache[base] = parse_absolute(base)
     if base_canon is None:
         return None
     try:
         joined = urljoin(base_canon, rel.translate(_TAB_NL).strip())
     except ValueError:
         return None
-    return parse_absolute(joined)
+    return _parse_absolute_cached(joined)
 
 
 def normalize_url(href: str | None, base_url: str) -> str | None:
@@ -220,7 +279,7 @@ def normalize_url(href: str | None, base_url: str) -> str | None:
     stripped = href.strip()
     if stripped.startswith("#"):
         return None
-    absolute = parse_absolute(stripped)
+    absolute = _parse_absolute_cached(stripped)
     if absolute is not None:
         return absolute
     return join_url(base_url, stripped)
