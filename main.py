@@ -25,7 +25,17 @@ Extra (engine-specific):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# Executor Python workers must import webcrawler_woc_spark too. Under
+# spark-submit --py-files the zip is shipped; under a plain `python main.py`
+# from another cwd the workers inherit PYTHONPATH from the (driver-launched)
+# local JVM — export the package root there before the session is created.
+_PKG_ROOT = os.path.dirname(os.path.abspath(__file__))
+os.environ["PYTHONPATH"] = _PKG_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+if _PKG_ROOT not in sys.path:
+    sys.path.insert(0, _PKG_ROOT)
 
 
 def read_lines(path: str | None) -> list[str] | None:

@@ -43,10 +43,28 @@ def synth_ipv6(host: Column) -> Column:
     return F.when(di.isNotNull(), F.concat(F.lit("fd00::"), F.lower(F.hex(di))))
 
 
+def fetch_matched(frontier: DataFrame, pages: DataFrame) -> DataFrame:
+    """The ONE corpus scan of a wave: pages inner-probed by a BROADCAST of
+    the (politeness-bounded) frontier. Pages is only scanned, never shuffled;
+    the hit set (<= |frontier| rows) is then re-shuffled by url_hash so that
+    AQE sizes its partitions by bytes — downstream consumers (extraction /
+    text UDFs, caching) never inherit the corpus scan's partitioning.
+    """
+    pages_side = pages.select(
+        F.col("url").alias("p_url"),
+        F.col("html"),
+        F.col("text").alias("page_text"),
+    )
+    bf = F.broadcast(frontier)
+    matched = pages_side.join(bf, bf["url"] == pages_side["p_url"], "inner")
+    return matched.repartition(F.col("url_hash"))
+
+
 def fetch_join(
     frontier: DataFrame,
     pages: DataFrame,
     content_type_expr=None,
+    matched: DataFrame | None = None,
 ) -> DataFrame:
     """Simulated fetch of every frontier URL.
 
@@ -61,24 +79,23 @@ def fetch_join(
       ``content_type_expr`` (simulation rule, FIXTURES.md §1), headers is the
       simulated response header map, DNS columns are synthetic
       (crawler.rs:219-224).
+
+    ``matched`` lets the caller pass a CACHED ``fetch_matched`` result so the
+    corpus is scanned exactly once per wave (every broadcast-exchange subplan
+    below would otherwise rebuild the probe join and rescan pages).
     """
     if content_type_expr is None:
         from ..sources.corpus import default_content_type_expr
 
         content_type_expr = default_content_type_expr
 
-    pages_side = pages.select(
-        F.col("url").alias("p_url"),
-        F.col("html"),
-        F.col("text").alias("page_text"),
-    )
     # Join strategy for 100 TB: a plain left join (frontier ⋈ pages) would
     # shuffle the ENTIRE corpus every wave. Instead the (politeness-bounded)
     # frontier is broadcast into an inner probe of the corpus scan — pages is
     # only scanned, never shuffled — and fetch failures are recovered with a
     # second broadcast anti-join against the (small) matched-url set.
-    bf = F.broadcast(frontier)
-    matched = pages_side.join(bf, bf["url"] == pages_side["p_url"], "inner")
+    if matched is None:
+        matched = fetch_matched(frontier, pages)
     failed = frontier.join(
         F.broadcast(matched.select(F.col("p_url").alias("url"))), "url", "left_anti"
     ).select(

@@ -96,6 +96,7 @@ class Warehouse:
         host_lineage: list[dict] | None,
         wall_sec: float,
         bloom: PartitionedBloom | None,
+        timings: dict | None = None,
     ) -> None:
         """Atomically record a completed wave (the Spark 'action barrier')."""
         bloom_path = None
@@ -108,6 +109,7 @@ class Warehouse:
             "host_lineage": host_lineage or [],
             "wall_sec": wall_sec,
             "bloom": bloom_path,
+            "timings": timings or {},
             "committed_at": time.time(),
         }
         self.manifest["last_wave"] = wave

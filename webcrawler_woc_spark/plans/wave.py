@@ -55,7 +55,15 @@ def run_wave(
     scheduled = scheduled.cache()  # reused: fetch, seen-update, anti-join
 
     # -- fetch simulation ---------------------------------------------------
-    fetched = fetch_join(scheduled, pages, content_type_expr)
+    # ``matched`` is cached so the corpus is scanned EXACTLY ONCE per wave:
+    # the fetch-failure anti-join, the word scan, extraction, and the text
+    # write all read the (wave-bounded) hit set from cache, never rescanning
+    # pages. At 10^10-URL scale this cache is the wave's politeness-bounded
+    # working set (use MEMORY_AND_DISK semantics — Spark default spills).
+    from ..operators.fetch import fetch_matched
+
+    matched = fetch_matched(scheduled, pages).cache()
+    fetched = fetch_join(scheduled, pages, content_type_expr, matched=matched)
     gate = F.col("fetched") & F.col("content_type").isin(*HTML_MIMES)
     if cfg.words:
         words_udf = make_contains_words_udf(cfg.words)
@@ -64,7 +72,9 @@ def run_wave(
         )
     else:
         fetched = fetched.withColumn("contains_words", F.lit(False))
-    fetched = fetched.cache()
+    # metadata consumers (self rows, flagged, counts, lineage) never need the
+    # page bytes — cache the slim projection, not the html payload.
+    fetched = fetched.drop("html", "page_text").cache()
 
     # -- self rows: every scheduled URL becomes a crawled Link --------------
     self_links = fetched.select(
@@ -82,7 +92,15 @@ def run_wave(
     )
 
     # -- extraction ---------------------------------------------------------
-    gated = fetched.filter(gate)
+    # html lives only in the matched cache; the MIME gate re-derives
+    # content_type from the url (pure Catalyst, same expression as fetch_join)
+    if content_type_expr is None:
+        from ..sources.corpus import default_content_type_expr as content_type_expr
+    gated = (
+        matched.withColumn("content_type", content_type_expr(F.col("url")))
+        .filter(F.col("content_type").isin(*HTML_MIMES))
+        .select("url", "html")
+    )
     children = extract_child_links(gated).select("url", "link_type")
     if extra_children is not None:
         children = children.unionByName(extra_children.select("url", "link_type"))
@@ -145,40 +163,76 @@ def run_wave(
     links_out = self_links.unionByName(rejected_links)
 
     # -- writes (the wave barrier) -----------------------------------------
+    timings: dict[str, float] = {}
+
+    def _timed(key: str, fn):
+        t = time.time()
+        out = fn()
+        timings[key] = round(time.time() - t, 3)
+        return out
+
+    from pyspark.sql import Observation
+
+    # counts ride the write actions as observations — no extra jobs.
+    obs_links = Observation(f"links_out_w{wave}")
+    links_out = links_out.observe(
+        obs_links,
+        F.count(F.when(F.col("crawled"), 1)).alias("scheduled"),
+        F.count(F.when(F.col("crawled") & F.col("fetched"), 1)).alias("fetch_ok"),
+        F.count(F.when(~F.col("crawled"), 1)).alias("rejected"),
+    )
+    obs_frontier = Observation(f"frontier_w{wave}")
+    next_frontier = next_frontier.observe(obs_frontier, F.count(F.lit(1)).alias("n"))
+
     table_paths = {}
-    table_paths["links_out"] = wh.write_wave_table(
-        "links_out", wave, links_out.drop("fetched"), bucket=False
+    table_paths["links_out"] = _timed(
+        "w_links_out",
+        lambda: wh.write_wave_table("links_out", wave, links_out.drop("fetched"), bucket=False),
     )
     new_seen = scheduled.select("url_hash", "url")
-    table_paths["seen"] = wh.write_wave_table("seen", wave, new_seen, bucket=True)
+    table_paths["seen"] = _timed(
+        "w_seen", lambda: wh.write_wave_table("seen", wave, new_seen, bucket=True)
+    )
     new_rej = newly_rejected.select("url_hash", "url")
-    table_paths["rejected"] = wh.write_wave_table("rejected", wave, new_rej, bucket=True)
-    table_paths["frontier"] = wh.write_wave_table("frontier", wave + 1, next_frontier, bucket=True)
+    table_paths["rejected"] = _timed(
+        "w_rejected", lambda: wh.write_wave_table("rejected", wave, new_rej, bucket=True)
+    )
+    table_paths["frontier"] = _timed(
+        "w_frontier",
+        lambda: wh.write_wave_table("frontier", wave + 1, next_frontier, bucket=True),
+    )
     flagged = fetched.filter(F.col("contains_words")).select("url")
-    table_paths["flagged"] = wh.write_wave_table("flagged", wave, flagged)
+    table_paths["flagged"] = _timed(
+        "w_flagged", lambda: wh.write_wave_table("flagged", wave, flagged)
+    )
     from ..operators.extract import extracted_text
 
-    table_paths["extracted_text"] = wh.write_wave_table(
-        "extracted_text", wave, extracted_text(gated)
+    table_paths["extracted_text"] = _timed(
+        "w_text", lambda: wh.write_wave_table("extracted_text", wave, extracted_text(gated))
     )
     order_df = crawl_order(scheduled, wave)
-    table_paths["crawl_order"] = wh.write_wave_table("crawl_order", wave, order_df)
+    table_paths["crawl_order"] = _timed(
+        "w_order", lambda: wh.write_wave_table("crawl_order", wave, order_df)
+    )
 
-    # -- metrics + lineage (read back from committed files: exact, cheap) ---
-    frontier_in = frontier.count()
-    n_scheduled = scheduled.count()
-    fetch_ok = fetched.filter(F.col("fetched")).count()
-    extracted = children.count()
-    new_frontier_n = spark.read.parquet(table_paths["frontier"]).count()
-    new_rejected_n = spark.read.parquet(table_paths["rejected"]).count()
-    host_lineage = [
-        {"host": r["host"], "fetched": r["cnt"]}
-        for r in fetched.groupBy("host")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("host"))
-        .limit(100)  # lineage keeps the hottest hosts; full counts live in parquet
-        .collect()
-    ]
+    # -- metrics + lineage (observed on the writes: exact, zero extra jobs) --
+    frontier_in = _timed("c_frontier_in", frontier.count)
+    extracted = _timed("c_extracted", children.count)
+    n_scheduled = int(obs_links.get["scheduled"])
+    fetch_ok = int(obs_links.get["fetch_ok"])
+    new_rejected_n = int(obs_links.get["rejected"])
+    new_frontier_n = int(obs_frontier.get["n"])
+    host_lineage = _timed(
+        "c_lineage",
+        lambda: [
+            {"host": r["host"], "fetched": r["cnt"]}
+            for r in fetched.groupBy("host")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("host"))
+            .limit(100)  # lineage keeps the hottest hosts; full counts live in parquet
+            .collect()
+        ],
+    )
 
     # -- bloom update (transactional with the manifest commit). Bitmaps are
     # built distributed (one small bitmap per bucket reaches the driver,
@@ -188,8 +242,11 @@ def run_wave(
             bloom = PartitionedBloom(cfg.n_buckets)
         from ..operators.bloom import build_bucket_bitmaps
 
-        rows = build_bucket_bitmaps(new_seen, bloom.n_buckets, bloom.m_bits, bloom.k)
-        bloom.merge_spark_bitmaps(rows)
+        def _bloom_update():
+            rows = build_bucket_bitmaps(new_seen, bloom.n_buckets, bloom.m_bits, bloom.k)
+            bloom.merge_spark_bitmaps(rows)
+
+        _timed("bloom_update", _bloom_update)
 
     counts = {
         "frontier_in": frontier_in,
@@ -200,8 +257,9 @@ def run_wave(
         "new_frontier": new_frontier_n,
         "new_rejected": new_rejected_n,
     }
-    wh.commit_wave(wave, table_paths, counts, host_lineage, time.time() - t0, bloom)
+    wh.commit_wave(wave, table_paths, counts, host_lineage, time.time() - t0, bloom, timings)
     scheduled.unpersist()
+    matched.unpersist()
     fetched.unpersist()
     children.unpersist()
     return counts
