@@ -297,6 +297,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=8)
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_woc_spark.operators.similarity import embedding_cosine_dups
+
+    return embedding_cosine_dups(_emb(spark, sf_dir), dim=64, n_planes=8, threshold_ppm=300000)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_woc_spark.operators.similarity import cosine_topk
 
@@ -374,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "text_token_counts": q_text_token_counts,
@@ -560,6 +567,23 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY sim_ppm DESC, neighbor_id ASC) AS rank
                 FROM sims
             ) WHERE rank <= 5
+        """,
+        "dedup_embedding_cosine": f"""
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       {lsh_planes_sql} AS bucket
+                FROM embeddings
+            )
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   CAST(floor(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))) * 1000000) AS BIGINT)
+                       AS sim_ppm
+            FROM emb a JOIN emb b USING (bucket)
+            WHERE a.vec_id < b.vec_id
+              AND floor(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))) * 1000000) >= 300000
         """,
         "ann_lsh_topk": f"""
             WITH emb AS (

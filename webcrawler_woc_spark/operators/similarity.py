@@ -73,6 +73,41 @@ def lsh_signature(emb_col, dim: int, n_planes: int = 8):
     return sig
 
 
+def embedding_cosine_dups(
+    embeddings: DataFrame, dim: int, n_planes: int = 8, threshold_ppm: int = 300000
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector twin of the text
+    near-dup operators in operators/dedup.py).
+
+    Two-stage, shuffle-bounded: (1) candidate pairs meet only inside a
+    random-hyperplane LSH bucket (same deterministic planes as lsh_ann_topk)
+    — at 10^9 vectors this self-join is bucket-local, never global-quadratic;
+    (2) candidates are verified with the exact cosine (ppm-floored => the
+    int64 is hash-stable across engines). Raise n_planes to shrink buckets
+    as N grows; recall of cross-bucket near-dups is traded per the standard
+    LSH analysis (near-identical vectors agree on almost all plane signs).
+
+    Output (vec_id_a, vec_id_b, sim_ppm) with vec_id_a < vec_id_b.
+    """
+    emb = embeddings.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("bucket", lsh_signature(F.col("v"), dim, n_planes))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            F.floor(cos * 1000000).cast("bigint").alias("sim_ppm"),
+        )
+        .filter(F.col("sim_ppm") >= threshold_ppm)
+    )
+
+
 def lsh_ann_topk(
     embeddings: DataFrame, dim: int, n_queries: int = 10, k: int = 5, n_planes: int = 8
 ) -> DataFrame:

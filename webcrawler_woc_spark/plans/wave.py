@@ -128,22 +128,26 @@ def run_wave(
     )
 
     # a deferred url rediscovered as a child merges deterministically to the
-    # max priority (url_hash/host are functions of url, so min() is exact)
-    next_frontier = (
-        sc_frontier.select(
-            "url",
-            "url_hash",
-            "host",
-            F.lit(cfg.child_priority).alias("priority"),
+    # max priority (url_hash/host are functions of url, so min() is exact).
+    # With no politeness budget the deferred side is empty by construction and
+    # sc_frontier is already wave-deduped — skip the merge shuffle entirely.
+    new_candidates = sc_frontier.select(
+        "url", "url_hash", "host", F.lit(cfg.child_priority).alias("priority")
+    )
+    if cfg.host_budget is None:
+        merged = new_candidates
+    else:
+        merged = (
+            new_candidates.unionByName(deferred.select("url", "url_hash", "host", "priority"))
+            .groupBy("url")
+            .agg(
+                F.min("url_hash").alias("url_hash"),
+                F.min("host").alias("host"),
+                F.max("priority").alias("priority"),
+            )
         )
-        .unionByName(deferred.select("url", "url_hash", "host", "priority"))
-        .groupBy("url")
-        .agg(
-            F.min("url_hash").alias("url_hash"),
-            F.min("host").alias("host"),
-            F.max("priority").alias("priority"),
-        )
-        .select(F.lit(wave + 1).cast("int").alias("wave"), "url", "url_hash", "host", "priority")
+    next_frontier = merged.select(
+        F.lit(wave + 1).cast("int").alias("wave"), "url", "url_hash", "host", "priority"
     )
 
     # -- rejected links become output rows (crawled=false, no metadata) -----
