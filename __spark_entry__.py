@@ -178,6 +178,43 @@ def q_crawl_dns_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_crawl_robots_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots cache (north-rule politeness input): per-host Crawl-delay
+    parsed from the corpus /robots.txt rows (operators/politeness.py)."""
+    from webcrawler_woc_spark.operators.politeness import parse_robots_crawl_delay
+
+    return parse_robots_crawl_delay(_pages(spark, sf_dir)).select("host", "crawl_delay")
+
+
+def q_crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The politeness scheduler itself (north-rule core): per-host slots under
+    a robots-crawl-delay-derived budget; over-budget URLs deferred. Output is
+    the scheduled set (host, slot, url) — the engine's deterministic crawl
+    order. The salted pre-trim inside schedule_wave is provably exact for
+    scheduled rows, so the plain-window SQL oracle matches it."""
+    from webcrawler_woc_spark.operators.politeness import (
+        parse_robots_crawl_delay,
+        schedule_wave,
+    )
+
+    docs = _docs(spark, sf_dir)
+    frontier = docs.select(
+        F.concat(
+            F.lit("http://host"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(".example/page/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("host"), (F.col("doc_id") % 10).cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        (F.col("doc_id") % 7).cast("double").alias("priority"),
+    )
+    robots = parse_robots_crawl_delay(_pages(spark, sf_dir))
+    scheduled, _deferred = schedule_wave(frontier, robots, host_budget=6)
+    return scheduled.select("host", "slot", "url")
+
+
 def q_rel_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-scheduler primitive: per-key top-k by (priority, id)."""
     from pyspark.sql import Window
@@ -352,6 +389,27 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_woc_spark.operators.multimodal import frame_sample, synth_media
+
+    return frame_sample(synth_media(_docs(spark, sf_dir)), frame_size=256, stride=4)
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_woc_spark.operators.multimodal import (
+        media_features,
+        resize_feature,
+        synth_media,
+    )
+
+    resized = resize_feature(media_features(synth_media(_docs(spark, sf_dir))), out_dim=2)
+    return resized.select(
+        "doc_id",
+        F.element_at("feature", 1).cast("double").alias("f0"),
+        F.element_at("feature", 2).cast("double").alias("f1"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -369,6 +427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_sitemap_discovery": q_crawl_sitemap_discovery,
         "crawl_word_scan": q_crawl_word_scan,
         "crawl_dns_enrichment": q_crawl_dns_enrichment,
+        "crawl_robots_delay": q_crawl_robots_delay,
+        "crawl_politeness_schedule": q_crawl_politeness_schedule,
         "rel_topk_per_group": q_rel_topk_per_group,
         "rel_anti_join": q_rel_anti_join,
         "rel_agg_pricing": q_rel_agg_pricing,
@@ -388,6 +448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_resize": q_multimodal_resize,
     }
 
 
@@ -472,6 +534,34 @@ def oracle_sql() -> dict[str, str]:
                    '10.0.' || (h // 256) || '.' || (h % 256) AS ipv4,
                    'fd00::' || printf('%x', h) AS ipv6
             FROM range(10) t(h)
+        """,
+        # robots body reconstructed verbatim (sources/corpus.py
+        # robots_sitemap_pages), then regexp-parsed like the engine does
+        "crawl_robots_delay": """
+            SELECT 'host' || h || '.example' AS host,
+                   CAST(regexp_extract(
+                       'User-agent: *' || chr(10) || 'Disallow: /private' || h
+                       || chr(10) || 'Crawl-delay: ' || (1 + h % 3) || chr(10)
+                       || 'Sitemap: http://host' || h || '.example/sitemap0.txt' || chr(10),
+                       'Crawl-delay:\\s*(\\d+)', 1) AS INT) AS crawl_delay
+            FROM range(10) t(h)
+        """,
+        "crawl_politeness_schedule": """
+            WITH frontier AS (
+                SELECT 'http://host' || (doc_id % 10) || '.example/page/' || doc_id AS url,
+                       'host' || (doc_id % 10) || '.example' AS host,
+                       CAST(doc_id % 7 AS DOUBLE) AS priority,
+                       CAST(doc_id % 10 AS INT) AS h
+                FROM documents
+            ),
+            ranked AS (
+                SELECT host, url,
+                       row_number() OVER (PARTITION BY host
+                                          ORDER BY priority DESC, url ASC) AS slot,
+                       greatest(1, CAST(6 / (1 + h % 3) AS INT)) AS budget
+                FROM frontier
+            )
+            SELECT host, CAST(slot AS INT) AS slot, url FROM ranked WHERE slot <= budget
         """,
         "rel_topk_per_group": """
             SELECT c_nationkey, c_custkey, CAST(rank AS INT) AS rank FROM (
@@ -648,6 +738,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 3 = 0 THEN 'image'
                         WHEN doc_id % 3 = 1 THEN 'audio'
                         ELSE 'video' END AS media_kind
+            FROM documents
+        """,
+        # documents text is pure ASCII in this corpus (verified), so char
+        # positions == byte positions and the byte-frame stand-in is exact SQL
+        "multimodal_frame_sample": """
+            WITH v AS (
+                SELECT doc_id, text,
+                       unnest(range(0, greatest(1, length(text) // 256), 4)) AS fi
+                FROM documents WHERE doc_id % 3 = 2
+            )
+            SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+                   CAST(length(substr(text, fi * 256 + 1, 256)) AS INT) AS frame_bytes,
+                   CASE WHEN length(substr(text, fi * 256 + 1, 256)) > 0
+                        THEN CAST(ascii(substr(text, fi * 256 + 1, 1)) AS INT)
+                        ELSE NULL END AS frame_head
+            FROM v
+        """,
+        "multimodal_resize": """
+            SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS f0,
+                   CASE WHEN length(text) > 0
+                        THEN CAST(ascii(substr(text, 1, 1)) AS DOUBLE)
+                        ELSE 0.0 END AS f1
             FROM documents
         """,
     }

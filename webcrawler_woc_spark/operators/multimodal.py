@@ -98,3 +98,60 @@ def media_features(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(extract, MEDIA_FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_bytes", IntegerType(), True),
+        StructField("frame_head", IntegerType(), True),
+    ]
+)
+
+
+def frame_sample(media_df: DataFrame, frame_size: int = 256, stride: int = 4) -> DataFrame:
+    """1 -> N frame sampling over video blobs (mapInPandas row explosion).
+
+    True frame decode needs ffmpeg (absent here); the deterministic stand-in
+    treats the blob as fixed-size byte 'frames' and keeps every ``stride``-th
+    one — the Spark plumbing (iterator batches in, MORE rows out, stable
+    schema, no cross-batch state) is exactly what a real decoder needs.
+    Only rows with media_kind='video' are sampled; the filter is pushed
+    before the Python stage.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_n, out_head = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                if blob is None:
+                    continue
+                b = bytes(blob)
+                n_frames = max(1, len(b) // frame_size)
+                for fi in range(0, n_frames, stride):
+                    chunk = b[fi * frame_size : (fi + 1) * frame_size]
+                    out_doc.append(doc_id)
+                    out_idx.append(fi)
+                    out_n.append(len(chunk))
+                    out_head.append(chunk[0] if chunk else None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_bytes": pd.Series(out_n, dtype="int32"),
+                    "frame_head": pd.Series(out_head, dtype="Int32"),
+                }
+            )
+
+    videos = media_df.filter(F.col("media_kind") == "video").select("doc_id", "media")
+    return videos.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def resize_feature(features_df: DataFrame, out_dim: int = 2) -> DataFrame:
+    """Feature 'resize' (dimension truncate/pad) — pure Catalyst (slice +
+    array padding), no Python: the post-decode tensor reshape step.
+    Output (doc_id, feature array<float> of exactly out_dim)."""
+    f = F.col("feature")
+    padded = F.concat(f, F.array_repeat(F.lit(0.0).cast("float"), out_dim))
+    return features_df.select("doc_id", F.slice(padded, 1, out_dim).alias("feature"))

@@ -41,10 +41,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # coalesce post-shuffle partitions by BYTES, not default parallelism:
-        # wave-state shuffles are tiny next to the corpus scan and collapse
-        # to a handful of tasks; at 100 TB the advisory size (64 MB) governs.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # NOTE: coalescePartitions.parallelismFirst is left at its default
+        # (true). Setting it false (bytes-first) shrank tiny crawl-state
+        # shuffles nicely but coalesced the medium-sized frontier-expansion
+        # shuffles to a handful of partitions, starving 32 cores: measured
+        # scaling efficiency collapsed 0.83 -> 0.26. Parallelism-first is the
+        # right default for a throughput-scaling engine.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
