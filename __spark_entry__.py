@@ -389,6 +389,23 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful Structured-Streaming seen-set (applyInPandasWithState): the
+    corpus outlinks replayed as overlapping micro-batches; each distinct URL
+    must come out exactly once. Equivalent set semantics: SELECT DISTINCT."""
+    import tempfile
+
+    from webcrawler_woc_spark.streaming.dedup_stream import stream_dedup_links
+
+    links = extract_child_links(_gated(spark, sf_dir)).select("parent_url", "url", "link_type")
+    tmp = tempfile.mkdtemp(prefix="wcw_stream_dedup_")
+    links_dir, out_dir, ckpt = f"{tmp}/links", f"{tmp}/out", f"{tmp}/ckpt"
+    links.repartition(4).write.parquet(links_dir)
+    q = stream_dedup_links(spark, links_dir, out_dir, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(600)
+    return spark.read.parquet(out_dir).select("url")
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_woc_spark.operators.multimodal import frame_sample, synth_media
 
@@ -448,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_features": q_multimodal_features,
+        "stream_dedup_exactly_once": q_stream_dedup_exactly_once,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_resize": q_multimodal_resize,
     }
@@ -739,6 +757,11 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id % 3 = 1 THEN 'audio'
                         ELSE 'video' END AS media_kind
             FROM documents
+        """,
+        "stream_dedup_exactly_once": f"""
+            {_crawl_cte()}
+            SELECT DISTINCT o.url
+            FROM outlinks o JOIN extractable e USING (doc_id)
         """,
         # documents text is pure ASCII in this corpus (verified), so char
         # positions == byte positions and the byte-frame stand-in is exact SQL

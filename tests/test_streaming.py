@@ -33,3 +33,51 @@ def test_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert streamed == batch and len(batch) > 0
     assert os.path.exists(ckpt)  # exactly-once checkpoint committed
+
+
+def test_stateful_dedup_emits_each_url_once(spark, tmp_path):
+    """applyInPandasWithState seen-set: overlapping micro-batches, one row per
+    distinct url, state survives across batches (maxFilesPerTrigger=1)."""
+    from webcrawler_woc_spark.streaming.dedup_stream import stream_dedup_links
+
+    links_dir = str(tmp_path / "links_in")
+    out_dir = str(tmp_path / "deduped")
+    ckpt = str(tmp_path / "ckpt2")
+
+    rows = [("p", f"http://h.example/{i % 7}", "Other") for i in range(50)]
+    df = spark.createDataFrame(rows, "parent_url string, url string, link_type string")
+    # 5 files => 5 micro-batches, every batch full of re-discoveries
+    df.repartition(5).write.parquet(links_dir)
+
+    q = stream_dedup_links(spark, links_dir, out_dir, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    out = spark.read.parquet(out_dir).collect()
+    urls = sorted(r["url"] for r in out)
+    assert urls == sorted(f"http://h.example/{i}" for i in range(7))  # once each
+
+
+def test_stateful_dedup_resumes_from_checkpoint(spark, tmp_path):
+    """New files after a drained run: resume emits ONLY never-seen urls."""
+    from webcrawler_woc_spark.streaming.dedup_stream import stream_dedup_links
+
+    links_dir = str(tmp_path / "links_in")
+    out_dir = str(tmp_path / "deduped")
+    ckpt = str(tmp_path / "ckpt3")
+
+    first = spark.createDataFrame(
+        [("p", "http://h.example/a", "Other"), ("p", "http://h.example/b", "Other")],
+        "parent_url string, url string, link_type string",
+    )
+    first.coalesce(1).write.parquet(links_dir)
+    stream_dedup_links(spark, links_dir, out_dir, ckpt).awaitTermination(300)
+
+    second = spark.createDataFrame(
+        [("p", "http://h.example/b", "Other"), ("p", "http://h.example/c", "Other")],
+        "parent_url string, url string, link_type string",
+    )
+    second.coalesce(1).write.mode("append").parquet(links_dir)
+    stream_dedup_links(spark, links_dir, out_dir, ckpt).awaitTermination(300)
+
+    urls = sorted(r["url"] for r in spark.read.parquet(out_dir).collect())
+    assert urls == ["http://h.example/a", "http://h.example/b", "http://h.example/c"]

@@ -36,7 +36,9 @@ STATE_TABLES = ("frontier", "seen", "rejected", "links_out", "flagged", "crawl_o
 class Warehouse:
     def __init__(self, spark: SparkSession, path: str, n_buckets: int = 32):
         self.spark = spark
-        self.path = path
+        # absolute root: manifest table paths must resolve regardless of the
+        # cwd a later (resuming) process runs from
+        self.path = os.path.abspath(path)
         self.n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
         self._manifest_path = os.path.join(path, "manifest.json")

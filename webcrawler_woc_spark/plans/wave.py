@@ -188,36 +188,42 @@ def run_wave(
     obs_frontier = Observation(f"frontier_w{wave}")
     next_frontier = next_frontier.observe(obs_frontier, F.count(F.lit(1)).alias("n"))
 
-    table_paths = {}
-    table_paths["links_out"] = _timed(
-        "w_links_out",
-        lambda: wh.write_wave_table("links_out", wave, links_out.drop("fetched"), bucket=False),
-    )
-    new_seen = scheduled.select("url_hash", "url")
-    table_paths["seen"] = _timed(
-        "w_seen", lambda: wh.write_wave_table("seen", wave, new_seen, bucket=True)
-    )
-    new_rej = newly_rejected.select("url_hash", "url")
-    table_paths["rejected"] = _timed(
-        "w_rejected", lambda: wh.write_wave_table("rejected", wave, new_rej, bucket=True)
-    )
-    table_paths["frontier"] = _timed(
-        "w_frontier",
-        lambda: wh.write_wave_table("frontier", wave + 1, next_frontier, bucket=True),
-    )
-    flagged = fetched.filter(F.col("contains_words")).select("url")
-    table_paths["flagged"] = _timed(
-        "w_flagged", lambda: wh.write_wave_table("flagged", wave, flagged)
-    )
+    # fill the shared caches ONCE, sequentially (a concurrent first touch
+    # would compute the same lineage twice), then fire the independent
+    # table writes from a driver thread pool — Spark schedules concurrent
+    # jobs fine, and the writes only read the caches. The wave barrier is
+    # the pool join; the manifest commit below stays atomic.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _timed("cache_matched", matched.count)  # the one corpus scan
+    _timed("cache_fetched", fetched.count)
+    _timed("cache_children", children.count)
+
     from ..operators.extract import extracted_text
 
-    table_paths["extracted_text"] = _timed(
-        "w_text", lambda: wh.write_wave_table("extracted_text", wave, extracted_text(gated))
-    )
+    new_seen = scheduled.select("url_hash", "url")
+    new_rej = newly_rejected.select("url_hash", "url")
+    flagged = fetched.filter(F.col("contains_words")).select("url")
     order_df = crawl_order(scheduled, wave)
-    table_paths["crawl_order"] = _timed(
-        "w_order", lambda: wh.write_wave_table("crawl_order", wave, order_df)
-    )
+    writes = {
+        "links_out": ("w_links_out", wave, links_out.drop("fetched"), False),
+        "seen": ("w_seen", wave, new_seen, True),
+        "rejected": ("w_rejected", wave, new_rej, True),
+        "frontier": ("w_frontier", wave + 1, next_frontier, True),
+        "flagged": ("w_flagged", wave, flagged, False),
+        "extracted_text": ("w_text", wave, extracted_text(gated), False),
+        "crawl_order": ("w_order", wave, order_df, False),
+    }
+    table_paths = {}
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = {
+            table: pool.submit(
+                _timed, tkey, lambda t=table, w=wv, d=df_, b=bucket: wh.write_wave_table(t, w, d, bucket=b)
+            )
+            for table, (tkey, wv, df_, bucket) in writes.items()
+        }
+        for table, fut in futs.items():
+            table_paths[table] = fut.result()
 
     # -- metrics + lineage (observed on the writes: exact, zero extra jobs) --
     frontier_in = _timed("c_frontier_in", frontier.count)
