@@ -59,15 +59,20 @@ def char_shingles(documents: DataFrame, n: int = 16) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(documents: DataFrame, n: int = 16, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 16, threshold: float = 0.5, shingles: DataFrame | None = None
+) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (doc_a < doc_b, jaccard >= t).
 
     inverted-index self-join: |A ∩ B| from the shingle join, |A ∪ B| from the
     per-doc set sizes. Output (doc_a, doc_b, n_common, n_union) — integers,
     hash-stable across engines; the threshold predicate is the exact integer
     inequality n_common >= t * n_union (no float rounding anywhere).
+
+    ``shingles`` lets the caller pass an already-cached char_shingles(n) frame
+    so the (dominant) shingle explode is computed once per pipeline.
     """
-    sh = char_shingles(documents, n).cache()
+    sh = shingles if shingles is not None else char_shingles(documents, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -99,10 +104,12 @@ def _minhash_perm(hash_col, i: int):
     return F.pmod(h31 * F.lit(a) + F.lit(b), F.lit(MERSENNE31))
 
 
-def minhash_signatures(documents: DataFrame, n: int = 16, n_perms: int = 16) -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame, n: int = 16, n_perms: int = 16, shingles: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, sig array<bigint>) MinHash signatures, all JVM-side:
     shingle -> xxhash64 -> per-permutation min aggregation."""
-    sh = char_shingles(documents, n)
+    sh = shingles if shingles is not None else char_shingles(documents, n)
     hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
     aggs = [F.min(_minhash_perm(F.col("h"), i)).alias(f"m{i}") for i in range(n_perms)]
     sigs = hashed.groupBy("doc_id").agg(*aggs)
@@ -110,7 +117,11 @@ def minhash_signatures(documents: DataFrame, n: int = 16, n_perms: int = 16) -> 
 
 
 def minhash_lsh_candidates(
-    documents: DataFrame, n: int = 16, n_perms: int = 16, bands: int = 8
+    documents: DataFrame,
+    n: int = 16,
+    n_perms: int = 16,
+    bands: int = 8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding (doc_a < doc_b, distinct).
 
@@ -119,7 +130,7 @@ def minhash_lsh_candidates(
     goes quadratic globally.
     """
     rows_per_band = n_perms // bands
-    sigs = minhash_signatures(documents, n, n_perms)
+    sigs = minhash_signatures(documents, n, n_perms, shingles=shingles)
     band_rows = sigs.select(
         "doc_id",
         F.explode(
@@ -160,9 +171,14 @@ def minhash_dedup(
     documents: DataFrame, n: int = 16, n_perms: int = 16, bands: int = 8, threshold: float = 0.5
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard (the standard two-stage
-    near-dup pipeline). Output (doc_a, doc_b, jaccard)."""
-    cand = minhash_lsh_candidates(documents, n, n_perms, bands)
-    exact = ngram_jaccard_pairs(documents, n, threshold)
+    near-dup pipeline). Output (doc_a, doc_b, jaccard).
+
+    The shingle explode (the dominant cost: |corpus| * text_len rows) is
+    computed ONCE and cached; both the signature build and the exact verify
+    read the cache."""
+    sh = char_shingles(documents, n).cache()
+    cand = minhash_lsh_candidates(documents, n, n_perms, bands, shingles=sh)
+    exact = ngram_jaccard_pairs(documents, n, threshold, shingles=sh)
     return cand.join(exact, ["doc_a", "doc_b"], "inner").select(
         "doc_a", "doc_b", "n_common", "n_union"
     )
