@@ -305,6 +305,51 @@ def q_rel_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over events (30-minute inactivity gap):
+    session id = per-user running count of gap-starts — the batch twin of
+    a streaming session window, all window functions, no Python.
+    Output: one row per session with bounds and event count."""
+    from pyspark.sql import Window
+
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC so the epoch conversion
+    # is the same on both engines
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sessioned = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_no"),
+    )
+    return sessioned.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_rel_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ small-dim with an explicit broadcast (part never big enough to
+    justify shuffling lineitem): revenue share per brand. Plan pinned in
+    tests/test_plans.py to stay a BroadcastHashJoin."""
+    part = _tbl(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = _tbl(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.sum(rev_cents).alias("revenue_cents"), F.count("*").alias("n_items"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data operators
 # ---------------------------------------------------------------------------
@@ -453,6 +498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_union_distinct": q_rel_union_distinct,
         "rel_token_explode": q_rel_token_explode,
         "rel_running_window": q_rel_running_window,
+        "rel_sessionize": q_rel_sessionize,
+        "rel_broadcast_dim_join": q_rel_broadcast_dim_join,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -631,6 +678,35 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS run_cents
             FROM events
+        """,
+        "rel_sessionize": """
+            WITH gaps AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                              OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ),
+            sess AS (
+                SELECT user_id, ts,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS session_no
+                FROM gaps
+            )
+            SELECT user_id, session_no,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, session_no
+        """,
+        "rel_broadcast_dim_join": """
+            SELECT p.p_brand,
+                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                       AS revenue_cents,
+                   count(*) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS rep_id, count(*) AS n_dups,

@@ -1,0 +1,45 @@
+"""Repo-wide physical-plan audit over every contract query.
+
+Pins the 100 TB-critical properties across the WHOLE query surface at once:
+* no row-at-a-time Python (BatchEvalPython) anywhere — Python only as
+  Arrow-batched stages (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas);
+* no cartesian products;
+* sort-merge joins only where both sides are genuinely same-scale self-joins
+  (allowlisted); broadcast-nested-loop only for the intentional exact-ANN
+  baseline crossJoin.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+# SMJ allowlist: shingle inverted-index / band self-joins — both sides are the
+# same corpus-sized frame, broadcast is impossible at scale, SMJ is correct.
+SMJ_OK = {"dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine"}
+# BNLJ allowlist: the exact cosine baseline broadcasts the tiny query set
+# into a crossJoin by design.
+BNLJ_OK = {"ann_cosine_topk"}
+# streaming queries execute a StreamingQuery, not a single batch plan
+SKIP = {"stream_dedup_exactly_once"}
+
+
+def _formatted_plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _queries():
+    import __spark_entry__ as entrymod
+
+    return [(k, v) for k, v in entrymod.queries().items() if k not in SKIP]
+
+
+@pytest.mark.parametrize("name,fn", _queries(), ids=[k for k, _ in _queries()])
+def test_plan_has_no_antipatterns(spark, sf_dir, name, fn):
+    plan = _formatted_plan(spark, fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    if name not in SMJ_OK:
+        assert "SortMergeJoin" not in plan, f"{name}: unexpected sort-merge join"
+    if name not in BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: unexpected BNLJ"

@@ -90,6 +90,17 @@ class TestCodegen:
             df, {"l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"}
         )
 
+    def test_broadcast_dim_join_stays_broadcast(self, spark, sf_dir):
+        # fact ⋈ small-dim must broadcast the dim, never shuffle the fact
+        import __spark_entry__ as entrymod
+
+        df = entrymod.queries()["rel_broadcast_dim_join"](spark, sf_dir)
+        assert_broadcast_join(df, count=1)
+        assert_no_sort_merge_join(df)
+        assert_read_schema_only(
+            df, {"p_partkey", "p_brand", "l_partkey", "l_extendedprice", "l_discount"}
+        )
+
     def test_corpus_derivation_is_pure_catalyst(self, spark, sf_dir):
         # no BatchEvalPython / ArrowEvalPython in the corpus build: it must
         # run entirely JVM-side
