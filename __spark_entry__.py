@@ -305,6 +305,29 @@ def q_rel_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-arithmetic PageRank (3 iterations, damping .85, ppm scale)
+    over the extracted doc link graph — link-authority scoring for frontier
+    priorities. Order-independent integer math => oracle value-exact."""
+    from webcrawler_woc_spark.operators.graph import doc_edges, pagerank_int
+
+    children = extract_child_links(_gated(spark, sf_dir)).select("parent_url", "url")
+    edges = doc_edges(children)
+    nodes = _docs(spark, sf_dir).select("doc_id")
+    return pagerank_int(nodes, edges, iterations=3)
+
+
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by min-label propagation (5 fixed rounds) over
+    the undirected link graph — site/cluster discovery."""
+    from webcrawler_woc_spark.operators.graph import connected_components, doc_edges
+
+    children = extract_child_links(_gated(spark, sf_dir)).select("parent_url", "url")
+    edges = doc_edges(children)
+    nodes = _docs(spark, sf_dir).select("doc_id")
+    return connected_components(nodes, edges, iterations=5)
+
+
 def q_rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over events (30-minute inactivity gap):
     session id = per-user running count of gap-starts — the batch twin of
@@ -500,6 +523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_running_window": q_rel_running_window,
         "rel_sessionize": q_rel_sessionize,
         "rel_broadcast_dim_join": q_rel_broadcast_dim_join,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_components": q_graph_components,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -679,6 +704,8 @@ def oracle_sql() -> dict[str, str]:
                    ) AS run_cents
             FROM events
         """,
+        "graph_pagerank": _pagerank_sql(3),
+        "graph_components": _components_sql(5),
         "rel_sessionize": """
             WITH gaps AS (
                 SELECT user_id, ts, event_id,
@@ -863,6 +890,60 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
+
+
+_EDGES_CTE = """
+edges AS (
+    SELECT DISTINCT o.doc_id AS src,
+           CAST(regexp_extract(o.url, '^https?://[^/]+/page/(\\d+)$', 1) AS BIGINT) AS dst
+    FROM outlinks o JOIN extractable e USING (doc_id)
+    WHERE regexp_extract(o.url, '^https?://[^/]+/page/(\\d+)$', 1) <> ''
+)
+"""
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Chained-CTE integer PageRank mirroring operators/graph.pagerank_int
+    (// is DuckDB's floor division == Spark's `div` for non-negatives)."""
+    from webcrawler_woc_spark.sources.corpus import ORACLE_OUTLINKS_CTE
+
+    ctes = [ORACLE_OUTLINKS_CTE, _EDGES_CTE,
+            "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+            "r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS rank_ppm FROM documents)"]
+    for i in range(iters):
+        ctes.append(f"""
+r{i + 1} AS (
+    SELECT d.doc_id,
+           CAST(150000 + (85 * coalesce(inflow.s, 0)) // 100 AS BIGINT) AS rank_ppm
+    FROM documents d LEFT JOIN (
+        SELECT e.dst, sum(r.rank_ppm // g.deg) AS s
+        FROM edges e JOIN deg g USING (src) JOIN r{i} r ON r.doc_id = e.src
+        GROUP BY e.dst
+    ) inflow ON inflow.dst = d.doc_id
+)""")
+    return "WITH " + ",".join(ctes) + f"\nSELECT doc_id, rank_ppm FROM r{iters}"
+
+
+def _components_sql(iters: int = 5) -> str:
+    """Chained-CTE min-label propagation mirroring
+    operators/graph.connected_components."""
+    from webcrawler_woc_spark.sources.corpus import ORACLE_OUTLINKS_CTE
+
+    ctes = [ORACLE_OUTLINKS_CTE, _EDGES_CTE,
+            "und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)",
+            "l0 AS (SELECT doc_id, doc_id AS component FROM documents)"]
+    for i in range(iters):
+        ctes.append(f"""
+l{i + 1} AS (
+    SELECT l.doc_id,
+           least(l.component, coalesce(n.n_min, l.component)) AS component
+    FROM l{i} l LEFT JOIN (
+        SELECT u.dst, min(p.component) AS n_min
+        FROM und u JOIN l{i} p ON p.doc_id = u.src
+        GROUP BY u.dst
+    ) n ON n.dst = l.doc_id
+)""")
+    return "WITH " + ",".join(ctes) + f"\nSELECT doc_id, component FROM l{iters}"
 
 
 def _lsh_bucket_sql(n_planes: int = 8, dim: int = 64) -> str:

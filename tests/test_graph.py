@@ -1,0 +1,65 @@
+"""Link-graph operators (operators/graph.py) on crafted graphs with
+hand-computable values; corpus-scale parity is pinned by the DuckDB oracle
+gate (graph_pagerank / graph_components)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _g(spark, n, edge_list):
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    return nodes, edges
+
+
+class TestPagerankInt:
+    def test_two_node_cycle_keeps_symmetric_rank(self, spark):
+        from webcrawler_woc_spark.operators.graph import pagerank_int
+
+        nodes, edges = _g(spark, 2, [(0, 1), (1, 0)])
+        got = {r["doc_id"]: r["rank_ppm"] for r in pagerank_int(nodes, edges, 3).collect()}
+        # symmetric cycle: rank stays at the fixpoint 150000 + 850000 = 10^6
+        assert got == {0: 1_000_000, 1: 1_000_000}
+
+    def test_sink_receives_damped_inflow(self, spark):
+        from webcrawler_woc_spark.operators.graph import pagerank_int
+
+        # 0 -> 2, 1 -> 2; node 2 dangling (mass dropped by contract)
+        nodes, edges = _g(spark, 3, [(0, 2), (1, 2)])
+        got = {r["doc_id"]: r["rank_ppm"] for r in pagerank_int(nodes, edges, 1).collect()}
+        assert got[0] == 150_000 and got[1] == 150_000  # no inflow
+        assert got[2] == 150_000 + (85 * 2_000_000) // 100
+
+    def test_integer_division_is_floor(self, spark):
+        from webcrawler_woc_spark.operators.graph import pagerank_int
+
+        # node 0 has out-degree 3: contribution = 10^6 // 3 = 333333 (floor)
+        nodes, edges = _g(spark, 4, [(0, 1), (0, 2), (0, 3)])
+        got = {r["doc_id"]: r["rank_ppm"] for r in pagerank_int(nodes, edges, 1).collect()}
+        assert got[1] == 150_000 + (85 * 333_333) // 100
+
+
+class TestConnectedComponents:
+    def test_two_components(self, spark):
+        from webcrawler_woc_spark.operators.graph import connected_components
+
+        nodes, edges = _g(spark, 6, [(0, 1), (1, 2), (4, 5)])
+        got = {r["doc_id"]: r["component"] for r in connected_components(nodes, edges, 5).collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+
+    def test_chain_converges_within_rounds(self, spark):
+        from webcrawler_woc_spark.operators.graph import connected_components
+
+        # path 0-1-2-3-4: min-label needs ceil(diameter) rounds; 5 suffices
+        nodes, edges = _g(spark, 5, [(i, i + 1) for i in range(4)])
+        got = {r["doc_id"]: r["component"] for r in connected_components(nodes, edges, 5).collect()}
+        assert set(got.values()) == {0}
+
+    def test_direction_is_ignored(self, spark):
+        from webcrawler_woc_spark.operators.graph import connected_components
+
+        # edge 5 -> 0 only: undirected propagation must still merge them
+        nodes, edges = _g(spark, 6, [(5, 0)])
+        got = {r["doc_id"]: r["component"] for r in connected_components(nodes, edges, 2).collect()}
+        assert got[5] == 0 and got[0] == 0

@@ -13,9 +13,17 @@ from __future__ import annotations
 
 import pytest
 
-# SMJ allowlist: shingle inverted-index / band self-joins — both sides are the
-# same corpus-sized frame, broadcast is impossible at scale, SMJ is correct.
-SMJ_OK = {"dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine"}
+# SMJ allowlist: shingle inverted-index / band self-joins and iterative
+# graph joins (edges ⋈ ranks/labels) — both sides are the same corpus-sized
+# frame, broadcast is impossible at scale, SMJ is correct.
+SMJ_OK = {
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "graph_pagerank",
+    "graph_components",
+}
 # BNLJ allowlist: the exact cosine baseline broadcasts the tiny query set
 # into a crossJoin by design.
 BNLJ_OK = {"ann_cosine_topk"}

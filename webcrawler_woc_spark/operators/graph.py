@@ -1,0 +1,100 @@
+"""Link-graph analysis over the crawled corpus: PageRank-style scoring and
+connected components — the iterative DataFrame jobs a frontier scheduler
+feeds on (priority from link authority, site clustering from components).
+
+Determinism across engines (the DuckDB oracle gate hashes values): floats
+summed in shuffle order are NOT reproducible, so both operators use
+order-independent arithmetic only —
+
+* ``pagerank_int``: ranks are scaled integers (ppm); per-edge contribution is
+  integer division ``rank // out_degree`` and the damping step is integer
+  ``(85 * s) // 100`` — sums of integers are exact in any order;
+* ``connected_components``: min-label propagation — ``min`` is
+  order-independent by definition.
+
+Both are FIXED-ITERATION by spec (the iteration count is part of the
+operator contract), which keeps them SQL-expressible as chained CTEs for the
+oracle. At 10^10 edges each iteration is one shuffle on ``dst`` (the classic
+Pregel-on-DataFrames layout); between iterations the rank/label frame is
+cached and the lineage cut so plans don't grow exponentially.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def doc_edges(children: DataFrame) -> DataFrame:
+    """(src, dst) doc-id edges from extracted links
+    (``children`` = extract_child_links output with parent_url, url).
+    Only /page/N targets are edges (mailto/tel/missing links are not pages).
+    """
+    src = F.regexp_extract(F.col("parent_url"), r"/page/(\d+)$", 1)
+    dst = F.regexp_extract(F.col("url"), r"^https?://[^/]+/page/(\d+)$", 1)
+    return (
+        children.select(src.alias("s"), dst.alias("d"))
+        .filter((F.col("s") != "") & (F.col("d") != ""))
+        .select(F.col("s").cast("long").alias("src"), F.col("d").cast("long").alias("dst"))
+        .distinct()
+    )
+
+
+def pagerank_int(nodes: DataFrame, edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Integer-arithmetic PageRank (damping 0.85, ppm scale, dangling mass
+    dropped — documented contract). Output (doc_id, rank_ppm).
+
+    rank_0 = 10^6; rank_{i+1}(v) = 150000 + (85 * Σ_{u->v} rank_i(u)//deg(u)) // 100
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.select(F.col("doc_id"), F.lit(PPM).cast("bigint").alias("rank_ppm"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks, edges["src"] == ranks["doc_id"])
+            # `div` = exact integer division on bigints (== DuckDB's `//`
+            # for non-negative operands); a double `/` + cast can round the
+            # wrong way on .999... binary artifacts
+            .select(F.col("dst"), F.expr("rank_ppm div deg").alias("c"))
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(inflow, nodes["doc_id"] == inflow["dst"], "left")
+            .withColumn("s", F.coalesce(F.col("s"), F.lit(0).cast("bigint")))
+            .select(
+                "doc_id",
+                (F.lit(150_000).cast("bigint") + F.expr("(85 * s) div 100")).alias("rank_ppm"),
+            )
+            .cache()  # cut lineage growth between iterations
+        )
+    return ranks
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """Min-label propagation over the UNDIRECTED link graph, fixed rounds.
+    Output (doc_id, component) where component = min doc_id reachable within
+    ``iterations`` hops (the full fixpoint for graphs whose diameter fits).
+    """
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
+    for _ in range(iterations):
+        neigh = (
+            und.join(labels, und["src"] == labels["doc_id"])
+            .groupBy("dst")
+            .agg(F.min("component").alias("n_min"))
+        )
+        labels = (
+            labels.join(neigh, labels["doc_id"] == neigh["dst"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .cache()
+        )
+    return labels
