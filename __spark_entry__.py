@@ -122,6 +122,29 @@ def q_crawl_fetch_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("url", F.col("p_url").isNotNull().alias("fetched"))
 
 
+def q_crawl_timeout_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 27: request-timeout simulation — corpus-present URLs whose
+    synthetic latency exceeds the reference's 10 s default are failures."""
+    from webcrawler_woc_spark.operators.fetch import fetch_join
+
+    docs = _docs(spark, sf_dir)
+    frontier = with_host(
+        with_url_hash(
+            docs.select(
+                F.concat(
+                    F.lit("http://host"),
+                    (F.col("doc_id") % 10).cast("string"),
+                    F.lit(".example/page/"),
+                    F.col("doc_id").cast("string"),
+                ).alias("url"),
+                F.lit(1.0).alias("priority"),
+            )
+        )
+    )
+    fetched = fetch_join(frontier, _pages(spark, sf_dir), timeout_ms=10_000)
+    return fetched.select("url", "fetched")
+
+
 def q_crawl_mime_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ops 6,10: fetch-time Content-Type derivation + exact-equality gate."""
     pages = _pages(spark, sf_dir)
@@ -507,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_extracted_text": q_crawl_extracted_text,
         "crawl_policy_routing": q_crawl_policy_routing,
         "crawl_fetch_failures": q_crawl_fetch_failures,
+        "crawl_timeout_failures": q_crawl_timeout_failures,
         "crawl_mime_gate": q_crawl_mime_gate,
         "crawl_bfs_depth3_seen": q_crawl_bfs_depth3_seen,
         "crawl_sitemap_discovery": q_crawl_sitemap_discovery,
@@ -586,6 +610,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM outlinks o JOIN extractable e USING (doc_id)
                 WHERE o.host IN {WL_SQL} AND o.link_type = 'Other'
             ) u
+        """,
+        "crawl_timeout_failures": """
+            WITH u AS (
+                SELECT 'http://host' || (doc_id % 10) || '.example/page/' || doc_id AS url
+                FROM documents
+            )
+            , h AS (
+                SELECT url,
+                       list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                               list_transform(string_split(url, ''), x -> CAST(ascii(x) AS BIGINT))),
+                           (acc, x) -> (acc * 31 + x) % 999999999999989
+                       ) % 1000003 AS m
+                FROM u
+            )
+            SELECT url, (m * m) % 19997 < 10000 AS fetched FROM h
         """,
         "crawl_mime_gate": f"""
             {_crawl_cte()}

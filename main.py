@@ -57,6 +57,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-o", "--output", default=None)
     ap.add_argument("--task-limit", type=int, default=1000)
     ap.add_argument("--host-budget", type=int, default=None)
+    ap.add_argument(
+        "--timeout", type=float, default=None,
+        help="request-timeout simulation in seconds (reference default 10; "
+             "omitted = no timeout gate)",
+    )
     ap.add_argument("--pages", required=True)
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--n-buckets", type=int, default=32)
@@ -82,6 +87,7 @@ def main(argv: list[str] | None = None) -> int:
         words=read_lines(args.search) or [],
         depth=args.depth,
         host_budget=args.host_budget,
+        timeout_ms=int(args.timeout * 1000) if args.timeout is not None else None,
         n_buckets=args.n_buckets,
         use_bloom=not args.no_bloom,
     )

@@ -45,6 +45,7 @@ def run_both(spark, pages, pages_dict, tmp, **kw):
         depth=kw.get("depth", 2),
         host_budget=kw.get("host_budget"),
         use_bloom=kw.get("use_bloom", True),
+        timeout_ms=kw.get("timeout_ms"),
     )
     wh = Warehouse(spark, tmp, n_buckets=8)
     crawl(spark, wh, pages, SEEDS, cfg)
@@ -56,6 +57,7 @@ def run_both(spark, pages, pages_dict, tmp, **kw):
         words=cfg.words,
         depth=cfg.depth,
         host_budget=cfg.host_budget,
+        timeout_ms=cfg.timeout_ms,
     )
     return wh, oracle
 
@@ -177,3 +179,47 @@ class TestNoDepthMode:
             assert engine_order == sorted(oracle.crawl_order)
             # sitemap-discovered urls (docs 0,10,20 on host0) must be seen
             assert "http://host0.example/page/10" in oracle.seen
+
+
+class TestTimeoutMode:
+    """Op 27: request-timeout simulation — engine and oracle must agree on
+    which matched pages time out, and timed-out pages must not be extracted."""
+
+    @pytest.fixture(scope="class")
+    def run(self, spark, pages, pages_dict):
+        with tempfile.TemporaryDirectory(prefix="wcw_e2e_timeout_") as tmp:
+            yield run_both(spark, pages, pages_dict, tmp, depth=3, timeout_ms=10_000)
+
+    def test_seen_and_order_match_oracle(self, run):
+        wh, oracle = run
+        assert {r["url"] for r in read_seen(wh).collect()} == oracle.seen
+        engine_order = sorted(
+            (r["wave"], r["host"], r["slot"], r["url"]) for r in read_crawl_order(wh).collect()
+        )
+        assert engine_order == sorted(oracle.crawl_order)
+
+    def test_timed_out_pages_have_no_text_or_metadata(self, run, pages_dict):
+        from webcrawler_woc_spark.oracle.pyoracle import _fetch_ms
+
+        wh, oracle = run
+        texts = {r["url"] for r in wh.read_waves("extracted_text").collect()}
+        links = {r["url"]: r for r in read_links_out(wh).filter(F.col("crawled")).collect()}
+        timed_out = {
+            u for u in links if u in pages_dict and _fetch_ms(u) >= 10_000
+        }
+        assert timed_out, "corpus must contain at least one timed-out URL"
+        for u in timed_out:
+            assert u not in texts  # body never read
+            assert links[u]["content_type"] is None  # failure row: no metadata
+
+    def test_timeout_changes_the_crawl(self, spark, pages, pages_dict):
+        # sanity: the gate actually alters the frontier vs no-timeout mode
+        with tempfile.TemporaryDirectory(prefix="wcw_e2e_notmo_") as tmp:
+            wh_plain, _ = run_both(spark, pages, pages_dict, tmp, depth=3)
+            seen_plain = {r["url"] for r in read_seen(wh_plain).collect()}
+        with tempfile.TemporaryDirectory(prefix="wcw_e2e_tmo_") as tmp:
+            wh_tmo, _ = run_both(
+                spark, pages, pages_dict, tmp, depth=3, timeout_ms=10_000
+            )
+            seen_tmo = {r["url"] for r in read_seen(wh_tmo).collect()}
+        assert seen_tmo != seen_plain

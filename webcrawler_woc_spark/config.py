@@ -25,6 +25,10 @@ class CrawlConfig:
       ``max(1, host_budget // crawl_delay)``.
     * ``n_buckets`` — url_hash bucket count for state-table partitioning.
     * ``use_bloom`` — Bloom prefilter ahead of the exact seen anti-join.
+    * ``timeout_ms`` — request-timeout simulation (reference cli.rs:34-35,
+      default 10 s): matched pages whose synthetic latency exceeds this are
+      fetch failures (op 27). ``None`` (default) disables the gate so fetch
+      success == corpus membership.
     """
 
     whitelist: list[str] | None = None
@@ -34,6 +38,7 @@ class CrawlConfig:
     host_budget: int | None = None
     n_buckets: int = 32
     use_bloom: bool = True
+    timeout_ms: int | None = None
     max_waves: int = 50  # safety bound for no-depth mode
     seed_priority: float = 1.0
     child_priority: float = 0.0

@@ -22,6 +22,29 @@ from pyspark.sql import functions as F
 from ..functions.udfs import host_udf
 
 
+FETCH_MS_MOD = 10**15 - 11  # same field as textstats.FINGERPRINT_MOD
+
+
+def synth_fetch_ms(url: Column) -> Column:
+    """Deterministic synthetic fetch latency in ms, 0..19999 (stands in for
+    the reference's per-request wall time; its 10 s default timeout is
+    cli.rs:34-35 applied at crawler.rs:14-20). Pure Catalyst AND exactly
+    SQL-expressible (no xxhash64 — DuckDB lacks it): the rolling polynomial
+    hash of textstats.fingerprints over the url chars, then a square-and-mod
+    mix — the raw rolling hash has NO avalanche (urls sharing a prefix land
+    in one contiguous block, so whole url families would share a timeout
+    fate); squaring makes neighbors jump ~2m apart mod a prime. All
+    intermediates < 2^63, engine-identical integer math."""
+    chars = F.filter(F.split(url, ""), lambda c: c != "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % FETCH_MS_MOD,
+    )
+    m = F.pmod(fp, F.lit(1_000_003))
+    return F.pmod(m * m, F.lit(19_997))
+
+
 def synth_ipv4(host: Column) -> Column:
     """Deterministic synthetic A record (stands in for links.rs:309-320).
 
@@ -65,6 +88,7 @@ def fetch_join(
     pages: DataFrame,
     content_type_expr=None,
     matched: DataFrame | None = None,
+    timeout_ms: int | None = None,
 ) -> DataFrame:
     """Simulated fetch of every frontier URL.
 
@@ -78,7 +102,11 @@ def fetch_join(
     * on success, content_type is derived from the url by
       ``content_type_expr`` (simulation rule, FIXTURES.md §1), headers is the
       simulated response header map, DNS columns are synthetic
-      (crawler.rs:219-224).
+      (crawler.rs:219-224);
+    * ``timeout_ms`` (op 27): a matched row whose synthetic latency
+      ``synth_fetch_ms(url)`` is >= timeout_ms is ALSO a fetch failure —
+      the reference's per-client request timeout (10 s default). None (the
+      default) disables the gate: success == corpus membership.
 
     ``matched`` lets the caller pass a CACHED ``fetch_matched`` result so the
     corpus is scanned exactly once per wave (every broadcast-exchange subplan
@@ -108,6 +136,15 @@ def fetch_join(
         "url", "url_hash", "host", "priority", "p_url", "html", "page_text"
     ).unionByName(failed)
     fetched = F.col("p_url").isNotNull()
+    if timeout_ms is not None:
+        # timed-out rows keep their frontier identity but lose the response
+        # (body never read, crawler.rs:209-216) — same shape as a miss
+        fetched = fetched & (synth_fetch_ms(F.col("url")) < F.lit(timeout_ms))
+        joined = joined.select(
+            "url", "url_hash", "host", "priority", "p_url",
+            F.when(fetched, F.col("html")).alias("html"),
+            F.when(fetched, F.col("page_text")).alias("page_text"),
+        )
     ct = F.when(fetched, content_type_expr(F.col("url")))
     headers = F.when(
         fetched,

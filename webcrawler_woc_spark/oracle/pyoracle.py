@@ -56,6 +56,15 @@ def _crawl_delays(pages: dict[str, bytes]) -> dict[str, int]:
     return delays
 
 
+def _fetch_ms(url: str) -> int:
+    """Python twin of operators/fetch.synth_fetch_ms (must match exactly)."""
+    acc = 0
+    for ch in url:
+        acc = (acc * 31 + ord(ch)) % (10**15 - 11)
+    m = acc % 1_000_003
+    return (m * m) % 19_997
+
+
 def crawl_oracle(
     pages: dict[str, bytes],
     seeds: list[tuple[str, float]],
@@ -67,6 +76,7 @@ def crawl_oracle(
     content_type_fn=None,
     child_priority: float = 0.0,
     max_waves: int = 50,
+    timeout_ms: int | None = None,
 ) -> OracleResult:
     if content_type_fn is None:
         from ..sources.corpus import default_content_type_py
@@ -114,6 +124,8 @@ def crawl_oracle(
         for host, slot, url in scheduled:
             res.seen.add(url)
             fetched = url in pages
+            if fetched and timeout_ms is not None and _fetch_ms(url) >= timeout_ms:
+                fetched = False  # timed out: body never read (crawler.rs:209-216)
             ct = content_type_fn(url) if fetched else None
             cw = False
             if fetched and ct in HTML_MIMES:

@@ -63,7 +63,9 @@ def run_wave(
     from ..operators.fetch import fetch_matched
 
     matched = fetch_matched(scheduled, pages).cache()
-    fetched = fetch_join(scheduled, pages, content_type_expr, matched=matched)
+    fetched = fetch_join(
+        scheduled, pages, content_type_expr, matched=matched, timeout_ms=cfg.timeout_ms
+    )
     gate = F.col("fetched") & F.col("content_type").isin(*HTML_MIMES)
     if cfg.words:
         words_udf = make_contains_words_udf(cfg.words)
@@ -101,6 +103,11 @@ def run_wave(
         .filter(F.col("content_type").isin(*HTML_MIMES))
         .select("url", "html")
     )
+    if cfg.timeout_ms is not None:
+        # timed-out fetches never have their body read (crawler.rs:209-216)
+        from ..operators.fetch import synth_fetch_ms
+
+        gated = gated.filter(synth_fetch_ms(F.col("url")) < F.lit(cfg.timeout_ms))
     children = extract_child_links(gated).select("url", "link_type")
     if extra_children is not None:
         children = children.unionByName(extra_children.select("url", "link_type"))
