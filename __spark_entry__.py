@@ -209,6 +209,34 @@ def q_crawl_robots_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_robots_crawl_delay(_pages(spark, sf_dir)).select("host", "crawl_delay")
 
 
+def q_crawl_disallow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots Disallow enforcement: a synthetic frontier mixing /page/ and
+    /private{h}/ paths, anti-joined against the parsed per-host Disallow
+    rules — only allowed URLs survive."""
+    from webcrawler_woc_spark.operators.fetch import with_host, with_url_hash
+    from webcrawler_woc_spark.operators.politeness import (
+        filter_disallowed,
+        parse_robots_disallow,
+    )
+
+    docs = _docs(spark, sf_dir)
+    h = (F.col("doc_id") % 10).cast("string")
+    url = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.lit("http://host"), h, F.lit(".example/private"), h,
+            F.lit("/doc/"), F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("http://host"), h, F.lit(".example/page/"), F.col("doc_id").cast("string")
+        )
+    )
+    frontier = with_host(with_url_hash(docs.select(url.alias("url"))))
+    disallow = parse_robots_disallow(_pages(spark, sf_dir))
+    return filter_disallowed(frontier, disallow).select("url")
+
+
 def q_crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The politeness scheduler itself (north-rule core): per-host slots under
     a robots-crawl-delay-derived budget; over-budget URLs deferred. Output is
@@ -537,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_word_scan": q_crawl_word_scan,
         "crawl_dns_enrichment": q_crawl_dns_enrichment,
         "crawl_robots_delay": q_crawl_robots_delay,
+        "crawl_disallow_filter": q_crawl_disallow_filter,
         "crawl_politeness_schedule": q_crawl_politeness_schedule,
         "rel_topk_per_group": q_rel_topk_per_group,
         "rel_anti_join": q_rel_anti_join,
@@ -675,6 +704,26 @@ def oracle_sql() -> dict[str, str]:
                        || 'Sitemap: http://host' || h || '.example/sitemap0.txt' || chr(10),
                        'Crawl-delay:\\s*(\\d+)', 1) AS INT) AS crawl_delay
             FROM range(10) t(h)
+        """,
+        "crawl_disallow_filter": """
+            WITH u AS (
+                SELECT CASE WHEN doc_id % 4 = 0
+                    THEN 'http://host' || (doc_id % 10) || '.example/private'
+                         || (doc_id % 10) || '/doc/' || doc_id
+                    ELSE 'http://host' || (doc_id % 10) || '.example/page/' || doc_id
+                END AS url
+                FROM documents
+            ),
+            d AS (
+                SELECT 'host' || h || '.example' AS host, '/private' || h AS prefix
+                FROM range(10) t(h)
+            )
+            SELECT u.url FROM u
+            WHERE NOT EXISTS (
+                SELECT 1 FROM d
+                WHERE d.host = regexp_extract(u.url, '^https?://([^/?#]+)', 1)
+                  AND starts_with(regexp_extract(u.url, '^https?://[^/?#]+([^?#]*)', 1), d.prefix)
+            )
         """,
         "crawl_politeness_schedule": """
             WITH frontier AS (

@@ -62,6 +62,10 @@ def main(argv: list[str] | None = None) -> int:
         help="request-timeout simulation in seconds (reference default 10; "
              "omitted = no timeout gate)",
     )
+    ap.add_argument(
+        "--respect-disallow", action="store_true",
+        help="enforce robots.txt Disallow rules on the frontier",
+    )
     ap.add_argument("--pages", required=True)
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--n-buckets", type=int, default=32)
@@ -88,6 +92,7 @@ def main(argv: list[str] | None = None) -> int:
         depth=args.depth,
         host_budget=args.host_budget,
         timeout_ms=int(args.timeout * 1000) if args.timeout is not None else None,
+        respect_disallow=args.respect_disallow,
         n_buckets=args.n_buckets,
         use_bloom=not args.no_bloom,
     )

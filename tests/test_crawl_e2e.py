@@ -223,3 +223,63 @@ class TestTimeoutMode:
             )
             seen_tmo = {r["url"] for r in read_seen(wh_tmo).collect()}
         assert seen_tmo != seen_plain
+
+
+class TestRobotsDisallow:
+    """Opt-in robots Disallow gate: a linked /private page must never be
+    scheduled when respect_disallow=True; engine == oracle either way."""
+
+    @pytest.fixture(scope="class")
+    def tiny(self, spark):
+        def page(body):
+            return f"<html><body>{body}</body></html>".encode()
+
+        pages_dict = {
+            "http://h0.example/robots.txt": b"User-agent: *\nDisallow: /private\n",
+            "http://h0.example/page/0": page(
+                '<a href="/private/secret">s</a><a href="/page/1">a</a>'
+            ),
+            "http://h0.example/page/1": page("leaf"),
+            "http://h0.example/private/secret": page('<a href="/page/2">hidden</a>'),
+            "http://h0.example/page/2": page("reachable only via private"),
+        }
+        rows = [(u, b, b.decode()) for u, b in pages_dict.items()]
+        pages = spark.createDataFrame(rows, "url string, html binary, text string")
+        return pages, pages_dict
+
+    def _ct(self, url):
+        return "text/plain" if url.endswith("robots.txt") else "text/html"
+
+    def _run(self, spark, tiny, tmp, respect):
+        from pyspark.sql import functions as F
+
+        pages, pages_dict = tiny
+        ct_expr = lambda url: F.when(
+            url.endswith("robots.txt"), F.lit("text/plain")
+        ).otherwise(F.lit("text/html"))
+        cfg = CrawlConfig(
+            whitelist=["h0.example"], depth=3, respect_disallow=respect, use_bloom=True
+        )
+        wh = Warehouse(spark, tmp, n_buckets=4)
+        crawl(spark, wh, pages, [("http://h0.example/page/0", 1.0)], cfg,
+              content_type_expr=ct_expr)
+        oracle = crawl_oracle(
+            pages_dict, [("http://h0.example/page/0", 1.0)],
+            whitelist=cfg.whitelist, depth=cfg.depth, content_type_fn=self._ct,
+            respect_disallow=respect,
+        )
+        return {r["url"] for r in read_seen(wh).collect()}, oracle.seen
+
+    def test_disallow_blocks_private_subtree(self, spark, tiny):
+        with tempfile.TemporaryDirectory() as tmp:
+            engine, oracle = self._run(spark, tiny, tmp, respect=True)
+        assert engine == oracle
+        assert "http://h0.example/private/secret" not in engine
+        assert "http://h0.example/page/2" not in engine  # only linked via private
+
+    def test_without_flag_private_is_crawled(self, spark, tiny):
+        with tempfile.TemporaryDirectory() as tmp:
+            engine, oracle = self._run(spark, tiny, tmp, respect=False)
+        assert engine == oracle
+        assert "http://h0.example/private/secret" in engine
+        assert "http://h0.example/page/2" in engine

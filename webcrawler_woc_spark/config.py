@@ -39,6 +39,10 @@ class CrawlConfig:
     n_buckets: int = 32
     use_bloom: bool = True
     timeout_ms: int | None = None
+    # enforce robots.txt Disallow rules: frontier URLs whose path starts with
+    # a disallowed prefix for their host are never scheduled (north-rule
+    # politeness extension; the reference ignores Disallow entirely)
+    respect_disallow: bool = False
     max_waves: int = 50  # safety bound for no-depth mode
     seed_priority: float = 1.0
     child_priority: float = 0.0

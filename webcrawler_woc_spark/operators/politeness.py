@@ -51,6 +51,41 @@ def parse_robots_crawl_delay(pages: DataFrame) -> DataFrame:
     )
 
 
+def parse_robots_disallow(pages: DataFrame) -> DataFrame:
+    """robots cache, Disallow side: (host, prefix) rows from every
+    ``Disallow: <path>`` line of the corpus /robots.txt pages. Pure Catalyst
+    (explode over split lines + regexp); result is tiny and broadcast into
+    the frontier filter."""
+    robots = pages.filter(F.col("url").endswith("/robots.txt")).select(
+        F.regexp_extract(F.col("url"), r"^https?://([^/]+)/robots\.txt$", 1).alias("host"),
+        F.explode(F.split(F.col("text"), "\n")).alias("line"),
+    )
+    return (
+        robots.select(
+            "host",
+            F.regexp_extract(F.col("line"), r"^Disallow:\s*(\S+)", 1).alias("prefix"),
+        )
+        .filter((F.col("prefix") != "") & (F.col("host") != ""))
+        .distinct()
+    )
+
+
+def url_path(url) -> "F.Column":
+    """Path component of a canonical url ('' when absent)."""
+    return F.regexp_extract(url, r"^https?://[^/?#]+([^?#]*)", 1)
+
+
+def filter_disallowed(frontier: DataFrame, disallow: DataFrame) -> DataFrame:
+    """Frontier minus robots-disallowed URLs: a broadcast LEFT ANTI join on
+    (same host AND path startswith prefix) — the disallow table is per-host
+    tiny, the frontier is never shuffled."""
+    d = F.broadcast(disallow.select(F.col("host").alias("d_host"), F.col("prefix")))
+    cond = (F.col("host") == F.col("d_host")) & F.startswith(
+        url_path(F.col("url")), F.col("prefix")
+    )
+    return frontier.join(d, cond, "left_anti")
+
+
 def schedule_wave(
     frontier: DataFrame,
     robots: DataFrame | None,

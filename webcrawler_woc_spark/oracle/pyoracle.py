@@ -56,6 +56,29 @@ def _crawl_delays(pages: dict[str, bytes]) -> dict[str, int]:
     return delays
 
 
+def _disallow_rules(pages: dict[str, bytes]) -> dict[str, list[str]]:
+    """(host -> [path prefixes]) from every Disallow line of /robots.txt."""
+    rules: dict[str, list[str]] = {}
+    for url, body in pages.items():
+        if url.endswith("/robots.txt"):
+            host = host_of(url)
+            if host:
+                for m in re.finditer(r"(?m)^Disallow:\s*(\S+)", body.decode("utf-8", "replace")):
+                    rules.setdefault(host, []).append(m.group(1))
+    return rules
+
+
+def _url_path(url: str) -> str:
+    m = re.match(r"^https?://[^/?#]+([^?#]*)", url)
+    return m.group(1) if m else ""
+
+
+def _is_disallowed(url: str, rules: dict[str, list[str]]) -> bool:
+    host = host_of(url)
+    path = _url_path(url)
+    return any(path.startswith(p) for p in rules.get(host, ()))
+
+
 def _fetch_ms(url: str) -> int:
     """Python twin of operators/fetch.synth_fetch_ms (must match exactly)."""
     acc = 0
@@ -77,6 +100,7 @@ def crawl_oracle(
     child_priority: float = 0.0,
     max_waves: int = 50,
     timeout_ms: int | None = None,
+    respect_disallow: bool = False,
 ) -> OracleResult:
     if content_type_fn is None:
         from ..sources.corpus import default_content_type_py
@@ -86,6 +110,7 @@ def crawl_oracle(
     wl = set(whitelist) if whitelist is not None else None
     bl = set(blacklist) if blacklist is not None else None
     delays = _crawl_delays(pages) if host_budget is not None else {}
+    disallow = _disallow_rules(pages) if respect_disallow else {}
 
     res = OracleResult()
     frontier: dict[str, float] = {}
@@ -100,6 +125,12 @@ def crawl_oracle(
             break
         if depth is None and (not frontier or wave >= max_waves):
             break
+
+        # robots Disallow gate (opt-in; mirrors plans/wave.py)
+        if disallow:
+            frontier = {
+                u: p for u, p in frontier.items() if not _is_disallowed(u, disallow)
+            }
 
         # politeness schedule: per-host (priority DESC, url ASC), slot <= budget
         by_host: dict[str | None, list[str]] = {}

@@ -61,6 +61,11 @@ def crawl(
     robots = None
     if cfg.host_budget is not None:
         robots = parse_robots_crawl_delay(pages).cache()
+    disallow = None
+    if cfg.respect_disallow:
+        from ..operators.politeness import parse_robots_disallow
+
+        disallow = parse_robots_disallow(pages).cache()
 
     bloom = wh.load_bloom() if cfg.use_bloom else None
     seed_urls = [u for u, _ in seeds]
@@ -71,7 +76,7 @@ def crawl(
         for wave in range(start_wave, cfg.depth):
             # depth mode never consults sitemaps (crawler.rs:30-31)
             counts = run_wave(
-                spark, wh, pages, wave, cfg, bloom, robots, None, content_type_expr
+                spark, wh, pages, wave, cfg, bloom, robots, None, content_type_expr, disallow
             )
             bloom = wh.load_bloom() if cfg.use_bloom else None
             summary["waves"] += 1
@@ -91,7 +96,7 @@ def crawl(
                 break
             extra = sitemap_children(spark, pages, seed_urls) if wave == 0 else None
             counts = run_wave(
-                spark, wh, pages, wave, cfg, bloom, robots, extra, content_type_expr
+                spark, wh, pages, wave, cfg, bloom, robots, extra, content_type_expr, disallow
             )
             bloom = wh.load_bloom() if cfg.use_bloom else None
             summary["waves"] += 1

@@ -43,12 +43,20 @@ def run_wave(
     robots: DataFrame | None = None,
     extra_children: DataFrame | None = None,
     content_type_expr=None,
+    disallow: DataFrame | None = None,
 ) -> dict:
     """Execute wave `wave`; commit all outputs; return counts."""
     t0 = time.time()
     frontier = wh.read_frontier(wave)
     if frontier is None:
         raise RuntimeError(f"no frontier for wave {wave}")
+
+    # -- robots Disallow gate (opt-in politeness extension; the disallow
+    # cache is parsed once per crawl by the driver, not per wave) ------------
+    if disallow is not None:
+        from ..operators.politeness import filter_disallowed
+
+        frontier = filter_disallowed(frontier, disallow)
 
     # -- politeness schedule (defines deterministic crawl order) ------------
     scheduled, deferred = schedule_wave(frontier, robots, cfg.host_budget)

@@ -172,7 +172,11 @@ def default_content_type_expr(url: Column) -> Column:
     (FIXTURES.md §1): *.txt -> text/plain; doc_id%100<5 -> charset=utf-8;
     doc_id%100 in (5,6) -> charset=iso-8859-1 (fails the exact MIME gate);
     else text/html."""
-    doc_id = F.regexp_extract(url, r"/page/(\d+)$", 1).cast("bigint")
+    # guarded cast: non-/page/ urls extract '' and a bare ANSI cast of ''
+    # THROWS under Spark 4 — the CASE branch keeps the cast unevaluated
+    # until the match is known non-empty (python twin returns text/html)
+    d = F.regexp_extract(url, r"/page/(\d+)$", 1)
+    doc_id = F.when(d != "", d.cast("bigint"))
     return (
         F.when(url.endswith(".txt"), F.lit("text/plain"))
         .when(doc_id % 100 < 5, F.lit("text/html; charset=utf-8"))
