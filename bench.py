@@ -112,7 +112,10 @@ def main():
     t0 = time.time()
     bench_wave_kernel(spark, pages)  # warm-up: Python UDF workers + codegen
 
-    crawl_res = bench_crawl_depth3(spark, pages)
+    # this VM shows bursty co-tenant noise (identical crawls swing 3x
+    # back-to-back); run twice, report the min, disclose both
+    crawl_runs = [bench_crawl_depth3(spark, pages) for _ in range(2)]
+    crawl_res = min(crawl_runs, key=lambda r: r["sec"])
     queries["crawl_depth3"] = round(crawl_res["sec"], 3)
 
     for name in (
@@ -153,6 +156,7 @@ def main():
         "wave_kernel_urls": kern["urls"],
         "wave_kernel_urls_per_sec": round(kern["urls"] / max(kern["sec"], 1e-9), 1),
         "crawl_scheduled": crawl_res["scheduled"],
+        "crawl_depth3_runs": [round(r["sec"], 3) for r in crawl_runs],
         "cpus": cpus,
     }
     print(json.dumps(out))
