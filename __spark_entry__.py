@@ -495,6 +495,30 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data ops composed into the real use-case: corpus
+    curation. Keep documents that (1) language-identify as 'en', (2) pass
+    the quality gate (quality_ppm >= 500000), (3) survive exact dedup
+    (min-doc_id representative per identical text). Output the curated
+    (doc_id, n_tokens, quality_ppm) — one Catalyst plan end to end."""
+    from webcrawler_woc_spark.operators.textstats import lang_id, quality_scores
+
+    docs = _docs(spark, sf_dir)
+    lang = lang_id(docs).filter(F.col("lang_pred") == "en").select("doc_id")
+    qual = quality_scores(docs).filter(F.col("quality_ppm") >= 500_000).select(
+        "doc_id", "n_tokens", "quality_ppm"
+    )
+    # exact-dedup keep-first: a doc survives iff it is its cluster's min id
+    reps = (
+        docs.groupBy(F.xxhash64("text").alias("h"), F.col("text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return qual.join(lang, "doc_id").join(reps, "doc_id").select(
+        "doc_id", "n_tokens", "quality_ppm"
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_woc_spark.operators.multimodal import media_features, synth_media
 
@@ -589,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "pipeline_curate": q_pipeline_curate,
         "multimodal_features": q_multimodal_features,
         "stream_dedup_exactly_once": q_stream_dedup_exactly_once,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -940,6 +965,32 @@ def oracle_sql() -> dict[str, str]:
                        (acc, x) -> (acc * 31 + x) % 999999999999989
                    ) AS fingerprint
             FROM documents
+        """,
+        "pipeline_curate": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len({TOKENS_SQL}) AS INT) AS n_tokens,
+                       CAST(length(text) AS INT) AS text_len,
+                       CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INT)
+                           AS punct_chars,
+                       CAST(len(list_filter({TOKENS_SQL}, x -> x IN {EN})) AS INT) AS stop_hits
+                FROM documents
+            ),
+            q AS (
+                SELECT doc_id, n_tokens,
+                       CAST(floor(((least(n_tokens / 100.0, 1.0) * 0.5)
+                            + ((1.0 - least(punct_chars * 10.0 / greatest(text_len, 1), 1.0)) * 0.25)
+                            + (least(stop_hits * 5.0 / greatest(n_tokens, 1), 1.0) * 0.25))
+                            * 1000000.0) AS BIGINT) AS quality_ppm
+                FROM t
+            ),
+            lang AS (
+                SELECT doc_id FROM ({_lang_id_sql()}) WHERE lang_pred = 'en'
+            ),
+            reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+            SELECT q.doc_id, q.n_tokens, q.quality_ppm
+            FROM q JOIN lang USING (doc_id) JOIN reps USING (doc_id)
+            WHERE q.quality_ppm >= 500000
         """,
         "multimodal_features": """
             SELECT doc_id,
