@@ -471,6 +471,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(_emb(spark, sf_dir), dim=64, n_queries=10, k=5, n_planes=8)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_woc_spark.operators.similarity import ivf_ann_topk
+
+    return ivf_ann_topk(_emb(spark, sf_dir), n_lists=16, n_queries=10, k=5, nprobe=2)
+
+
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_woc_spark.operators.textstats import token_counts
 
@@ -609,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -909,6 +916,43 @@ def oracle_sql() -> dict[str, str]:
               AND floor(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v))
                            * sqrt(list_dot_product(b.v, b.v))) * 1000000) >= 300000
+        """,
+        "ann_ivf_topk": """
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 16),
+            scored AS (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           CAST(floor(list_dot_product(e.v, c.cv)
+                                / (sqrt(list_dot_product(e.v, e.v))
+                                   * sqrt(list_dot_product(c.cv, c.cv))) * 1000000) AS BIGINT)
+                               DESC, c.cid ASC) AS r
+                FROM emb e, cents c
+            ),
+            assign AS (SELECT vec_id, cid FROM scored WHERE r <= 1),
+            probes AS (SELECT vec_id AS query_id, cid FROM scored WHERE r <= 2 AND vec_id < 10),
+            cand AS (
+                SELECT p.query_id, a.vec_id AS neighbor_id
+                FROM probes p JOIN assign a USING (cid)
+                WHERE a.vec_id <> p.query_id
+            ),
+            sims AS (
+                SELECT c.query_id, c.neighbor_id,
+                       CAST(floor(list_dot_product(q.v, n.v)
+                            / (sqrt(list_dot_product(q.v, q.v))
+                               * sqrt(list_dot_product(n.v, n.v))) * 1000000) AS BIGINT)
+                           AS sim_ppm
+                FROM cand c
+                JOIN emb q ON q.vec_id = c.query_id
+                JOIN emb n ON n.vec_id = c.neighbor_id
+            )
+            SELECT query_id, neighbor_id, sim_ppm, CAST(rank AS INT) AS rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY sim_ppm DESC, neighbor_id ASC) AS rank
+                FROM sims
+            ) WHERE rank <= 5
         """,
         "ann_lsh_topk": f"""
             WITH emb AS (

@@ -23,10 +23,12 @@ SMJ_OK = {
     "dedup_embedding_cosine",
     "graph_pagerank",
     "graph_components",
+    "ann_ivf_topk",  # probes ⋈ inverted-file: the file is corpus-sized
 }
 # BNLJ allowlist: the exact cosine baseline broadcasts the tiny query set
-# into a crossJoin by design.
-BNLJ_OK = {"ann_cosine_topk"}
+# into a crossJoin by design; IVF broadcasts the tiny centroid table into
+# the assignment crossJoin.
+BNLJ_OK = {"ann_cosine_topk", "ann_ivf_topk"}
 # streaming queries execute a StreamingQuery, not a single batch plan
 SKIP = {"stream_dedup_exactly_once"}
 

@@ -73,6 +73,78 @@ def lsh_signature(emb_col, dim: int, n_planes: int = 8):
     return sig
 
 
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: an inverted file over a coarse quantizer.
+
+    Deterministic (oracle-checkable) IVF: the coarse centroids are the first
+    ``n_lists`` corpus vectors (a fixed 'training sample' — real deployments
+    would k-means these, whose float iterations are not reproducible across
+    engines); every vector is assigned to its single nearest centroid by
+    exact ppm cosine (ties -> lowest centroid id); a query probes its
+    ``nprobe`` nearest lists. At 10^9 vectors the scan per query drops from
+    N to ~nprobe*N/n_lists; the centroid table is broadcast, the corpus is
+    scanned once to build the assignment.
+
+    Output (query_id, neighbor_id, sim_ppm, rank) — same contract as
+    cosine_topk/lsh_ann_topk, recall < 1 by design.
+    """
+    emb = embeddings.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def top_lists(side: DataFrame, id_col: str, keep: int) -> DataFrame:
+        cos = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+        scored = side.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col),
+            F.col("cid"),
+            F.floor(cos * 1000000).cast("bigint").alias("c_ppm"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("c_ppm"), F.asc("cid"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= keep)
+            .select(id_col, "cid")
+        )
+
+    assign = top_lists(emb, "vec_id", 1)  # the inverted file: one list per vector
+    probes = top_lists(
+        emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("v")
+        ),
+        "query_id",
+        nprobe,
+    )
+    cand = (
+        probes.join(assign, "cid")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    cos = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
+    sims = (
+        cand.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .select("query_id", "neighbor_id", F.floor(cos * 1000000).cast("bigint").alias("sim_ppm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_ppm"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim_ppm", "rank")
+    )
+
+
 def embedding_cosine_dups(
     embeddings: DataFrame, dim: int, n_planes: int = 8, threshold_ppm: int = 300000
 ) -> DataFrame:
