@@ -401,9 +401,11 @@ def q_rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).alias("session_no"),
     )
+    # session bounds as epoch seconds (BIGINT): timestamp columns hash
+    # differently across the driver's Spark-vs-DuckDB Arrow export
     return sessioned.groupBy("user_id", "session_no").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.min(epoch).alias("session_start"),
+        F.max(epoch).alias("session_end"),
         F.count("*").alias("n_events"),
     )
 
@@ -791,14 +793,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rel_agg_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_price_cents,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "rel_star_join": """
             SELECT r_name, count(*) AS n_orders,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_price_cents
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -819,10 +823,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rel_running_window": """
             SELECT event_id, user_id,
-                   sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS run_cents
+                   ) AS BIGINT) AS run_cents
             FROM events
         """,
         "graph_pagerank": _pagerank_sql(3),
@@ -830,28 +834,30 @@ def oracle_sql() -> dict[str, str]:
         "rel_sessionize": """
             WITH gaps AS (
                 SELECT user_id, ts, event_id,
-                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
-                              OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                       CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w IS NULL
+                              OR floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800
                             THEN 1 ELSE 0 END AS new_sess
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
             ),
             sess AS (
                 SELECT user_id, ts,
-                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                           AS session_no
+                       CAST(sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS session_no
                 FROM gaps
             )
-            SELECT user_id, session_no,
-                   min(ts) AS session_start, max(ts) AS session_end,
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                   CAST(floor(min(epoch(ts))) AS BIGINT) AS session_start,
+                   CAST(floor(max(epoch(ts))) AS BIGINT) AS session_end,
                    count(*) AS n_events
             FROM sess GROUP BY user_id, session_no
         """,
         "rel_broadcast_dim_join": """
             SELECT p.p_brand,
-                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
-                       AS revenue_cents,
+                   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents,
                    count(*) AS n_items
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand

@@ -65,7 +65,13 @@ def main():
         try:
             rel = con.sql(oracles[name])
             duck_cols = rel.columns
-            duck_rows = rel.fetchall()
+            # Fetch via Arrow (like the driver): DuckDB HUGEINT surfaces as
+            # decimal128, so an un-cast sum() mismatches Spark's int64 here
+            # even though fetchall() would return plain Python ints.
+            tbl = rel.arrow()
+            duck_rows = [
+                tuple(d[c] for c in duck_cols) for d in tbl.to_pylist()
+            ]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error {e}")
