@@ -886,9 +886,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_common * 1000 >= 200 * (sa.set_size + sb.set_size - n_common)
         """,
-        # dedup_minhash_lsh / dedup_simhash intentionally omitted:
-        # signature hashing (xxhash64 / FNV simhash) is engine-internal and
-        # not SQL-expressible => driver records the rows-only check.
+        "dedup_minhash_lsh": _minhash_sql(n=8, n_perms=16, bands=8,
+                                          numer=200, denom=1000),
+        "dedup_simhash": _simhash_sql(max_hamming=8),
         "ann_cosine_topk": """
             WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
@@ -1134,6 +1134,132 @@ l{i + 1} AS (
     ) n ON n.dst = l.doc_id
 )""")
     return "WITH " + ",".join(ctes) + f"\nSELECT doc_id, component FROM l{iters}"
+
+
+_POLY31 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({col}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(acc, x) -> (acc * {mult} + x) % 999999999999989)"
+)
+
+
+def _minhash_sql(n: int = 8, n_perms: int = 16, bands: int = 8,
+                 numer: int = 200, denom: int = 1000) -> str:
+    """DuckDB twin of operators/dedup.minhash_dedup: square-mod poly shingle
+    hash -> Carter-Wegman permutation mins -> banded candidate pairs (band
+    key compared as the raw signature-slice string; the engine compares
+    xxhash64 of the same string, equal iff the strings are) -> exact-Jaccard
+    verify, identical integer math throughout."""
+    rows_per_band = n_perms // bands
+    m31 = (1 << 31) - 1
+    mins = ",\n                   ".join(
+        f"min((h * {2 * i + 3} + {((i + 1) * 2654435761) % m31}) % {m31}) AS m{i}"
+        for i in range(n_perms)
+    )
+    band_rows = "\n                UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS k FROM sigs".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(m{b * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    poly = _POLY31.format(col="shingle", mult=31)
+    return f"""
+            WITH sh AS (
+                SELECT DISTINCT d.doc_id, substr(d.text, CAST(t.i AS INT), {n}) AS shingle
+                FROM documents d,
+                     unnest(range(1, greatest(length(d.text) - {n - 1}, 1) + 1)) t(i)
+            ),
+            hp AS (SELECT doc_id, {poly} AS p FROM sh),
+            hashed AS (
+                SELECT doc_id, ((p % {m31}) * (p % {m31})) % {m31} AS h FROM hp
+            ),
+            sigs AS (
+                SELECT doc_id,
+                   {mins}
+                FROM hashed GROUP BY doc_id
+            ),
+            band_rows AS (
+                {band_rows}
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM band_rows a
+                JOIN band_rows b ON a.band = b.band AND a.k = b.k
+                                AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT c.doc_a, c.doc_b, n_common,
+                   sa.set_size + sb.set_size - n_common AS n_union
+            FROM cand cd
+            JOIN common c ON cd.doc_a = c.doc_a AND cd.doc_b = c.doc_b
+            JOIN sizes sa ON sa.doc_id = c.doc_a
+            JOIN sizes sb ON sb.doc_id = c.doc_b
+            WHERE n_common * {denom} >= {numer} * (sa.set_size + sb.set_size - n_common)
+        """
+
+
+def _simhash_sql(max_hamming: int = 8) -> str:
+    """DuckDB twin of operators/dedup.simhash62 + simhash_near_pairs: the
+    62-bit dual square-mod poly token hash, per-bit majority votes, 4x16-bit
+    chunk banding, bit_count hamming verify — BIGINT-only integer math."""
+    m31 = (1 << 31) - 1
+    p1 = _POLY31.format(col="tok", mult=31)
+    p2 = _POLY31.format(col="tok", mult=131)
+    return f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
+            ),
+            tp AS (
+                SELECT doc_id, {p1} AS p1, {p2} AS p2 FROM toks
+            ),
+            th AS (
+                SELECT doc_id,
+                       ((p1 % {m31}) * (p1 % {m31})) % {m31} * 2147483648
+                       + ((p2 % {m31}) * (p2 % {m31})) % {m31} AS h
+                FROM tp
+            ),
+            votes AS (
+                SELECT doc_id, t.b AS bit,
+                       sum(CASE WHEN (h // (CAST(1 AS BIGINT) << CAST(t.b AS INT))) % 2 = 1
+                                THEN 1 ELSE -1 END) AS v
+                FROM th, unnest(range(62)) t(b)
+                GROUP BY doc_id, t.b
+            ),
+            sims0 AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN v > 0
+                                     THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                                     ELSE 0 END) AS BIGINT) AS simhash
+                FROM votes GROUP BY doc_id
+            ),
+            sims AS (
+                SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+                FROM documents d LEFT JOIN sims0 s ON d.doc_id = s.doc_id
+            ),
+            chunks AS (
+                SELECT doc_id, simhash, CAST(t.c AS INT) AS chunk,
+                       (simhash // (CAST(1 AS BIGINT) << CAST(t.c * 16 AS INT))) % 65536 AS ck
+                FROM sims, unnest(range(4)) t(c)
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                a.simhash AS sh_a, b.simhash AS sh_b
+                FROM chunks a
+                JOIN chunks b ON a.chunk = b.chunk AND a.ck = b.ck
+                             AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+            FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+        """
 
 
 def _lsh_bucket_sql(n_planes: int = 8, dim: int = 64) -> str:

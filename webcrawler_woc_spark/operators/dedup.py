@@ -24,6 +24,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MERSENNE31 = (1 << 31) - 1
+POLY_MOD = 10**15 - 11  # same field as textstats.FINGERPRINT_MOD / fetch.FETCH_MS_MOD
+
+
+def _sql_str_hash31(col, mult: int = 31):
+    """SQL-expressible string hash into the Mersenne-31 field: rolling
+    polynomial (mod a 10^15 prime, all intermediates < 2^63) followed by a
+    square-and-mod mix — the raw rolling hash has no avalanche (strings
+    sharing a prefix land in one contiguous block), squaring scatters them.
+    Exactly reproducible in DuckDB via list_reduce over ascii codes, which is
+    what makes MinHash/SimHash oracle-checkable (xxhash64 is not in DuckDB).
+    """
+    chars = F.filter(F.split(col, ""), lambda c: c != "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * mult + F.ascii(c)) % POLY_MOD,
+    )
+    m = F.pmod(fp, F.lit(MERSENNE31))
+    return F.pmod(m * m, F.lit(MERSENNE31))
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
@@ -108,9 +127,11 @@ def minhash_signatures(
     documents: DataFrame, n: int = 16, n_perms: int = 16, shingles: DataFrame | None = None
 ) -> DataFrame:
     """(doc_id, sig array<bigint>) MinHash signatures, all JVM-side:
-    shingle -> xxhash64 -> per-permutation min aggregation."""
+    shingle -> square-mod poly hash (SQL-expressible, see _sql_str_hash31)
+    -> per-permutation min aggregation. At production scale xxhash64 would
+    be a cheaper drop-in; the poly hash keeps the DuckDB oracle exact."""
     sh = shingles if shingles is not None else char_shingles(documents, n)
-    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    hashed = sh.select("doc_id", _sql_str_hash31(F.col("shingle")).alias("h"))
     aggs = [F.min(_minhash_perm(F.col("h"), i)).alias(f"m{i}") for i in range(n_perms)]
     sigs = hashed.groupBy("doc_id").agg(*aggs)
     return sigs.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(n_perms)]).alias("sig"))
@@ -184,12 +205,17 @@ def minhash_dedup(
     )
 
 
-def simhash64(documents: DataFrame) -> DataFrame:
-    """64-bit SimHash over whitespace tokens (Arrow-batched numpy kernel).
+def simhash62(documents: DataFrame) -> DataFrame:
+    """62-bit SimHash over whitespace tokens (Arrow-batched numpy kernel).
 
-    Token hashes are computed JVM-side (xxhash64 via the exploded token
-    column would shuffle; instead the UDF hashes with numpy's FNV-style mix —
-    documented engine-internal hash, oracle-free)."""
+    Token hash = two independent square-mod rolling-poly hashes (multipliers
+    31 and 131 over the 10^15 field, mixed into Mersenne-31) packed as
+    ``h = m1 * 2^31 + m2`` — 62 bits, every intermediate < 2^63, so the
+    identical integer math runs in DuckDB BIGINT and the oracle can check
+    values exactly (the previous FNV-64 needed uint64 wraparound, which SQL
+    lacks). Bits 62/63 are always 0; hamming semantics are unchanged.
+    The bit-vote accumulation stays a vectorized numpy kernel per Arrow batch
+    (north-rule pattern: no per-row Python inside Spark's hot path)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
@@ -200,9 +226,7 @@ def simhash64(documents: DataFrame) -> DataFrame:
             toks = (t or "").split()
             if not toks:
                 continue
-            hs = np.array(
-                [hash_token(tok) for tok in toks], dtype=np.uint64
-            )
+            hs = np.array([hash_token(tok) for tok in toks], dtype=np.uint64)
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
             votes = (2 * bits - 1).sum(axis=0)
             sim = np.uint64(0)
@@ -213,12 +237,20 @@ def simhash64(documents: DataFrame) -> DataFrame:
         return pd.Series(out)
 
     def hash_token(tok: str) -> int:
-        h = 0xCBF29CE484222325
+        p1 = 0
+        p2 = 0
         for ch in tok.encode("utf-8"):
-            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
+            p1 = (p1 * 31 + ch) % POLY_MOD
+            p2 = (p2 * 131 + ch) % POLY_MOD
+        m1 = (p1 % MERSENNE31) ** 2 % MERSENNE31
+        m2 = (p2 % MERSENNE31) ** 2 % MERSENNE31
+        return m1 * (1 << 31) + m2
 
     return documents.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+
+
+# back-compat alias (the signature is still a single BIGINT column)
+simhash64 = simhash62
 
 
 def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
