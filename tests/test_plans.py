@@ -44,6 +44,28 @@ class TestFetchJoinPlan:
         assert_no_sort_merge_join(fetched)
         assert "Exchange hashpartitioning" not in plan.split("Scan parquet")[0] or True
 
+    def test_large_frontier_switches_off_broadcast(self, spark, pages_path, frontier):
+        # size-conditional broadcast: a frontier the manifest reports as huge
+        # (unbudgeted wave out-degree) must NOT be broadcast — the plan falls
+        # back to a shuffle join so the driver/executors can't OOM at scale.
+        pages = spark.read.parquet(pages_path)
+        fetched = fetch_join(frontier, pages, frontier_rows=10_000_000)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            assert "BroadcastExchange" not in physical_plan(fetched)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        # and results are identical to the broadcast path
+        small = {tuple(r) for r in fetch_join(frontier, pages).select("url", "fetched").collect()}
+        large = {tuple(r) for r in fetched.select("url", "fetched").collect()}
+        assert small == large
+
+    def test_small_frontier_keeps_broadcast(self, spark, pages_path, frontier):
+        pages = spark.read.parquet(pages_path)
+        fetched = fetch_join(frontier, pages, frontier_rows=5)
+        assert_broadcast_join(fetched, count=2)
+
     def test_corpus_scan_prunes_columns(self, spark, pages_path, frontier):
         pages = spark.read.parquet(pages_path)
         fetched = fetch_join(frontier, pages).select("url", "fetched")
@@ -62,6 +84,27 @@ class TestAntiJoinPlan:
         out = anti_join_scan(small, big, ["url_hash", "url"])
         plan = assert_broadcast_join(out, count=2)
         assert_no_sort_merge_join(out)
+
+    def test_large_small_side_switches_off_broadcast(self, spark, pages_path):
+        # above BROADCAST_MAX_ROWS the anti-join must not broadcast anything —
+        # plain shuffled left-anti is the OOM-safe fallback
+        big = spark.read.parquet(pages_path).select(
+            F.xxhash64("url").alias("url_hash"), F.col("url")
+        )
+        small = big.limit(10)
+        out = anti_join_scan(small, big, ["url_hash", "url"], small_rows=10_000_000)
+        # Catalyst may still auto-broadcast from real size stats (correct at
+        # scale: a huge side has huge stats); what must be gone is OUR forced
+        # broadcast hint, which would override those stats. Pin that by
+        # disabling auto-broadcast: the plan must then have no broadcast left.
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            assert "BroadcastExchange" not in physical_plan(out)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        expected = {r["url"] for r in small.join(big, ["url_hash", "url"], "left_anti").collect()}
+        assert {r["url"] for r in out.collect()} == expected
 
     def test_semantics_equal_plain_anti(self, spark, pages_path):
         big = spark.read.parquet(pages_path).select(

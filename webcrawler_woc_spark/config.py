@@ -5,6 +5,22 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+# Rows above which a wave-side DataFrame (frontier / matched urls / extracted
+# children) is NOT broadcast: at ~100 bytes per URL, 1M rows is ~100 MB of
+# broadcast state — near the safe ceiling for driver collect + per-executor
+# replication. Above it the operators fall back to the bucketed co-partitioned
+# shuffle join (see operators/fetch.py and operators/routing.py docstrings);
+# with host_budget set the broadcast side is provably <= hosts * budget, so
+# the fallback only triggers for unbudgeted crawls with huge wave out-degree.
+BROADCAST_MAX_ROWS = 1_000_000
+
+
+def small_enough_to_broadcast(rows: int | None) -> bool:
+    """None (size unknown at plan time) defaults to broadcast — callers pass
+    the previous wave's manifest count so this is None only on wave 0 seeds
+    and in unit tests, both tiny by construction."""
+    return rows is None or rows <= BROADCAST_MAX_ROWS
+
 
 @dataclass
 class CrawlConfig:

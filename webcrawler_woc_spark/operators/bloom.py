@@ -147,6 +147,7 @@ def bloom_prefiltered_anti_join(
     candidates: DataFrame,
     seen: DataFrame,
     bloom: PartitionedBloom | None,
+    candidates_rows: int | None = None,
 ) -> DataFrame:
     """candidates minus seen, with optional Bloom fast-path.
 
@@ -159,11 +160,16 @@ def bloom_prefiltered_anti_join(
     from .routing import anti_join_scan
 
     if bloom is None:
-        return anti_join_scan(candidates, seen, ["url_hash", "url"])
+        return anti_join_scan(candidates, seen, ["url_hash", "url"], small_rows=candidates_rows)
     might = make_might_contain_udf(spark, bloom)
     tagged = candidates.withColumn("_maybe_seen", might(F.col("url_hash")))
     definitely_new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    # the maybe-seen remainder is <= |candidates| (and with a healthy bloom,
+    # a small fraction of it) — the candidates count is a safe upper gate
     confirmed_new = anti_join_scan(
-        tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen"), seen, ["url_hash", "url"]
+        tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen"),
+        seen,
+        ["url_hash", "url"],
+        small_rows=candidates_rows,
     )
     return definitely_new.unionByName(confirmed_new)

@@ -30,6 +30,23 @@ def mime_gate(fetched: DataFrame) -> DataFrame:
     )
 
 
+def html_body_gate(url_col, content_type_expr, timeout_ms: int | None):
+    """Predicate: this matched page's body is read and parsed as HTML.
+
+    MIME gate (exact equality, links.rs:171-176) AND the request-timeout
+    simulation (cli.rs:34-35 / crawler.rs:14-20: a timed-out response's body
+    is never read). THE single definition shared by fetch_join's metadata
+    path and the wave extraction path — keeping it in one place is what
+    guarantees links_out metadata and the extracted corpus can't diverge.
+    """
+    from .fetch import synth_fetch_ms
+
+    gate = content_type_expr(url_col).isin(*HTML_MIMES)
+    if timeout_ms is not None:
+        gate = gate & (synth_fetch_ms(url_col) < F.lit(timeout_ms))
+    return gate
+
+
 def scan_words(gated: DataFrame, words: list[str]) -> DataFrame:
     """contains_words column: case-sensitive raw-html scan (links.rs:285-290).
 

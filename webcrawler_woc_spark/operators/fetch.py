@@ -66,20 +66,36 @@ def synth_ipv6(host: Column) -> Column:
     return F.when(di.isNotNull(), F.concat(F.lit("fd00::"), F.lower(F.hex(di))))
 
 
-def fetch_matched(frontier: DataFrame, pages: DataFrame) -> DataFrame:
+def fetch_matched(
+    frontier: DataFrame, pages: DataFrame, frontier_rows: int | None = None
+) -> DataFrame:
     """The ONE corpus scan of a wave: pages inner-probed by a BROADCAST of
     the (politeness-bounded) frontier. Pages is only scanned, never shuffled;
     the hit set (<= |frontier| rows) is then re-shuffled by url_hash so that
     AQE sizes its partitions by bytes — downstream consumers (extraction /
     text UDFs, caching) never inherit the corpus scan's partitioning.
+
+    ``frontier_rows`` (the previous wave's manifest ``new_frontier`` count)
+    gates the broadcast: above BROADCAST_MAX_ROWS an unbudgeted wave's
+    out-degree would OOM the driver, so the probe falls back to a
+    shuffle-hash join with the frontier as build side — in the full-scale
+    layout pages is bucketed by url at rest (Iceberg bucket transform), so
+    only the frontier moves; the corpus is still never re-shuffled wave
+    over wave.
     """
+    from ..config import small_enough_to_broadcast
+
     pages_side = pages.select(
         F.col("url").alias("p_url"),
         F.col("html"),
         F.col("text").alias("page_text"),
     )
-    bf = F.broadcast(frontier)
-    matched = pages_side.join(bf, bf["url"] == pages_side["p_url"], "inner")
+    if small_enough_to_broadcast(frontier_rows):
+        bf = F.broadcast(frontier)
+        matched = pages_side.join(bf, bf["url"] == pages_side["p_url"], "inner")
+    else:
+        bf = frontier.hint("shuffle_hash")
+        matched = pages_side.join(bf, frontier["url"] == pages_side["p_url"], "inner")
     return matched.repartition(F.col("url_hash"))
 
 
@@ -89,6 +105,7 @@ def fetch_join(
     content_type_expr=None,
     matched: DataFrame | None = None,
     timeout_ms: int | None = None,
+    frontier_rows: int | None = None,
 ) -> DataFrame:
     """Simulated fetch of every frontier URL.
 
@@ -122,11 +139,14 @@ def fetch_join(
     # frontier is broadcast into an inner probe of the corpus scan — pages is
     # only scanned, never shuffled — and fetch failures are recovered with a
     # second broadcast anti-join against the (small) matched-url set.
+    from ..config import small_enough_to_broadcast
+
     if matched is None:
-        matched = fetch_matched(frontier, pages)
-    failed = frontier.join(
-        F.broadcast(matched.select(F.col("p_url").alias("url"))), "url", "left_anti"
-    ).select(
+        matched = fetch_matched(frontier, pages, frontier_rows=frontier_rows)
+    matched_urls = matched.select(F.col("p_url").alias("url"))
+    if small_enough_to_broadcast(frontier_rows):  # |matched| <= |frontier|
+        matched_urls = F.broadcast(matched_urls)
+    failed = frontier.join(matched_urls, "url", "left_anti").select(
         "url", "url_hash", "host", "priority",
         F.lit(None).cast("string").alias("p_url"),
         F.lit(None).cast("binary").alias("html"),

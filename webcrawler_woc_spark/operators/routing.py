@@ -49,7 +49,9 @@ def should_crawl_col(
     return F.lit(False)
 
 
-def anti_join_scan(small: DataFrame, big: DataFrame, keys: list[str]) -> DataFrame:
+def anti_join_scan(
+    small: DataFrame, big: DataFrame, keys: list[str], small_rows: int | None = None
+) -> DataFrame:
     """small LEFT ANTI big without ever shuffling ``big``.
 
     A plain left-anti join hash-partitions BOTH sides; when ``big`` is the
@@ -58,7 +60,18 @@ def anti_join_scan(small: DataFrame, big: DataFrame, keys: list[str]) -> DataFra
     (big is only scanned, stream-side of a broadcast hash join), producing
     ``hits`` (<= |small|); (2) small anti-joins the broadcast hits.
     Semantics identical to left-anti; big moves zero bytes over the network.
+
+    ``small_rows`` gates the broadcast: past BROADCAST_MAX_ROWS (an
+    unbudgeted wave with huge out-degree) broadcasting ``small`` would OOM,
+    so fall back to the plain shuffled left-anti — in the full-scale layout
+    the seen table is bucketed by pmod(url_hash, n_buckets) at rest (see
+    module docstring), so a storage-partitioned join moves only ``small``;
+    the in-sandbox fallback shuffles both sides, which is slower but safe.
     """
+    from ..config import small_enough_to_broadcast
+
+    if not small_enough_to_broadcast(small_rows):
+        return small.join(big.select(*keys), keys, "left_anti")
     hits = big.select(*keys).join(F.broadcast(small.select(*keys)), keys, "left_semi")
     return small.join(F.broadcast(hits), keys, "left_anti")
 
@@ -78,6 +91,7 @@ def route_children(
     rejected: DataFrame,
     whitelist: list[str] | None,
     blacklist: list[str] | None,
+    children_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Route deduped children (url, url_hash, host, link_type) into
     (next_frontier_candidates, newly_rejected).
@@ -96,6 +110,8 @@ def route_children(
     crawlable = tagged.filter(F.col("should_crawl"))
     uncrawlable = tagged.filter(~F.col("should_crawl"))
 
-    next_frontier = anti_join_scan(crawlable, seen, ["url_hash", "url"])
-    newly_rejected = anti_join_scan(uncrawlable, rejected, ["url_hash", "url"])
+    next_frontier = anti_join_scan(crawlable, seen, ["url_hash", "url"], small_rows=children_rows)
+    newly_rejected = anti_join_scan(
+        uncrawlable, rejected, ["url_hash", "url"], small_rows=children_rows
+    )
     return next_frontier, newly_rejected

@@ -51,6 +51,13 @@ def run_wave(
     if frontier is None:
         raise RuntimeError(f"no frontier for wave {wave}")
 
+    # exact size of this frontier, from the previous wave's committed manifest
+    # (wave 0 seeds are driver-written and tiny => None => broadcast). Gates
+    # every wave-side broadcast below: an unbudgeted crawl's out-degree can
+    # exceed what a broadcast survives (see config.BROADCAST_MAX_ROWS).
+    prev_info = wh.manifest["waves"].get(str(wave - 1), {})
+    frontier_rows = prev_info.get("counts", {}).get("new_frontier")
+
     # -- robots Disallow gate (opt-in politeness extension; the disallow
     # cache is parsed once per crawl by the driver, not per wave) ------------
     if disallow is not None:
@@ -70,9 +77,14 @@ def run_wave(
     # working set (use MEMORY_AND_DISK semantics — Spark default spills).
     from ..operators.fetch import fetch_matched
 
-    matched = fetch_matched(scheduled, pages).cache()
+    matched = fetch_matched(scheduled, pages, frontier_rows=frontier_rows).cache()
     fetched = fetch_join(
-        scheduled, pages, content_type_expr, matched=matched, timeout_ms=cfg.timeout_ms
+        scheduled,
+        pages,
+        content_type_expr,
+        matched=matched,
+        timeout_ms=cfg.timeout_ms,
+        frontier_rows=frontier_rows,
     )
     gate = F.col("fetched") & F.col("content_type").isin(*HTML_MIMES)
     if cfg.words:
@@ -102,24 +114,37 @@ def run_wave(
     )
 
     # -- extraction ---------------------------------------------------------
-    # html lives only in the matched cache; the MIME gate re-derives
-    # content_type from the url (pure Catalyst, same expression as fetch_join)
+    # html lives only in the matched cache; the body gate (MIME + timeout) is
+    # THE shared html_body_gate expression — identical to fetch_join's, so
+    # links_out metadata and the extracted corpus cannot diverge.
+    from ..operators.extract import html_body_gate
+
     if content_type_expr is None:
         from ..sources.corpus import default_content_type_expr as content_type_expr
-    gated = (
-        matched.withColumn("content_type", content_type_expr(F.col("url")))
-        .filter(F.col("content_type").isin(*HTML_MIMES))
-        .select("url", "html")
-    )
-    if cfg.timeout_ms is not None:
-        # timed-out fetches never have their body read (crawler.rs:209-216)
-        from ..operators.fetch import synth_fetch_ms
-
-        gated = gated.filter(synth_fetch_ms(F.col("url")) < F.lit(cfg.timeout_ms))
+    gated = matched.filter(
+        html_body_gate(F.col("url"), content_type_expr, cfg.timeout_ms)
+    ).select("url", "html")
     children = extract_child_links(gated).select("url", "link_type")
     if extra_children is not None:
         children = children.unionByName(extra_children.select("url", "link_type"))
     children = children.cache()  # the pandas-UDF extraction runs exactly once
+
+    # -- fill the shared caches ONCE, sequentially (a concurrent first touch
+    # would compute the same lineage twice). children.count drives the one
+    # corpus scan of the wave and fills the matched cache en route; fetched
+    # then reads that cache. The exact children count also sizes the routing
+    # broadcasts below.
+    timings: dict[str, float] = {}
+
+    def _timed(key: str, fn):
+        t = time.time()
+        out = fn()
+        timings[key] = round(time.time() - t, 3)
+        return out
+
+    _timed("cache_scheduled", scheduled.count)  # politeness window only
+    extracted = _timed("cache_children", children.count)  # corpus scan + matched cache
+    _timed("cache_fetched", fetched.count)  # reads the matched cache
 
     deduped = with_host(with_url_hash(dedup_wave(children)))
 
@@ -133,14 +158,24 @@ def run_wave(
     )
 
     sc_frontier, newly_rejected = route_children(
-        deduped, empty_seen.limit(0), rejected_prev, cfg.whitelist, cfg.blacklist
+        deduped,
+        empty_seen.limit(0),
+        rejected_prev,
+        cfg.whitelist,
+        cfg.blacklist,
+        children_rows=extracted,
     )
     # seen anti-join with Bloom fast path (bloom covers waves < wave);
     # then subtract THIS wave's scheduled urls (batch seen semantics).
-    sc_frontier = bloom_prefiltered_anti_join(spark, sc_frontier, seen_prev, bloom)
-    sc_frontier = sc_frontier.join(
-        F.broadcast(scheduled.select("url_hash", "url")), ["url_hash", "url"], "left_anti"
+    sc_frontier = bloom_prefiltered_anti_join(
+        spark, sc_frontier, seen_prev, bloom, candidates_rows=extracted
     )
+    from ..config import small_enough_to_broadcast
+
+    sched_keys = scheduled.select("url_hash", "url")
+    if small_enough_to_broadcast(frontier_rows):  # |scheduled| <= |frontier|
+        sched_keys = F.broadcast(sched_keys)
+    sc_frontier = sc_frontier.join(sched_keys, ["url_hash", "url"], "left_anti")
 
     # a deferred url rediscovered as a child merges deterministically to the
     # max priority (url_hash/host are functions of url, so min() is exact).
@@ -182,14 +217,6 @@ def run_wave(
     links_out = self_links.unionByName(rejected_links)
 
     # -- writes (the wave barrier) -----------------------------------------
-    timings: dict[str, float] = {}
-
-    def _timed(key: str, fn):
-        t = time.time()
-        out = fn()
-        timings[key] = round(time.time() - t, 3)
-        return out
-
     from pyspark.sql import Observation
 
     # counts ride the write actions as observations — no extra jobs.
@@ -203,16 +230,11 @@ def run_wave(
     obs_frontier = Observation(f"frontier_w{wave}")
     next_frontier = next_frontier.observe(obs_frontier, F.count(F.lit(1)).alias("n"))
 
-    # fill the shared caches ONCE, sequentially (a concurrent first touch
-    # would compute the same lineage twice), then fire the independent
-    # table writes from a driver thread pool — Spark schedules concurrent
-    # jobs fine, and the writes only read the caches. The wave barrier is
-    # the pool join; the manifest commit below stays atomic.
+    # the caches are already filled (sequential block above) — fire the
+    # independent table writes from a driver thread pool; Spark schedules
+    # concurrent jobs fine, and the writes only read the caches. The wave
+    # barrier is the pool join; the manifest commit below stays atomic.
     from concurrent.futures import ThreadPoolExecutor
-
-    _timed("cache_matched", matched.count)  # the one corpus scan
-    _timed("cache_fetched", fetched.count)
-    _timed("cache_children", children.count)
 
     from ..operators.extract import extracted_text
 
@@ -242,7 +264,6 @@ def run_wave(
 
     # -- metrics + lineage (observed on the writes: exact, zero extra jobs) --
     frontier_in = _timed("c_frontier_in", frontier.count)
-    extracted = _timed("c_extracted", children.count)
     n_scheduled = int(obs_links.get["scheduled"])
     fetch_ok = int(obs_links.get["fetch_ok"])
     new_rejected_n = int(obs_links.get["rejected"])
