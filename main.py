@@ -14,7 +14,11 @@ Flag parity with the reference (semantics per SURVEY.md §2):
   -s/--search FILE     word list, case-sensitive raw-html scan (op 3/11)
   -o/--output DIR      links_out export as JSON lines partitioned by
                        (link_type, crawled) (op 23)
-  --task-limit N       parallelism hint -> shuffle partitions (op 26)
+  -v/--verbose         tee crawled links to stdout (op 24, cli.rs:260-266)
+  --task-limit N       max concurrent fetch tasks -> caps shuffle partitions
+                       (op 26, cli.rs:41-42, default 1000)
+  --timeout SECONDS    request timeout, default 10 like the reference
+                       (cli.rs:34-35); 0 disables (op 27)
   --host-budget N      per-host politeness budget per wave (north rule)
 Extra (engine-specific):
   --pages PATH         parquet/iceberg path of the pages corpus (fetch sim)
@@ -39,12 +43,25 @@ if _PKG_ROOT not in sys.path:
 
 
 def read_lines(path: str | None) -> list[str] | None:
-    """Host/word list file source (reference file_handler.rs:12-43):
+    """Word-list file source (reference file_handler.rs:31-43):
     one entry per line, blank lines dropped, no other normalization."""
     if path is None:
         return None
     with open(path) as f:
         return [line.rstrip("\n") for line in f if line.strip()]
+
+
+def read_host_lines(path: str | None) -> list[str] | None:
+    """Host-list file source (reference file_handler.rs:12-28): each line is
+    parsed like ``url::Host::parse`` — lowercased, IDN -> punycode — and
+    unparsable lines are silently dropped, so entries match the canonical
+    (lowercase) hosts the engine derives from URLs."""
+    from webcrawler_woc_spark.functions.urlnorm import normalize_host
+
+    lines = read_lines(path)
+    if lines is None:
+        return None
+    return [h for h in (normalize_host(line) for line in lines) if h is not None]
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -55,16 +72,26 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-b", "--blacklist", default=None)
     ap.add_argument("-s", "--search", default=None)
     ap.add_argument("-o", "--output", default=None)
-    ap.add_argument("--task-limit", type=int, default=1000)
+    ap.add_argument(
+        "--task-limit", type=int, default=1000,
+        help="max concurrent fetch tasks (reference cli.rs:41-42, default "
+             "1000) -> caps spark.sql.shuffle.partitions, the per-stage "
+             "task-concurrency bound",
+    )
     ap.add_argument("--host-budget", type=int, default=None)
     ap.add_argument(
-        "--timeout", type=float, default=None,
-        help="request-timeout simulation in seconds (reference default 10; "
-             "omitted = no timeout gate)",
+        "--timeout", type=float, default=10.0,
+        help="request timeout in seconds, applied to the synthetic fetch "
+             "latency (reference default 10, cli.rs:34-35 — always on "
+             "there too); 0 disables the gate",
     )
     ap.add_argument(
         "--respect-disallow", action="store_true",
         help="enforce robots.txt Disallow rules on the frontier",
+    )
+    ap.add_argument(
+        "-v", "--verbose", action="store_true",
+        help="tee the crawled links to stdout (reference cli.rs:260-266)",
     )
     ap.add_argument("--pages", required=True)
     ap.add_argument("--warehouse", required=True)
@@ -82,16 +109,29 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: could not parse seed url {args.url!r}", file=sys.stderr)
         return 2  # reference aborts on unparsable seed (cli.rs:114-117)
 
-    spark = get_spark(app_name="webcrawler-woc-spark")
+    # task-limit (op 26): the reference bounds concurrent fetch futures; the
+    # Spark analogue is the shuffle-partition count, the per-stage bound on
+    # concurrent tasks. Never raise it above the configured default — more
+    # partitions than data helps nobody — only cap it down.
+    default_shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    spark = get_spark(
+        app_name="webcrawler-woc-spark",
+        shuffle_partitions=max(1, min(args.task_limit, default_shuffle)),
+    )
+    if args.verbose:
+        print(
+            f"conf: task_limit={args.task_limit} -> shuffle_partitions="
+            f"{spark.conf.get('spark.sql.shuffle.partitions')}"
+        )
     pages = spark.read.parquet(args.pages)
 
     cfg = CrawlConfig(
-        whitelist=read_lines(args.whitelist),
-        blacklist=read_lines(args.blacklist),
+        whitelist=read_host_lines(args.whitelist),
+        blacklist=read_host_lines(args.blacklist),
         words=read_lines(args.search) or [],
         depth=args.depth,
         host_budget=args.host_budget,
-        timeout_ms=int(args.timeout * 1000) if args.timeout is not None else None,
+        timeout_ms=int(args.timeout * 1000) if args.timeout else None,
         respect_disallow=args.respect_disallow,
         n_buckets=args.n_buckets,
         use_bloom=not args.no_bloom,
@@ -100,13 +140,21 @@ def main(argv: list[str] | None = None) -> int:
     summary = crawl(spark, wh, pages, [(args.url, 1.0)], cfg)
     print(f"crawl finished: {summary}")
 
-    if args.output:
+    if args.output or args.verbose:
         links = read_links_out(wh)
         if links is not None:
-            # four-way routing of the reference's JSON sinks (op 23), as
-            # spec-compliant JSON lines partitioned by (link_type, crawled)
-            links.write.mode("overwrite").partitionBy("link_type", "crawled").json(args.output)
-            print(f"links exported to {args.output}")
+            if args.output:
+                # four-way routing of the reference's JSON sinks (op 23), as
+                # spec-compliant JSON lines partitioned by (link_type, crawled)
+                links.write.mode("overwrite").partitionBy("link_type", "crawled").json(
+                    args.output
+                )
+                print(f"links exported to {args.output}")
+            if args.verbose:
+                # stdout tee (op 24, reference cli.rs:260-266). Driver-side by
+                # construction — bounded by a large page cap like the
+                # reference's terminal dump, never a full-table collect.
+                links.show(n=10000, truncate=False)
     return 0
 
 

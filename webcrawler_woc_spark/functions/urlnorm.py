@@ -294,6 +294,35 @@ def link_type_of(url: str) -> str:
     return "Other"
 
 
+_FORBIDDEN_HOST_CHARS = set(" \t\n\r#/:?@[\\]^|<>%\"")
+
+
+def normalize_host(entry: str) -> str | None:
+    """Host-list entry normalization, mirroring ``url::Host::parse`` as the
+    reference's whitelist/blacklist loader applies it (file_handler.rs:12-28):
+    lowercase, IDN -> punycode, unparsable entries silently dropped (None).
+    Without this, `HOST0.EXAMPLE` or an IDN entry never matches the canonical
+    lowercase host and the policy filter silently rejects everything.
+    IPv6 literals keep their brackets (the url crate renders hosts that way).
+    """
+    h = entry.strip()
+    if not h:
+        return None
+    if h.startswith("["):
+        return h.lower() if h.endswith("]") and len(h) > 2 else None
+    if any(c in _FORBIDDEN_HOST_CHARS for c in h):
+        return None
+    h = h.lower()
+    try:
+        h.encode("ascii")
+    except UnicodeEncodeError:
+        try:
+            h = h.encode("idna").decode("ascii")
+        except UnicodeError:
+            return None
+    return h
+
+
 def host_of(url: str) -> str | None:
     """Host of a canonical URL, or None (opaque-path schemes have no host)."""
     m = _SCHEME_RE.match(url)
