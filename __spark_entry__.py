@@ -164,10 +164,12 @@ def q_crawl_bfs_depth3_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = Warehouse(spark, tempfile.mkdtemp(prefix="wcw_entry_"), n_buckets=8)
     try:
         crawl(spark, wh, _pages(spark, sf_dir), [(SEED, 1.0)], cfg)
-        return read_seen(wh).select("url").cache()
+        # the seen set is tiny (bounded by the crawled frontier); snapshot it
+        # into a local DataFrame so the warehouse parquet can be deleted
+        rows = read_seen(wh).select("url").collect()
+        return spark.createDataFrame(rows, "url string")
     finally:
-        # materialize before the warehouse dir is deleted
-        pass
+        wh.destroy()
 
 
 def q_crawl_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:

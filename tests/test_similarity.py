@@ -60,3 +60,49 @@ class TestEmbeddingCosineDups:
         df = _emb_df(spark, [(0, [1.0] * 8), (1, [1.0] * 8)])
         plan = physical_plan(embedding_cosine_dups(df, dim=8))
         assert "EvalPython" not in plan
+
+
+class TestAdaptivePlanes:
+    def test_plane_count_grows_with_corpus(self):
+        from webcrawler_woc_spark.operators.similarity import adaptive_n_planes
+
+        assert adaptive_n_planes(100) == 8
+        assert adaptive_n_planes(1 << 16) == 8  # 65536/256 = 256 buckets -> 8
+        assert adaptive_n_planes(1 << 20) == 12
+        assert adaptive_n_planes(10**9) == 22
+        assert adaptive_n_planes(10**18) == 52
+        assert adaptive_n_planes(10**30) == 62  # capped at one BIGINT
+
+    def test_bucket_join_work_stays_subquadratic(self, spark):
+        # expected bucket-local join work = sum over buckets of size^2.
+        # With FIXED planes it grows ~x16 when N x4; with adaptive planes the
+        # expected bucket population is constant, so work grows ~linearly.
+        from webcrawler_woc_spark.operators.similarity import (
+            adaptive_n_planes,
+            lsh_signature,
+        )
+
+        dim = 16
+
+        def work(n: int) -> int:
+            vecs = spark.range(n).select(
+                F.col("id").alias("vec_id"),
+                F.expr(
+                    f"transform(sequence(0, {dim - 1}), "
+                    "i -> cast(pmod(xxhash64(id, i), 2001) - 1000 as double) / 1000.0)"
+                ).alias("v"),
+            )
+            planes = adaptive_n_planes(n, target_bucket=64)
+            sizes = (
+                vecs.withColumn("bucket", lsh_signature(F.col("v"), dim, planes))
+                .groupBy("bucket")
+                .agg(F.count("*").alias("c"))
+            )
+            return sizes.agg(F.sum(F.col("c") * F.col("c"))).collect()[0][0]
+
+        # sizes chosen ABOVE the 8-plane floor so the adaptive count actually
+        # moves: 65536 -> 10 planes, 262144 -> 12 planes (target_bucket=64)
+        w1, w4 = work(65536), work(262144)
+        # linear growth target ~4x; quadratic (fixed-plane) growth would be
+        # ~16x. Allow slack for plane-split imbalance.
+        assert w4 <= 8 * w1, (w1, w4)

@@ -16,7 +16,8 @@ Both are FIXED-ITERATION by spec (the iteration count is part of the
 operator contract), which keeps them SQL-expressible as chained CTEs for the
 oracle. At 10^10 edges each iteration is one shuffle on ``dst`` (the classic
 Pregel-on-DataFrames layout); between iterations the rank/label frame is
-cached and the lineage cut so plans don't grow exponentially.
+locally checkpointed, which truncates the logical plan so per-iteration
+plans stay constant-size (cache() alone would not).
 """
 
 from __future__ import annotations
@@ -67,7 +68,12 @@ def pagerank_int(nodes: DataFrame, edges: DataFrame, iterations: int = 3) -> Dat
                 "doc_id",
                 (F.lit(150_000).cast("bigint") + F.expr("(85 * s) div 100")).alias("rank_ppm"),
             )
-            .cache()  # cut lineage growth between iterations
+            # localCheckpoint actually TRUNCATES the logical plan (cache()
+            # does not — plans still grow per iteration and the cache entries
+            # leak); eager by default, so the previous iteration's RDD becomes
+            # garbage-collectable immediately. On a real cluster swap for
+            # checkpoint() to reliable storage if executor loss matters.
+            .localCheckpoint()
         )
     return ranks
 
@@ -95,6 +101,6 @@ def connected_components(nodes: DataFrame, edges: DataFrame, iterations: int = 5
                     "component"
                 ),
             )
-            .cache()
+            .localCheckpoint()  # see pagerank_int: truncate lineage per round
         )
     return labels

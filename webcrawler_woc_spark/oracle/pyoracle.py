@@ -63,7 +63,9 @@ def _disallow_rules(pages: dict[str, bytes]) -> dict[str, list[str]]:
         if url.endswith("/robots.txt"):
             host = host_of(url)
             if host:
-                for m in re.finditer(r"(?m)^Disallow:\s*(\S+)", body.decode("utf-8", "replace")):
+                # [ \t] not \s: a bare "Disallow:" line (allow-all) must not let the
+                # match cross the newline and steal the next line's token
+                for m in re.finditer(r"(?m)^Disallow:[ \t]*(\S+)", body.decode("utf-8", "replace")):
                     rules.setdefault(host, []).append(m.group(1))
     return rules
 
