@@ -113,10 +113,13 @@ def main():
     bench_wave_kernel(spark, pages)  # warm-up: Python UDF workers + codegen
 
     # this VM shows bursty co-tenant noise (identical crawls swing 3x
-    # back-to-back); run twice, report the min, disclose both
-    crawl_runs = [bench_crawl_depth3(spark, pages) for _ in range(2)]
-    crawl_res = min(crawl_runs, key=lambda r: r["sec"])
-    queries["crawl_depth3"] = round(crawl_res["sec"], 3)
+    # back-to-back); run three times, report the MEDIAN (not min — a min is
+    # biased toward favorable noise), disclose every run
+    import statistics
+
+    crawl_runs = [bench_crawl_depth3(spark, pages) for _ in range(3)]
+    queries["crawl_depth3"] = round(statistics.median(r["sec"] for r in crawl_runs), 3)
+    crawl_res = crawl_runs[0]  # scheduled/waves are deterministic across runs
 
     for name in (
         "crawl_extracted_text",
@@ -142,7 +145,10 @@ def main():
     kern_pages = kern_pages.persist()
     kern_pages.count()
     kern = bench_wave_kernel(spark, kern_pages)
-    queries["wave_kernel"] = round(kern["sec"], 3)
+    # metric name carries the replica multiplier: throughput scales with the
+    # corpus mult (fixed per-job costs amortize), so an x40 number must never
+    # be conflated with an old un-suffixed (x4-corpus) baseline
+    queries[f"wave_kernel_x{kern_mult}"] = round(kern["sec"], 3)
     kern_pages.unpersist()
 
     total = round(time.time() - t0, 3)
@@ -155,8 +161,10 @@ def main():
         "corpus_pages": n_rows,
         "wave_kernel_urls": kern["urls"],
         "wave_kernel_urls_per_sec": round(kern["urls"] / max(kern["sec"], 1e-9), 1),
+        "kernel_mult": kern_mult,
         "crawl_scheduled": crawl_res["scheduled"],
         "crawl_depth3_runs": [round(r["sec"], 3) for r in crawl_runs],
+        "crawl_depth3_stat": "median",
         "cpus": cpus,
     }
     print(json.dumps(out))

@@ -19,15 +19,20 @@ from ..functions.udfs import (
 
 # Exact MIME-equality gate (reference crawler.rs:225-227 via
 # check_mime_from_list, links.rs:171-176): ONLY these two strings pass;
-# 'text/html; charset=iso-8859-1' must NOT.
+# 'text/html; charset=iso-8859-1' must NOT. The mime crate lowercases
+# type/subtype during parse (links.rs:159-176), so the comparison is applied
+# to lower(content_type) — 'Text/HTML' passes, exactly like the reference.
 HTML_MIMES = ("text/html", "text/html; charset=utf-8")
+
+
+def mime_ok(content_type_col):
+    """lower(content_type) ∈ HTML_MIMES — the one shared MIME predicate."""
+    return F.lower(content_type_col).isin(*HTML_MIMES)
 
 
 def mime_gate(fetched: DataFrame) -> DataFrame:
     """Rows whose body will be parsed (crawler.rs:225-227)."""
-    return fetched.filter(
-        F.col("fetched") & F.col("content_type").isin(*HTML_MIMES)
-    )
+    return fetched.filter(F.col("fetched") & mime_ok(F.col("content_type")))
 
 
 def html_body_gate(url_col, content_type_expr, timeout_ms: int | None):
@@ -41,7 +46,7 @@ def html_body_gate(url_col, content_type_expr, timeout_ms: int | None):
     """
     from .fetch import synth_fetch_ms
 
-    gate = content_type_expr(url_col).isin(*HTML_MIMES)
+    gate = mime_ok(content_type_expr(url_col))
     if timeout_ms is not None:
         gate = gate & (synth_fetch_ms(url_col) < F.lit(timeout_ms))
     return gate

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
 from ..operators.bloom import PartitionedBloom, bloom_prefiltered_anti_join
-from ..operators.extract import HTML_MIMES, extract_child_links
+from ..operators.extract import extract_child_links, mime_ok
 from ..operators.fetch import fetch_join, with_host, with_url_hash
 from ..operators.politeness import crawl_order, schedule_wave
 from ..operators.routing import dedup_wave, route_children
@@ -86,7 +86,7 @@ def run_wave(
         timeout_ms=cfg.timeout_ms,
         frontier_rows=frontier_rows,
     )
-    gate = F.col("fetched") & F.col("content_type").isin(*HTML_MIMES)
+    gate = F.col("fetched") & mime_ok(F.col("content_type"))
     if cfg.words:
         words_udf = make_contains_words_udf(cfg.words)
         fetched = fetched.withColumn(
@@ -144,9 +144,11 @@ def run_wave(
 
     _timed("cache_scheduled", scheduled.count)  # politeness window only
     extracted = _timed("cache_children", children.count)  # corpus scan + matched cache
-    _timed("cache_fetched", fetched.count)  # reads the matched cache
 
-    deduped = with_host(with_url_hash(dedup_wave(children)))
+    # deduped feeds BOTH routing branches (next-frontier and rejected), and
+    # newly_rejected feeds BOTH the rejected write and links_out — cached, or
+    # the dedup shuffle + anti-join subplans re-run once per consuming write
+    deduped = with_host(with_url_hash(dedup_wave(children))).cache()
 
     # -- routing ------------------------------------------------------------
     seen_prev = wh.read_waves("seen", up_to_wave=wave - 1)
@@ -176,6 +178,20 @@ def run_wave(
     if small_enough_to_broadcast(frontier_rows):  # |scheduled| <= |frontier|
         sched_keys = F.broadcast(sched_keys)
     sc_frontier = sc_frontier.join(sched_keys, ["url_hash", "url"], "left_anti")
+
+    # two independent fill chains over already-materialized caches — overlap
+    # them (fetched reads matched; rejected reads deduped, so that pair chains)
+    newly_rejected = newly_rejected.cache()
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    def _fill_routing():
+        _timed("cache_deduped", deduped.count)
+        _timed("cache_rejected", newly_rejected.count)
+
+    with _TPE(max_workers=2) as _pool:
+        f1 = _pool.submit(_timed, "cache_fetched", fetched.count)
+        f2 = _pool.submit(_fill_routing)
+        f1.result(), f2.result()
 
     # a deferred url rediscovered as a child merges deterministically to the
     # max priority (url_hash/host are functions of url, so min() is exact).
@@ -252,7 +268,10 @@ def run_wave(
         "crawl_order": ("w_order", wave, order_df, False),
     }
     table_paths = {}
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    # one pool slot per write: every input is cached, so the 7 jobs only
+    # contend for executor cores, and the block is bounded by the slowest
+    # single write instead of two 4-slot rounds
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
         futs = {
             table: pool.submit(
                 _timed, tkey, lambda t=table, w=wv, d=df_, b=bucket: wh.write_wave_table(t, w, d, bucket=b)
@@ -308,4 +327,6 @@ def run_wave(
     matched.unpersist()
     fetched.unpersist()
     children.unpersist()
+    deduped.unpersist()
+    newly_rejected.unpersist()
     return counts

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.extract import HTML_MIMES, extract_child_links
+from ..operators.extract import extract_child_links, mime_ok
 from ..schemas import PAGES_SCHEMA
 
 
@@ -44,7 +44,7 @@ def stream_extract_links(
         .parquet(pages_dir)
     )
     gated = pages.withColumn("content_type", content_type_expr(F.col("url"))).filter(
-        F.col("content_type").isin(*HTML_MIMES)
+        mime_ok(F.col("content_type"))
     )
     links = extract_child_links(gated)
 
