@@ -144,7 +144,9 @@ def main():
     kern_pages, _ = build_corpus(spark, sf_dir, mult=kern_mult)
     kern_pages = kern_pages.persist()
     kern_pages.count()
-    kern = bench_wave_kernel(spark, kern_pages)
+    kern_runs = [bench_wave_kernel(spark, kern_pages) for _ in range(3)]
+    kern_secs = sorted(r["sec"] for r in kern_runs)
+    kern = {"sec": kern_secs[1], "urls": kern_runs[0]["urls"]}  # median, runs disclosed
     # metric name carries the replica multiplier: throughput scales with the
     # corpus mult (fixed per-job costs amortize), so an x40 number must never
     # be conflated with an old un-suffixed (x4-corpus) baseline
@@ -162,6 +164,8 @@ def main():
         "wave_kernel_urls": kern["urls"],
         "wave_kernel_urls_per_sec": round(kern["urls"] / max(kern["sec"], 1e-9), 1),
         "kernel_mult": kern_mult,
+        "wave_kernel_runs": [round(r["sec"], 3) for r in kern_runs],
+        "wave_kernel_stat": "median",
         "crawl_scheduled": crawl_res["scheduled"],
         "crawl_depth3_runs": [round(r["sec"], 3) for r in crawl_runs],
         "crawl_depth3_stat": "median",

@@ -47,6 +47,16 @@ def get_spark(
         # shuffles to a handful of partitions, starving 32 cores: measured
         # scaling efficiency collapsed 0.83 -> 0.26. Parallelism-first is the
         # right default for a throughput-scaling engine.
+        # let AQE re-partition CACHED plans: the per-wave caches (matched /
+        # fetched / children / deduped) are wave-sized, and with this off
+        # (the default) they materialize at the full shuffle-partition count,
+        # so every broadcast-exchange subplan over them schedules 32-192
+        # near-empty tasks — measured 2-3.8s per subplan job on an 82-URL
+        # wave. With AQE coalescing the caches, crawl_depth3 dropped ~2x
+        # (27.8s -> ~14s median at the bench config). Output partitioning of
+        # cached frames is never relied upon (state tables repartition
+        # explicitly on write), so this is safe.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
