@@ -552,11 +552,58 @@ def q_stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     links = extract_child_links(_gated(spark, sf_dir)).select("parent_url", "url", "link_type")
     tmp = tempfile.mkdtemp(prefix="wcw_stream_dedup_")
-    links_dir, out_dir, ckpt = f"{tmp}/links", f"{tmp}/out", f"{tmp}/ckpt"
-    links.repartition(4).write.parquet(links_dir)
-    q = stream_dedup_links(spark, links_dir, out_dir, ckpt, max_files_per_trigger=1)
-    q.awaitTermination(600)
-    return spark.read.parquet(out_dir).select("url")
+    try:
+        links_dir, out_dir, ckpt = f"{tmp}/links", f"{tmp}/out", f"{tmp}/ckpt"
+        links.repartition(4).write.parquet(links_dir)
+        q = stream_dedup_links(spark, links_dir, out_dir, ckpt, max_files_per_trigger=1)
+        q.awaitTermination(600)
+        # snapshot before the temp stream dirs are deleted (no leak per run)
+        rows = spark.read.parquet(out_dir).select("url").collect()
+        return spark.createDataFrame(rows, "url string")
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_stream_host_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window fetch-rate per host (Structured Streaming
+    windowed agg over warc_ts, replayed in micro-batches). Batch-equivalent:
+    GROUP BY host, hour-aligned window — the DuckDB twin computes the same
+    counts from the documents arithmetic."""
+    import shutil
+    import tempfile
+
+    from webcrawler_woc_spark.sources.corpus import doc_pages
+    from webcrawler_woc_spark.streaming.host_rate_stream import (
+        host_rate_result,
+        stream_host_fetch_rate,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pages = doc_pages(docs, docs.count())
+    tmp = tempfile.mkdtemp(prefix="wcw_stream_rate_")
+    qname = "host_rate_gate"
+    try:
+        pages.repartition(4).write.parquet(f"{tmp}/pages")
+        q = stream_host_fetch_rate(spark, f"{tmp}/pages", qname, max_files_per_trigger=1)
+        q.awaitTermination(600)
+        rows = host_rate_result(spark, qname).collect()
+        return spark.createDataFrame(rows, "host string, window_start long, n_fetches long")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag training docs sharing any 16-gram
+    with the eval slice (doc_id % 97 == 0) — the pre-benchmark hygiene pass
+    of a training-data pipeline, as a broadcast semi-join over shingles."""
+    from webcrawler_woc_spark.operators.decontaminate import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    train_docs = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train_docs, eval_docs, n=16)
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,6 +674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": q_pipeline_curate,
         "multimodal_features": q_multimodal_features,
         "stream_dedup_exactly_once": q_stream_dedup_exactly_once,
+        "stream_host_rate": q_stream_host_rate,
+        "decon_ngram_overlap": q_decon_ngram_overlap,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_resize": q_multimodal_resize,
     }
@@ -1057,6 +1106,38 @@ def oracle_sql() -> dict[str, str]:
             {_crawl_cte()}
             SELECT DISTINCT o.url
             FROM outlinks o JOIN extractable e USING (doc_id)
+        """,
+        # hour-aligned tumbling windows over warc_ts = EPOCH + (doc_id*37) % 86400
+        # (sources/corpus.py:106); EPOCH_2026 is hour-aligned so Spark's
+        # epoch-aligned window start == floor(ts/3600)*3600
+        "stream_host_rate": """
+            SELECT 'host' || (doc_id % 10) || '.example' AS host,
+                   CAST((1767225600 + (doc_id * 37) % 86400) // 3600 * 3600
+                        AS BIGINT) AS window_start,
+                   count(*) AS n_fetches
+            FROM documents
+            GROUP BY 1, 2
+        """,
+        "decon_ngram_overlap": """
+            WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+            ev AS (
+                SELECT DISTINCT substr(text, CAST(t.i AS INT), 16) AS shingle
+                FROM documents, unnest(range(1, greatest(length(text) - 15, 1) + 1)) t(i)
+                WHERE doc_id % 97 = 0
+            ),
+            tsh AS (
+                SELECT DISTINCT d.doc_id, substr(d.text, CAST(t.i AS INT), 16) AS shingle
+                FROM train d, unnest(range(1, greatest(length(d.text) - 15, 1) + 1)) t(i)
+            ),
+            hits AS (
+                SELECT doc_id, count(*) AS n FROM tsh
+                WHERE shingle IN (SELECT shingle FROM ev)
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(n, 0) AS BIGINT) AS n_hit_shingles,
+                   coalesce(n, 0) > 0 AS contaminated
+            FROM train d LEFT JOIN hits USING (doc_id)
         """,
         # documents text is pure ASCII in this corpus (verified), so char
         # positions == byte positions and the byte-frame stand-in is exact SQL

@@ -47,19 +47,15 @@ def main():
     n_big = 4 * n_small
     max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
     attempts = []
-    best = None
-    # repeat the paired measurement and keep the best pair, recording every
-    # attempt for transparency
+    # run EVERY paired measurement and report the MEDIAN pair — a best-of
+    # selection (or an early break on a passing ratio) is biased toward
+    # favorable noise; the median with all attempts disclosed is not
     for _ in range(max_attempts):
         r_small = run(n_small, sf_dir)
         r_big = run(n_big, sf_dir)
         eff = (r_big["urls_per_sec"] / r_small["urls_per_sec"]) / 4.0
         attempts.append((eff, r_small, r_big))
-        if best is None or eff > best[0]:
-            best = (eff, r_small, r_big)
-        if eff >= 0.8:
-            break
-    eff, r_small, r_big = best
+    eff, r_small, r_big = sorted(attempts, key=lambda a: a[0])[len(attempts) // 2]
 
     peak = None
     if os.environ.get("SPARK_GRAFT_SKIP_PEAK", "") != "1":
@@ -102,8 +98,8 @@ GC-amortization noise — the pinned small-N JVM pays proportionally more GC)
 Noise disclosure: this sandbox VM shows bursty co-tenant interference; a
 pure-python pinned CPU probe (no Spark) measures hardware scaling 0.83-0.90
 for the same core ratios, bounding what any software can show here. The
-paired ({n_small}, {n_big}) measurement is repeated up to {max_attempts}
-times keeping the best pair. All attempts: {[round(a[0], 3) for a in attempts]}.
+paired ({n_small}, {n_big}) measurement is run {max_attempts} times and the
+MEDIAN pair reported. All attempts: {[round(a[0], 3) for a in attempts]}.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

@@ -81,3 +81,35 @@ def test_stateful_dedup_resumes_from_checkpoint(spark, tmp_path):
 
     urls = sorted(r["url"] for r in spark.read.parquet(out_dir).collect())
     assert urls == ["http://h.example/a", "http://h.example/b", "http://h.example/c"]
+
+
+def test_windowed_host_rate_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked tumbling-window count per host == the batch groupBy."""
+    from webcrawler_woc_spark.operators.fetch import host_expr
+    from webcrawler_woc_spark.sources.corpus import pages_from_documents
+    from webcrawler_woc_spark.streaming.host_rate_stream import (
+        host_rate_result,
+        stream_host_fetch_rate,
+    )
+    from pyspark.sql import functions as F
+
+    pages = pages_from_documents(spark, sf_dir)
+    pages_dir = str(tmp_path / "pages")
+    pages.repartition(4).write.parquet(pages_dir)
+
+    q = stream_host_fetch_rate(spark, pages_dir, "host_rate_t", max_files_per_trigger=1)
+    q.awaitTermination(300)
+    got = {
+        (r["host"], r["window_start"]): r["n_fetches"]
+        for r in host_rate_result(spark, "host_rate_t").collect()
+    }
+
+    batch = (
+        spark.read.parquet(pages_dir)
+        .select(host_expr(F.col("url")).alias("host"), F.col("warc_ts"))
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"), "host")
+        .agg(F.count("*").alias("n"))
+        .select("host", F.col("w.start").cast("timestamp").cast("long").alias("ws"), "n")
+    )
+    want = {(r["host"], r["ws"]): r["n"] for r in batch.collect()}
+    assert got == want and len(got) > 0

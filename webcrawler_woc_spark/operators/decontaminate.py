@@ -1,0 +1,66 @@
+"""Train/eval decontamination over ``documents`` — the n-gram-overlap check a
+training-data pipeline runs before any benchmark evaluation (public recipe:
+GPT-3 appendix C / The Pile / Dolma decontamination: flag a training doc if
+it shares any long character n-gram with an eval-set doc).
+
+The reference crawler has no analogue (its only dedup is URL identity,
+src/crawler.rs:82-99); this is part of the engine's 100 TB pipeline surface
+alongside operators/dedup.py.
+
+Scale shape: eval sets are small (10^4-10^6 docs) next to the 100 TB training
+corpus — so the eval shingle set is the BROADCAST side of a single semi-join
+probe of the training shingle explode. The corpus is scanned once, nothing
+but matches shuffles. For eval sets too big to broadcast, the same join runs
+shuffle-side on the shingle hash (the explode is already key-partitioned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import char_shingles
+
+
+def decontaminate(
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 16,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Flag training docs sharing >= 1 character ``n``-gram with an eval doc.
+
+    ``documents``: the training corpus (doc_id, text).
+    ``eval_docs``: the benchmark/eval corpus (doc_id, text) — typically tiny.
+
+    Output: (doc_id, n_hit_shingles, contaminated) one row per TRAINING doc;
+    ``n_hit_shingles`` = how many of its distinct shingles appear anywhere in
+    the eval set (0 => clean). Deterministic, integer-only, SQL-expressible.
+    """
+    train_sh = char_shingles(documents, n)
+    eval_sh = eval_docs.select(
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(text) - {n - 1}, 1)),"
+                    f" i -> substr(text, i, {n}))"
+                )
+            )
+        ).alias("shingle")
+    ).distinct()
+    if broadcast_eval:
+        eval_sh = F.broadcast(eval_sh)
+    hits = (
+        train_sh.join(eval_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_shingles"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hit_shingles"), F.lit(0)).alias("n_hit_shingles"),
+            (F.coalesce(F.col("n_hit_shingles"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
