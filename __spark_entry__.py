@@ -268,6 +268,55 @@ def q_crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scheduled.select("host", "slot", "url")
 
 
+def q_crawl_priority_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator composition (the graph.py docstring's 'priority from link
+    authority' made real): PageRank over the crawled link graph feeds the
+    politeness scheduler's priority, so high-authority pages win the per-host
+    budget slots. Output (host, slot, url, rank_ppm) — the budgeted schedule.
+    """
+    from webcrawler_woc_spark.operators.graph import doc_edges, pagerank_int
+    from webcrawler_woc_spark.operators.politeness import schedule_wave
+
+    docs = _docs(spark, sf_dir)
+    children = extract_child_links(_gated(spark, sf_dir)).select("parent_url", "url")
+    ranks = pagerank_int(docs.select("doc_id"), doc_edges(children), iterations=3)
+    frontier = docs.join(ranks, "doc_id").select(
+        F.concat(
+            F.lit("http://host"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(".example/page/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("host"), (F.col("doc_id") % 10).cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        F.col("rank_ppm").cast("double").alias("priority"),
+        F.col("rank_ppm"),
+    )
+    scheduled, _deferred = schedule_wave(frontier, robots=None, host_budget=5)
+    return scheduled.select("host", "slot", "url", "rank_ppm")
+
+
+def q_rel_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (subtotals + grand total in one pass — the report
+    shape a pricing summary actually ships with). GROUPING() marks the
+    subtotal rows so NULL group keys stay unambiguous."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    price_cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(price_cents).alias("sum_price_cents"),
+            F.count("*").alias("n_items"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_price_cents", "n_items", "g_flag", "g_status"
+        )
+    )
+
+
 def q_rel_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-scheduler primitive: per-key top-k by (priority, id)."""
     from pyspark.sql import Window
@@ -648,6 +697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots_delay": q_crawl_robots_delay,
         "crawl_disallow_filter": q_crawl_disallow_filter,
         "crawl_politeness_schedule": q_crawl_politeness_schedule,
+        "crawl_priority_pagerank": q_crawl_priority_pagerank,
+        "rel_rollup_pricing": q_rel_rollup_pricing,
         "rel_topk_per_group": q_rel_topk_per_group,
         "rel_anti_join": q_rel_anti_join,
         "rel_agg_pricing": q_rel_agg_pricing,
@@ -826,6 +877,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM frontier
             )
             SELECT host, CAST(slot AS INT) AS slot, url FROM ranked WHERE slot <= budget
+        """,
+        "crawl_priority_pagerank": f"""
+            WITH pr AS ({_pagerank_sql(3)}),
+            frontier AS (
+                SELECT 'http://host' || (d.doc_id % 10) || '.example/page/' || d.doc_id AS url,
+                       'host' || (d.doc_id % 10) || '.example' AS host,
+                       pr.rank_ppm
+                FROM documents d JOIN pr ON pr.doc_id = d.doc_id
+            ),
+            ranked AS (
+                SELECT host, url, rank_ppm,
+                       row_number() OVER (PARTITION BY host
+                                          ORDER BY rank_ppm DESC, url ASC) AS slot
+                FROM frontier
+            )
+            SELECT host, CAST(slot AS INT) AS slot, url, rank_ppm
+            FROM ranked WHERE slot <= 5
+        """,
+        "rel_rollup_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_price_cents,
+                   count(*) AS n_items,
+                   CAST(grouping(l_returnflag) AS INT) AS g_flag,
+                   CAST(grouping(l_linestatus) AS INT) AS g_status
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "rel_topk_per_group": """
             SELECT c_nationkey, c_custkey, CAST(rank AS INT) AS rank FROM (
