@@ -283,3 +283,41 @@ class TestRobotsDisallow:
         assert engine == oracle
         assert "http://h0.example/private/secret" in engine
         assert "http://h0.example/page/2" in engine
+
+
+class TestBroadcastFallbackEquivalence:
+    def test_shuffle_fallback_crawl_matches_broadcast_crawl(
+        self, spark, pages, monkeypatch, tmp_path
+    ):
+        """Force the size-conditional broadcast OFF (as if every manifest
+        count exceeded BROADCAST_MAX_ROWS) and assert the whole crawl —
+        seen set, links_out, per-wave counts — is identical to the
+        broadcast-path crawl. Proves the scale fallback is semantics-free."""
+        import webcrawler_woc_spark.config as cfgmod
+
+        cfg = CrawlConfig(
+            whitelist=[f"host{i}.example" for i in range(3)],
+            words=["merge"],
+            depth=2,
+            use_bloom=True,
+            n_buckets=8,
+        )
+        seeds = [("http://host0.example/page/0", 1.0)]
+
+        def run(path):
+            wh = Warehouse(spark, str(path), n_buckets=8)
+            crawl(spark, wh, pages, seeds, cfg)
+            seen = sorted(r["url"] for r in read_seen(wh).collect())
+            counts = {w: i["counts"] for w, i in wh.manifest["waves"].items()}
+            links = sorted(
+                map(repr, read_links_out(wh).select("url", "crawled", "link_type").collect())
+            )
+            return seen, counts, links
+
+        base = run(tmp_path / "wh_broadcast")
+        # wave 0 passes frontier_rows=None (always broadcast); later waves
+        # consult the manifest — forcing the threshold to 0 flips every
+        # size-gated join to the shuffle fallback
+        monkeypatch.setattr(cfgmod, "BROADCAST_MAX_ROWS", 0)
+        fallback = run(tmp_path / "wh_shuffle")
+        assert fallback == base
