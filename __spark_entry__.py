@@ -512,6 +512,17 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_dups(_emb(spark, sf_dir), dim=64, n_planes=8, threshold_ppm=300000)
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: probe the query's bucket plus every bucket at
+    Hamming distance 1 (n_planes+1 probes) — the recall/cost dial without
+    extra hash tables; candidates stay bucket-bounded."""
+    from webcrawler_woc_spark.operators.similarity import lsh_ann_topk
+
+    return lsh_ann_topk(
+        _emb(spark, sf_dir), dim=64, n_queries=10, k=5, n_planes=8, multiprobe=True
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_woc_spark.operators.similarity import cosine_topk
 
@@ -699,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_politeness_schedule": q_crawl_politeness_schedule,
         "crawl_priority_pagerank": q_crawl_priority_pagerank,
         "rel_rollup_pricing": q_rel_rollup_pricing,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "rel_topk_per_group": q_rel_topk_per_group,
         "rel_anti_join": q_rel_anti_join,
         "rel_agg_pricing": q_rel_agg_pricing,
@@ -1095,6 +1107,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
             ),
             q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM emb WHERE vec_id < 10),
+            sims AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       CAST(floor(list_dot_product(q.qv, e.v)
+                            / (sqrt(list_dot_product(q.qv, q.qv))
+                               * sqrt(list_dot_product(e.v, e.v))) * 1000000) AS BIGINT)
+                           AS sim_ppm
+                FROM q JOIN emb e USING (bucket) WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, sim_ppm, CAST(rank AS INT) AS rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY sim_ppm DESC, neighbor_id ASC) AS rank
+                FROM sims
+            ) WHERE rank <= 5
+        """,
+        "ann_lsh_multiprobe": f"""
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       {lsh_planes_sql} AS bucket
+                FROM embeddings
+            ),
+            q0 AS (SELECT vec_id AS query_id, v AS qv, bucket FROM emb WHERE vec_id < 10),
+            q AS (
+                SELECT query_id, qv,
+                       unnest([bucket, {", ".join(f"xor(bucket, {1 << b})" for b in range(8))}])
+                           AS bucket
+                FROM q0
+            ),
             sims AS (
                 SELECT q.query_id, e.vec_id AS neighbor_id,
                        CAST(floor(list_dot_product(q.qv, e.v)

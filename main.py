@@ -22,8 +22,9 @@ Flag parity with the reference (semantics per SURVEY.md §2):
   --host-budget N      per-host politeness budget per wave (north rule)
 Extra (engine-specific):
   --pages PATH         parquet/iceberg path of the pages corpus (fetch sim)
-  --warehouse PATH     crawl-state warehouse (resume = rerun with same path)
-  --resume             continue from the last committed wave
+  --warehouse PATH     crawl-state warehouse; rerunning with the same path
+                       resumes from the last committed wave automatically
+                       (a completed crawl is a clean no-op)
 """
 
 from __future__ import annotations

@@ -106,3 +106,27 @@ class TestAdaptivePlanes:
         # linear growth target ~4x; quadratic (fixed-plane) growth would be
         # ~16x. Allow slack for plane-split imbalance.
         assert w4 <= 8 * w1, (w1, w4)
+
+
+class TestMultiprobe:
+    def test_multiprobe_recall_superset_of_single_probe(self, spark, sf_dir):
+        from webcrawler_woc_spark.operators.similarity import lsh_ann_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        single = lsh_ann_topk(emb, dim=64, n_queries=10, k=5, n_planes=8)
+        multi = lsh_ann_topk(emb, dim=64, n_queries=10, k=5, n_planes=8, multiprobe=True)
+        s_rows = single.collect()
+        m_rows = multi.collect()
+        assert len(m_rows) >= len(s_rows)
+        # every single-probe candidate pair is reachable by multi-probe (its
+        # rank can only improve or stay; sim_ppm per pair is identical)
+        m_pairs = {(r["query_id"], r["neighbor_id"]): r["sim_ppm"] for r in m_rows}
+        for r in s_rows:
+            key = (r["query_id"], r["neighbor_id"])
+            if key in m_pairs:  # may fall off top-k when better probes appear
+                assert m_pairs[key] == r["sim_ppm"]
+        # and multi-probe's per-query result count is >= single-probe's
+        from collections import Counter
+
+        sc, mc = Counter(r["query_id"] for r in s_rows), Counter(r["query_id"] for r in m_rows)
+        assert all(mc[q] >= n for q, n in sc.items())

@@ -214,13 +214,21 @@ def embedding_cosine_dups(
 
 def lsh_ann_topk(
     embeddings: DataFrame, dim: int, n_queries: int = 10, k: int = 5,
-    n_planes: int | None = 8,
+    n_planes: int | None = 8, multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share the LSH bucket with the query.
 
     Recall < 1 by design (approximate); rank/order rules identical to
     cosine_topk. ``n_planes=None`` => adaptive_n_planes(corpus count).
-    Output (query_id, neighbor_id, cosine_sim, rank)."""
+
+    ``multiprobe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's signature (the classic multi-probe LSH
+    recall/cost dial: n_planes+1 probes per query instead of extra hash
+    tables — candidate volume grows ~x(n_planes+1), still bucket-bounded,
+    never all-pairs). Only the (tiny) query side explodes its probe list;
+    the corpus keeps ONE bucket per vector.
+
+    Output (query_id, neighbor_id, sim_ppm, rank)."""
     if n_planes is None:
         n_planes = adaptive_n_planes(embeddings.count())
     emb = embeddings.select(
@@ -229,6 +237,17 @@ def lsh_ann_topk(
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << b).cast("bigint"))
+                for b in range(n_planes)
+            ],
+        )
+        queries = queries.select(
+            "query_id", "qv", F.explode(probes).alias("bucket")
+        )
     joined = F.broadcast(queries).join(emb, "bucket").filter(F.col("query_id") != F.col("vec_id"))
     cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
     sims = joined.select(
