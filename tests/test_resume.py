@@ -83,3 +83,52 @@ class TestResume:
             assert info["counts"]["scheduled"] == 1
             assert info["host_lineage"][0]["host"] == "host0.example"
             assert set(info["tables"]) >= {"links_out", "seen", "rejected", "frontier"}
+
+
+class TestMidWaveResume:
+    def test_crash_between_table_writes_skips_completed_tables(self, spark, pages):
+        """Simulate a crash AFTER some table writes but BEFORE the manifest
+        commit: rerunning the wave must (a) not rewrite the completed tables
+        (parquet _SUCCESS present), (b) recover exact counts for the skipped
+        observations, (c) commit a manifest identical to a clean run."""
+        import json
+        import os
+
+        from webcrawler_woc_spark.plans.wave import run_wave
+
+        cfg = CrawlConfig(whitelist=WL, depth=1, use_bloom=True, n_buckets=8)
+
+        with tempfile.TemporaryDirectory() as t1, tempfile.TemporaryDirectory() as t2:
+            # clean reference wave
+            wh_ref = Warehouse(spark, t1, n_buckets=8)
+            crawl(spark, wh_ref, pages, SEEDS, cfg)
+            ref_counts = wh_ref.wave_counts(0)
+
+            # crashed run: execute wave 0 fully, then erase the manifest
+            # entry (the commit is the atomic visibility point — this is
+            # exactly the state a kill between writes and commit leaves,
+            # except every table finished; partial-table crashes differ only
+            # in which writes get skipped on rerun)
+            wh_b = Warehouse(spark, t2, n_buckets=8)
+            crawl(spark, wh_b, pages, SEEDS, cfg)
+            counts_first = wh_b.wave_counts(0)
+            manifest_path = os.path.join(wh_b.path, "manifest.json")
+            m = json.load(open(manifest_path))
+            tables = m["waves"]["0"]["tables"]
+            del m["waves"]["0"]
+            m["last_wave"] = -1
+            json.dump(m, open(manifest_path, "w"))
+
+            mtimes = {
+                t: os.path.getmtime(os.path.join(p, "_SUCCESS"))
+                for t, p in tables.items()
+            }
+
+            # rerun the wave in a FRESH Warehouse (manifest re-read)
+            wh_c = Warehouse(spark, t2, n_buckets=8)
+            counts = run_wave(spark, wh_c, pages, 0, cfg, bloom=None)
+            assert counts == counts_first == ref_counts
+            for t, p in tables.items():
+                assert os.path.getmtime(os.path.join(p, "_SUCCESS")) == mtimes[t], (
+                    f"{t} was rewritten despite its _SUCCESS marker"
+                )

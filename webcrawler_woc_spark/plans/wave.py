@@ -267,6 +267,22 @@ def run_wave(
         "extracted_text": ("w_text", wave, extracted_text(gated), False),
         "crawl_order": ("w_order", wave, order_df, False),
     }
+    # mid-wave resume: a wave that crashed BETWEEN table writes left some
+    # tables complete (parquet _SUCCESS marker) but no manifest entry. Wave
+    # outputs are deterministic given (frontier, corpus, cfg), so completed
+    # tables are skipped, only the missing ones are (re)written, and the
+    # manifest commit below still makes the wave visible atomically.
+    import os as _os
+
+    skipped: set[str] = set()
+
+    def _write_or_skip(table: str, wv: int, df_, bucket: bool) -> str:
+        path = wh.table_wave_path(table, wv)
+        if _os.path.exists(_os.path.join(path, "_SUCCESS")):
+            skipped.add(table)
+            return path
+        return wh.write_wave_table(table, wv, df_, bucket=bucket)
+
     table_paths = {}
     # one pool slot per write: every input is cached, so the 7 jobs only
     # contend for executor cores, and the block is bounded by the slowest
@@ -274,7 +290,7 @@ def run_wave(
     with ThreadPoolExecutor(max_workers=len(writes)) as pool:
         futs = {
             table: pool.submit(
-                _timed, tkey, lambda t=table, w=wv, d=df_, b=bucket: wh.write_wave_table(t, w, d, bucket=b)
+                _timed, tkey, lambda t=table, w=wv, d=df_, b=bucket: _write_or_skip(t, w, d, b)
             )
             for table, (tkey, wv, df_, bucket) in writes.items()
         }
@@ -283,10 +299,23 @@ def run_wave(
 
     # -- metrics + lineage (observed on the writes: exact, zero extra jobs) --
     frontier_in = _timed("c_frontier_in", frontier.count)
-    n_scheduled = int(obs_links.get["scheduled"])
-    fetch_ok = int(obs_links.get["fetch_ok"])
-    new_rejected_n = int(obs_links.get["rejected"])
-    new_frontier_n = int(obs_frontier.get["n"])
+    if "links_out" in skipped:
+        # the observation never fired (write skipped on mid-wave resume);
+        # recover the counts from the committed parquet. fetched was dropped
+        # before the write, but for crawled rows fetched <=> content_type
+        # is non-null (fetch_join nulls every response column on failure).
+        lo = spark.read.parquet(table_paths["links_out"])
+        n_scheduled = lo.filter(F.col("crawled")).count()
+        fetch_ok = lo.filter(F.col("crawled") & F.col("content_type").isNotNull()).count()
+        new_rejected_n = lo.filter(~F.col("crawled")).count()
+    else:
+        n_scheduled = int(obs_links.get["scheduled"])
+        fetch_ok = int(obs_links.get["fetch_ok"])
+        new_rejected_n = int(obs_links.get["rejected"])
+    if "frontier" in skipped:
+        new_frontier_n = spark.read.parquet(table_paths["frontier"]).count()
+    else:
+        new_frontier_n = int(obs_frontier.get["n"])
     host_lineage = _timed(
         "c_lineage",
         lambda: [
