@@ -27,9 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from webcrawler_woc_spark.operators.extract import (
-    HTML_MIMES,
     extract_child_links,
     extracted_text,
+    mime_ok,
 )
 from webcrawler_woc_spark.operators.fetch import synth_ipv4, synth_ipv6, with_host, with_url_hash
 from webcrawler_woc_spark.operators.routing import dedup_wave, should_crawl_col
@@ -61,7 +61,7 @@ def _gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pages that pass the exact MIME gate (crawler.rs:225-227)."""
     pages = _pages(spark, sf_dir)
     ct = default_content_type_expr(F.col("url"))
-    return pages.withColumn("content_type", ct).filter(F.col("content_type").isin(*HTML_MIMES))
+    return pages.withColumn("content_type", ct).filter(mime_ok(F.col("content_type")))
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

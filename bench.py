@@ -71,7 +71,7 @@ def bench_wave_kernel(spark, pages) -> dict:
     type+dedup+policy-route. URLs/sec = extracted links / wall."""
     from pyspark.sql import functions as F
 
-    from webcrawler_woc_spark.operators.extract import HTML_MIMES, extract_child_links
+    from webcrawler_woc_spark.operators.extract import extract_child_links, mime_ok
     from webcrawler_woc_spark.operators.fetch import with_host, with_url_hash
     from webcrawler_woc_spark.operators.routing import dedup_wave, should_crawl_col
     from webcrawler_woc_spark.sources.corpus import default_content_type_expr
@@ -79,7 +79,7 @@ def bench_wave_kernel(spark, pages) -> dict:
     wl = [f"host{i}.example" for i in range(5)]
     t0 = time.time()
     ct = default_content_type_expr(F.col("url"))
-    gated = pages.withColumn("content_type", ct).filter(F.col("content_type").isin(*HTML_MIMES))
+    gated = pages.withColumn("content_type", ct).filter(mime_ok(F.col("content_type")))
     children = extract_child_links(gated)
     deduped = with_host(with_url_hash(dedup_wave(children.select("url", "link_type"))))
     routed = deduped.withColumn("sc", should_crawl_col(F.col("host"), wl, None))

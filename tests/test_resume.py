@@ -94,7 +94,7 @@ class TestMidWaveResume:
         import json
         import os
 
-        from webcrawler_woc_spark.plans.wave import run_wave
+        from webcrawler_woc_spark.plans.wave import cfg_fingerprint, run_wave
 
         cfg = CrawlConfig(whitelist=WL, depth=1, use_bloom=True, n_buckets=8)
 
@@ -105,10 +105,10 @@ class TestMidWaveResume:
             ref_counts = wh_ref.wave_counts(0)
 
             # crashed run: execute wave 0 fully, then erase the manifest
-            # entry (the commit is the atomic visibility point — this is
-            # exactly the state a kill between writes and commit leaves,
-            # except every table finished; partial-table crashes differ only
-            # in which writes get skipped on rerun)
+            # entry and restore the staging sidecar (the commit is the atomic
+            # visibility point — this is exactly the state a kill between
+            # writes and commit leaves, except every table finished;
+            # partial-table crashes differ only in which writes get skipped)
             wh_b = Warehouse(spark, t2, n_buckets=8)
             crawl(spark, wh_b, pages, SEEDS, cfg)
             counts_first = wh_b.wave_counts(0)
@@ -118,6 +118,8 @@ class TestMidWaveResume:
             del m["waves"]["0"]
             m["last_wave"] = -1
             json.dump(m, open(manifest_path, "w"))
+            staging = os.path.join(wh_b.path, "staging_wave_0.json")
+            json.dump({"cfg_fp": cfg_fingerprint(cfg), "wave": 0}, open(staging, "w"))
 
             mtimes = {
                 t: os.path.getmtime(os.path.join(p, "_SUCCESS"))
@@ -131,4 +133,42 @@ class TestMidWaveResume:
             for t, p in tables.items():
                 assert os.path.getmtime(os.path.join(p, "_SUCCESS")) == mtimes[t], (
                     f"{t} was rewritten despite its _SUCCESS marker"
+                )
+            assert not os.path.exists(staging)  # spent after the commit
+
+    def test_changed_cfg_invalidates_crashed_attempt(self, spark, pages):
+        """Leftover tables from a crashed attempt under a DIFFERENT cfg must
+        be rewritten, not mixed into the resumed wave."""
+        import json
+        import os
+
+        from webcrawler_woc_spark.plans.wave import cfg_fingerprint, run_wave
+
+        cfg_old = CrawlConfig(whitelist=WL, depth=1, use_bloom=True, n_buckets=8)
+        cfg_new = CrawlConfig(whitelist=WL[:2], depth=1, use_bloom=True, n_buckets=8)
+
+        with tempfile.TemporaryDirectory() as t1, tempfile.TemporaryDirectory() as t2:
+            wh_ref = Warehouse(spark, t1, n_buckets=8)
+            crawl(spark, wh_ref, pages, SEEDS, cfg_new)  # clean new-cfg run
+
+            wh_b = Warehouse(spark, t2, n_buckets=8)
+            crawl(spark, wh_b, pages, SEEDS, cfg_old)  # crashed old-cfg run
+            manifest_path = os.path.join(wh_b.path, "manifest.json")
+            m = json.load(open(manifest_path))
+            tables = m["waves"]["0"]["tables"]
+            del m["waves"]["0"]
+            m["last_wave"] = -1
+            json.dump(m, open(manifest_path, "w"))
+            staging = os.path.join(wh_b.path, "staging_wave_0.json")
+            json.dump({"cfg_fp": cfg_fingerprint(cfg_old), "wave": 0}, open(staging, "w"))
+            mtimes = {
+                t: os.path.getmtime(os.path.join(p, "_SUCCESS")) for t, p in tables.items()
+            }
+
+            wh_c = Warehouse(spark, t2, n_buckets=8)
+            counts = run_wave(spark, wh_c, pages, 0, cfg_new, bloom=None)
+            assert counts == wh_ref.wave_counts(0)  # new-cfg results, not stale
+            for t, p in tables.items():
+                assert os.path.getmtime(os.path.join(p, "_SUCCESS")) != mtimes[t], (
+                    f"{t} kept a stale old-cfg table"
                 )

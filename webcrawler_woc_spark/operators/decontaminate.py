@@ -38,16 +38,9 @@ def decontaminate(
     the eval set (0 => clean). Deterministic, integer-only, SQL-expressible.
     """
     train_sh = char_shingles(documents, n)
-    eval_sh = eval_docs.select(
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(text) - {n - 1}, 1)),"
-                    f" i -> substr(text, i, {n}))"
-                )
-            )
-        ).alias("shingle")
-    ).distinct()
+    # SAME shingling rule on both sides (short-text fallback included) — an
+    # inline re-implementation here could silently diverge from the train side
+    eval_sh = char_shingles(eval_docs, n).select("shingle").distinct()
     if broadcast_eval:
         eval_sh = F.broadcast(eval_sh)
     hits = (

@@ -237,11 +237,15 @@ def simhash62(documents: DataFrame) -> DataFrame:
         return pd.Series(out)
 
     def hash_token(tok: str) -> int:
+        # fold CODEPOINTS, not utf-8 bytes: the DuckDB twin hashes via
+        # ascii(char) == ord(char), and Spark's _sql_str_hash31 (MinHash)
+        # folds F.ascii the same way — bytes would silently diverge from
+        # the oracle on the first non-ASCII token
         p1 = 0
         p2 = 0
-        for ch in tok.encode("utf-8"):
-            p1 = (p1 * 31 + ch) % POLY_MOD
-            p2 = (p2 * 131 + ch) % POLY_MOD
+        for ch in tok:
+            p1 = (p1 * 31 + ord(ch)) % POLY_MOD
+            p2 = (p2 * 131 + ord(ch)) % POLY_MOD
         m1 = (p1 % MERSENNE31) ** 2 % MERSENNE31
         m2 = (p2 % MERSENNE31) ** 2 % MERSENNE31
         return m1 * (1 << 31) + m2

@@ -161,7 +161,7 @@ def crawl_oracle(
                 fetched = False  # timed out: body never read (crawler.rs:209-216)
             ct = content_type_fn(url) if fetched else None
             cw = False
-            if fetched and ct in HTML_MIMES:
+            if fetched and ct.lower() in HTML_MIMES:  # mime crate lowercases (links.rs:159-176)
                 html = pages[url].decode("utf-8", "replace")
                 if words and contains_words(html, words):
                     cw = True

@@ -33,6 +33,19 @@ from ..functions.udfs import link_type_col, make_contains_words_udf
 from .state import Warehouse
 
 
+def cfg_fingerprint(cfg: CrawlConfig) -> str:
+    """Stable fingerprint of every cfg field that shapes wave outputs — the
+    mid-wave-resume staging sidecar records it so leftovers from a crashed
+    attempt under a DIFFERENT cfg are never mixed into a resumed wave."""
+    import dataclasses
+    import hashlib
+    import json
+
+    return hashlib.sha256(
+        json.dumps(dataclasses.asdict(cfg), sort_keys=True, default=str).encode()
+    ).hexdigest()
+
+
 def run_wave(
     spark: SparkSession,
     wh: Warehouse,
@@ -272,13 +285,34 @@ def run_wave(
     # outputs are deterministic given (frontier, corpus, cfg), so completed
     # tables are skipped, only the missing ones are (re)written, and the
     # manifest commit below still makes the wave visible atomically.
+    #
+    # The determinism premise is VALIDATED, not assumed: a staging sidecar
+    # records the cfg fingerprint before any write; if the crashed attempt
+    # ran under a different cfg (the CLI re-derives cfg from flags on every
+    # resume), its leftovers are ignored and every table is rewritten —
+    # otherwise a resumed wave could atomically commit a mix of old-policy
+    # and new-policy tables.
+    import json as _json
     import os as _os
+
+    cfg_fp = cfg_fingerprint(cfg)
+    staging_path = _os.path.join(wh.path, f"staging_wave_{wave}.json")
+    stale_attempt = True
+    if _os.path.exists(staging_path):
+        try:
+            with open(staging_path) as f:
+                stale_attempt = _json.load(f).get("cfg_fp") != cfg_fp
+        except (OSError, ValueError):
+            stale_attempt = True
+    with open(staging_path + ".tmp", "w") as f:
+        _json.dump({"cfg_fp": cfg_fp, "wave": wave}, f)
+    _os.replace(staging_path + ".tmp", staging_path)
 
     skipped: set[str] = set()
 
     def _write_or_skip(table: str, wv: int, df_, bucket: bool) -> str:
         path = wh.table_wave_path(table, wv)
-        if _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        if not stale_attempt and _os.path.exists(_os.path.join(path, "_SUCCESS")):
             skipped.add(table)
             return path
         return wh.write_wave_table(table, wv, df_, bucket=bucket)
@@ -352,6 +386,10 @@ def run_wave(
         "new_rejected": new_rejected_n,
     }
     wh.commit_wave(wave, table_paths, counts, host_lineage, time.time() - t0, bloom, timings)
+    try:
+        _os.remove(staging_path)  # the wave is committed; the sidecar is spent
+    except OSError:
+        pass
     scheduled.unpersist()
     matched.unpersist()
     fetched.unpersist()
