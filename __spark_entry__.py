@@ -565,6 +565,12 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_woc_spark.operators.textstats import repetition
+
+    return repetition(_docs(spark, sf_dir))
+
+
 def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data ops composed into the real use-case: corpus
     curation. Keep documents that (1) language-identify as 'en', (2) pass
@@ -734,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
         "pipeline_curate": q_pipeline_curate,
         "multimodal_features": q_multimodal_features,
         "stream_dedup_exactly_once": q_stream_dedup_exactly_once,
@@ -1147,6 +1154,23 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY sim_ppm DESC, neighbor_id ASC) AS rank
                 FROM sims
             ) WHERE rank <= 5
+        """,
+        "text_repetition": f"""
+            WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+            b AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(range(1, len(toks)),
+                                                i -> toks[i] || ' ' || toks[i + 1])
+                            ELSE [] END AS bgs
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(len(bgs) AS INT) AS n_bigrams,
+                   CAST(len(list_distinct(bgs)) AS INT) AS n_distinct_bigrams,
+                   CAST((len(bgs) - len(list_distinct(bgs))) * 1000000
+                        // greatest(len(bgs), 1) AS BIGINT) AS dup_bigram_ppm
+            FROM b
         """,
         "text_token_counts": f"""
             SELECT doc_id,

@@ -89,6 +89,35 @@ def lang_id(documents: DataFrame) -> DataFrame:
     return df.select("doc_id", pred.alias("lang_pred"), best.alias("best_hits"))
 
 
+def repetition(documents: DataFrame) -> DataFrame:
+    """Intra-document repetition (the Gopher/Dolma 'repetitious text' class
+    of quality signal): fraction of duplicate token 2-grams per doc. Boiler-
+    plate and spam pages repeat phrases; the signal is the standard pre-
+    training filter alongside quality_scores. Pure Catalyst; integer-exact
+    ppm via `div`, SQL-twin exact.
+
+    Output (doc_id, n_bigrams, n_distinct_bigrams, dup_bigram_ppm)."""
+    toks = _tokens(F.col("text"))
+    df = documents.select("doc_id", toks.alias("toks"))
+    bgs = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    df = df.select("doc_id", bgs.alias("bgs"))
+    return df.select(
+        "doc_id",
+        F.size("bgs").cast("int").alias("n_bigrams"),
+        F.size(F.array_distinct("bgs")).cast("int").alias("n_distinct_bigrams"),
+        F.expr(
+            "CAST((size(bgs) - size(array_distinct(bgs))) * 1000000"
+            " div greatest(size(bgs), 1) AS BIGINT)"
+        ).alias("dup_bigram_ppm"),
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Polynomial rolling-hash document fingerprint (order-sensitive, unlike
     a bag-of-words hash): acc = (acc*31 + ascii(char)) mod FINGERPRINT_MOD,
