@@ -95,6 +95,12 @@ def main(argv: list[str] | None = None) -> int:
         help="tee the crawled links to stdout (reference cli.rs:260-266)",
     )
     ap.add_argument("--pages", required=True)
+    ap.add_argument(
+        "--pages-format", choices=("parquet", "json"), default="parquet",
+        help="pages corpus format: parquet (default) or JSON-lines with the "
+             "same (url, warc_ts, html, text, lang) schema — html base64, "
+             "warc_ts ISO-8601 (the shape Common-Crawl-style JSONL dumps use)",
+    )
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--no-bloom", action="store_true")
@@ -124,7 +130,13 @@ def main(argv: list[str] | None = None) -> int:
             f"conf: task_limit={args.task_limit} -> shuffle_partitions="
             f"{spark.conf.get('spark.sql.shuffle.partitions')}"
         )
-    pages = spark.read.parquet(args.pages)
+    if args.pages_format == "json":
+        from webcrawler_woc_spark.schemas import PAGES_SCHEMA
+
+        # Spark maps JSON strings -> binary via base64 when the schema says so
+        pages = spark.read.schema(PAGES_SCHEMA).json(args.pages)
+    else:
+        pages = spark.read.parquet(args.pages)
 
     cfg = CrawlConfig(
         whitelist=read_host_lines(args.whitelist),

@@ -121,3 +121,21 @@ class TestCliEndToEnd:
         assert out.returncode == 0, out.stderr[-2000:]
         m = json.load(open(tmp_path / "wh" / "manifest.json"))
         assert m["waves"]["0"]["counts"]["fetched"] == 1
+
+    def test_jsonl_pages_source_matches_parquet(self, spark, pages_path, tmp_path):
+        # same corpus shipped as JSON-lines (html base64) must crawl
+        # identically to the parquet source
+        json_dir = str(tmp_path / "pages_json")
+        spark.read.parquet(pages_path).write.json(json_dir)
+        out = _run_main(
+            [
+                "http://host0.example/page/20", "-d", "1", "--timeout", "0",
+                "--pages", json_dir, "--pages-format", "json",
+                "--warehouse", str(tmp_path / "wh_json"),
+            ],
+            cwd=str(tmp_path),
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        m = json.load(open(tmp_path / "wh_json" / "manifest.json"))
+        w0 = m["waves"]["0"]["counts"]
+        assert w0["fetched"] == 1 and w0["extracted_links"] > 0
