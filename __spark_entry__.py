@@ -571,6 +571,32 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition(_docs(spark, sf_dir))
 
 
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_woc_spark.operators.textstats import bpe_token_counts
+
+    return bpe_token_counts(_docs(spark, sf_dir))
+
+
+def q_pipeline_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified training-mix sampling: 60% of en, 30% of de,
+    everything else whole — counted per stratum to keep the gate output
+    small while checking every kept/dropped decision (counts differ if any
+    row's predicate flips)."""
+    from webcrawler_woc_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    kept = stratified_sample(docs, "lang", {"en": 60, "de": 30}, default_pct=100)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"), F.min("doc_id").alias("first_doc")
+    )
+
+
+def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from webcrawler_woc_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget_tokens=2048)
+
+
 def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data ops composed into the real use-case: corpus
     curation. Keep documents that (1) language-identify as 'en', (2) pass
@@ -741,7 +767,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "pipeline_curate": q_pipeline_curate,
+        "pipeline_sample_mix": q_pipeline_sample_mix,
+        "pipeline_pack_sequences": q_pipeline_pack_sequences,
         "multimodal_features": q_multimodal_features,
         "stream_dedup_exactly_once": q_stream_dedup_exactly_once,
         "stream_host_rate": q_stream_host_rate,
@@ -1171,6 +1200,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST((len(bgs) - len(list_distinct(bgs))) * 1000000
                         // greatest(len(bgs), 1) AS BIGINT) AS dup_bigram_ppm
             FROM b
+        """,
+        "text_bpe_tokens": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +'))
+                           AS n_bpe,
+                       len({TOKENS_SQL}) AS n_ws
+                FROM documents
+            )
+            SELECT doc_id, CAST(n_bpe AS INT) AS n_bpe_tokens,
+                   CAST(n_ws AS INT) AS n_ws_tokens,
+                   CAST(n_bpe * 1000000 // greatest(n_ws, 1) AS BIGINT)
+                       AS bpe_per_word_ppm
+            FROM t
+        """,
+        "pipeline_sample_mix": """
+            WITH h AS (
+                SELECT lang, doc_id,
+                       ((doc_id % 2147483647) * (doc_id % 2147483647)) % 2147483647 AS sh,
+                       CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30 ELSE 100 END AS pct
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_kept, CAST(min(doc_id) AS BIGINT) AS first_doc
+            FROM h WHERE sh % 100 < pct GROUP BY lang
+        """,
+        "pipeline_pack_sequences": f"""
+            WITH t AS (
+                SELECT doc_id, CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS cum0
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(cum0 // 2048 AS BIGINT) AS bin_id,
+                   CAST(cum0 % 2048 AS BIGINT) AS offset_in_bin
+            FROM c
         """,
         "text_token_counts": f"""
             SELECT doc_id,

@@ -1,0 +1,67 @@
+"""Training-mix operators (operators/sampling.py): deterministic stratified
+sampling and concat-and-chunk sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webcrawler_woc_spark.operators.sampling import pack_sequences, stratified_sample
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_subset(self, spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        a = {r["doc_id"] for r in stratified_sample(docs, "lang", {"en": 50}).select("doc_id").collect()}
+        b = {r["doc_id"] for r in stratified_sample(docs, "lang", {"en": 50}).select("doc_id").collect()}
+        assert a == b  # no RNG state: identical across runs
+        assert a <= {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+    def test_default_rate_keeps_everything(self, spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        assert stratified_sample(docs, "lang", {}).count() == docs.count()
+
+    def test_rate_zero_drops_stratum_entirely(self, spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        kept = stratified_sample(docs, "lang", {"en": 0})
+        assert kept.filter(F.col("lang") == "en").count() == 0
+        # other strata untouched
+        assert (
+            kept.filter(F.col("lang") != "en").count()
+            == docs.filter(F.col("lang") != "en").count()
+        )
+
+    def test_rate_roughly_honored(self, spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        n_en = docs.filter(F.col("lang") == "en").count()
+        if n_en < 50:
+            return  # not enough rows to be statistical
+        kept = stratified_sample(docs, "lang", {"en": 50}).filter(F.col("lang") == "en").count()
+        assert 0.3 * n_en <= kept <= 0.7 * n_en
+
+
+class TestPackSequences:
+    def test_offsets_within_budget_and_bins_monotone(self, spark, sf_dir):
+        rows = (
+            pack_sequences(_docs(spark, sf_dir), budget_tokens=512)
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert all(0 <= r["offset_in_bin"] < 512 for r in rows)
+        bins = [r["bin_id"] for r in rows]
+        assert bins == sorted(bins)  # stream layout: bins never go backwards
+        # exact stream arithmetic: bin*budget + offset == tokens before doc
+        cum = 0
+        for r in rows:
+            assert r["bin_id"] * 512 + r["offset_in_bin"] == cum
+            cum += r["n_tokens"]
+
+    def test_total_bins_matches_token_stream(self, spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        out = pack_sequences(docs, budget_tokens=512)
+        total_tokens = out.agg(F.sum("n_tokens")).collect()[0][0]
+        last = out.orderBy(F.desc("doc_id")).limit(1).collect()[0]
+        assert last["bin_id"] <= total_tokens // 512

@@ -1,0 +1,76 @@
+"""Training-mix operators: deterministic stratified sampling and sequence
+packing — the two steps between a curated corpus and an actual pretraining
+data loader (mix rates per language/source, then concat-and-chunk into
+fixed token budgets).
+
+Both are pure Catalyst and integer-exact, so the DuckDB oracle checks values.
+
+Scale notes:
+* sampling is a stateless per-row predicate (hash of doc_id) — no shuffle,
+  fully parallel, reproducible across runs/engines (no RNG state, unlike
+  ``df.sample`` whose split depends on partitioning);
+* packing uses ONE global running sum in this reference implementation; at
+  100 TB you pack per shard (repartition by shard key, window PARTITION BY
+  shard) — the per-shard plan is this exact window with a partition key,
+  noted here rather than parameterized because the gate corpus is one shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MERSENNE31 = (1 << 31) - 1
+
+
+def _sample_hash(doc_id):
+    """Square-mod avalanche over doc_id (plain ``doc_id % 100`` would
+    correlate with any id-derived stratum; squaring decorrelates). Identical
+    integer math in the SQL oracle."""
+    m = F.pmod(doc_id, F.lit(MERSENNE31))
+    return F.pmod(m * m, F.lit(MERSENNE31))
+
+
+def stratified_sample(
+    documents: DataFrame,
+    strata_col: str = "lang",
+    rates_pct: dict[str, int] | None = None,
+    default_pct: int = 100,
+) -> DataFrame:
+    """Keep each row iff ``hash(doc_id) % 100 < pct(stratum)`` — the
+    deterministic per-stratum downsampling a training mix is built from
+    (e.g. keep 60% of en, 30% of de, all of everything else).
+
+    Returns the sampled rows unchanged (plus no extra columns).
+    """
+    rates_pct = rates_pct or {}
+    pct = F.lit(default_pct)
+    for stratum, rate in sorted(rates_pct.items()):
+        pct = F.when(F.col(strata_col) == stratum, F.lit(rate)).otherwise(pct)
+    return documents.filter(F.pmod(_sample_hash(F.col("doc_id")), F.lit(100)) < pct)
+
+
+def pack_sequences(
+    documents: DataFrame, budget_tokens: int = 2048, order_col: str = "doc_id"
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in
+    ``order_col`` order as one token stream and cut every ``budget_tokens``
+    — each doc gets the bin it STARTS in and its offset there (docs may
+    straddle bins; that is the standard pretraining packing contract).
+
+    Output (doc_id, n_tokens, bin_id, offset_in_bin) — all integers.
+    """
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    t = documents.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+    w = Window.orderBy(F.asc(order_col)).rowsBetween(Window.unboundedPreceding, -1)
+    cum0 = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        cum0.alias("_cum0"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"CAST(_cum0 div {budget_tokens} AS BIGINT)").alias("bin_id"),
+        F.pmod(F.col("_cum0"), F.lit(budget_tokens)).cast("bigint").alias("offset_in_bin"),
+    )

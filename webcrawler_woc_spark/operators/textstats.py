@@ -89,6 +89,34 @@ def lang_id(documents: DataFrame) -> DataFrame:
     return df.select("doc_id", pred.alias("lang_pred"), best.alias("best_hits"))
 
 
+# GPT-2-style pre-tokenizer, RE2-safe subset (no lookahead/unicode classes:
+# the corpus is ASCII and the DuckDB twin runs RE2): a word with optional
+# leading space, a number run, a punctuation run, or a whitespace run.
+BPE_ISH_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +"
+
+
+def bpe_token_counts(documents: DataFrame) -> DataFrame:
+    """Token counting under a BPE-ish pre-tokenizer regex (the unit LLM
+    training budgets are actually measured in, vs whitespace words). Pure
+    Catalyst regexp_extract_all; identical RE2-compatible pattern in the
+    DuckDB oracle. Output (doc_id, n_bpe_tokens, n_ws_tokens, ratio_ppm)."""
+    bpe = F.expr(f"regexp_extract_all(text, '{BPE_ISH_RE}', 0)")
+    ws = _tokens(F.col("text"))
+    n_bpe = F.size(bpe)
+    n_ws = F.size(ws)
+    return documents.select(
+        "doc_id",
+        n_bpe.cast("int").alias("n_bpe_tokens"),
+        n_ws.cast("int").alias("n_ws_tokens"),
+        # bpe-per-word ratio in ppm — integer-exact via div
+        F.expr(
+            f"CAST(size(regexp_extract_all(text, '{BPE_ISH_RE}', 0)) * 1000000 "
+            "div greatest(size(filter(split(trim(text), '\\\\s+'), t -> t != '')), 1)"
+            " AS BIGINT)"
+        ).alias("bpe_per_word_ppm"),
+    )
+
+
 def repetition(documents: DataFrame) -> DataFrame:
     """Intra-document repetition (the Gopher/Dolma 'repetitious text' class
     of quality signal): fraction of duplicate token 2-grams per doc. Boiler-
