@@ -17,7 +17,6 @@ from pyspark.sql.types import ArrayType, BooleanType, StringType
 from pyspark.sql.functions import pandas_udf
 
 from .html import (
-    contains_words,
     extract_links,
     extract_text,
     links_from_text,
@@ -84,14 +83,23 @@ def make_contains_words_udf(words: list[str]):
 
     ``words`` is captured in the closure (small list — the reference loads it
     into an Arc'd HashSet; we ship it with the task closure / broadcast).
+
+    Kernel: ONE vectorized ``Series.str.contains`` over an escaped regex
+    union — C-side per batch, vs the previous per-element Python
+    ``any(w in h)`` loop. Semantics identical: case-sensitive substring
+    containment of any word over the raw (utf-8-decoded) html.
     """
+    import re
+
     frozen = list(words)
+    pattern = "|".join(re.escape(w) for w in frozen)
 
     @pandas_udf(BooleanType())
     def contains_words_udf(html: pd.Series) -> pd.Series:
         if not frozen:
             return pd.Series([False] * len(html))
-        return html.map(lambda h: contains_words(_decode(h), frozen))
+        decoded = html.map(_decode)
+        return decoded.str.contains(pattern, regex=True).fillna(False)
 
     return contains_words_udf
 
