@@ -77,3 +77,51 @@ def test_pre_trim_bounds_the_window_input(spark):
     )
     assert survivors <= salt_buckets * budget  # 400, not 50_000
     assert survivors >= budget  # still a superset of the true top-k
+
+
+class TestDisallowWildcards:
+    CASES = [
+        # (rule, path, disallowed?)
+        ("/private", "/private/x", True),       # plain prefix
+        ("/private", "/privateer", True),       # prefix, not segment-aware (spec)
+        ("/private", "/pub", False),
+        ("/*.pdf$", "/docs/a.pdf", True),       # wildcard + anchor
+        ("/*.pdf$", "/docs/a.pdfx", False),     # anchor rejects suffix
+        ("/*.pdf", "/docs/a.pdfx", True),       # unanchored wildcard
+        ("/a*b", "/aXXXb", True),
+        ("/a*b", "/ab", True),                  # '*' matches empty
+        ("/a*b", "/b a", False),
+        ("/x$", "/x", True),
+        ("/x$", "/xy", False),
+        ("/.^+(){}[]|", "/.^+(){}[]|Z", True),  # metachars are literal ("?" would start a query)
+    ]
+
+    def test_engine_matches_python_twin(self, spark):
+        from pyspark.sql import functions as F
+
+        from webcrawler_woc_spark.operators.fetch import with_host, with_url_hash
+        from webcrawler_woc_spark.operators.politeness import filter_disallowed
+        from webcrawler_woc_spark.oracle.pyoracle import _rule_matches
+
+        host = "host0.example"
+        frontier = with_host(
+            with_url_hash(
+                spark.createDataFrame(
+                    [(f"http://{host}{path}", 1.0) for _, path, _ in self.CASES],
+                    "url string, priority double",
+                )
+            )
+        )
+        rules = spark.createDataFrame(
+            [(host, rule) for rule, _, _ in self.CASES], "host string, prefix string"
+        ).distinct()
+        kept = {r["url"] for r in filter_disallowed(frontier, rules).collect()}
+        all_rules = [rule for rule, _, _ in self.CASES]
+        for rule, path, want_blocked in self.CASES:
+            url = f"http://{host}{path}"
+            # engine semantics: blocked iff ANY rule matches
+            blocked_engine = url not in kept
+            blocked_twin = any(_rule_matches(path, r) for r in all_rules)
+            assert blocked_engine == blocked_twin, (rule, path)
+            # and each case's own rule behaves as specified
+            assert _rule_matches(path, rule) == want_blocked, (rule, path)

@@ -77,13 +77,38 @@ def url_path(url) -> "F.Column":
 
 def filter_disallowed(frontier: DataFrame, disallow: DataFrame) -> DataFrame:
     """Frontier minus robots-disallowed URLs: a broadcast LEFT ANTI join on
-    (same host AND path startswith prefix) — the disallow table is per-host
-    tiny, the frontier is never shuffled."""
-    d = F.broadcast(disallow.select(F.col("host").alias("d_host"), F.col("prefix")))
-    cond = (F.col("host") == F.col("d_host")) & F.startswith(
-        url_path(F.col("url")), F.col("prefix")
+    (same host AND rule matches path) — the disallow table is per-host tiny,
+    the frontier is never shuffled.
+
+    Rule semantics per the Google robots spec: a plain rule is a path
+    PREFIX (fast startswith path); ``*`` matches any char sequence and a
+    trailing ``$`` anchors the end — wildcard rules are translated to an
+    anchored regex ONCE per rule (pure Catalyst string ops on the broadcast
+    side), then matched with RLIKE as the join residual."""
+    ends_dollar = F.col("prefix").endswith("$")
+    body = F.when(
+        ends_dollar, F.expr("substring(prefix, 1, length(prefix) - 1)")
+    ).otherwise(F.col("prefix"))
+    # escape every regex metachar EXCEPT '*', then '*' -> '.*'
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    pattern = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(ends_dollar, F.lit("$")).otherwise(F.lit("")),
     )
-    return frontier.join(d, cond, "left_anti")
+    d = F.broadcast(
+        disallow.select(
+            F.col("host").alias("d_host"),
+            F.col("prefix").alias("d_prefix"),
+            (F.col("prefix").contains("*") | ends_dollar).alias("d_wild"),
+            pattern.alias("d_pattern"),
+        )
+    )
+    fr = frontier.withColumn("_path", url_path(F.col("url")))
+    cond = (F.col("host") == F.col("d_host")) & F.when(
+        F.col("d_wild"), F.expr("_path RLIKE d_pattern")
+    ).otherwise(F.startswith(F.col("_path"), F.col("d_prefix")))
+    return fr.join(d, cond, "left_anti").drop("_path")
 
 
 def schedule_wave(

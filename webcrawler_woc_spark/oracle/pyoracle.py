@@ -75,10 +75,23 @@ def _url_path(url: str) -> str:
     return m.group(1) if m else ""
 
 
+def _rule_matches(path: str, rule: str) -> bool:
+    """Google robots-spec rule match (twin of politeness.filter_disallowed):
+    plain rule = path prefix; '*' matches any sequence; trailing '$' anchors
+    the end."""
+    if "*" not in rule and not rule.endswith("$"):
+        return path.startswith(rule)
+    body, anchored = (rule[:-1], True) if rule.endswith("$") else (rule, False)
+    rx = "^" + ".*".join(re.escape(part) for part in body.split("*"))
+    if anchored:
+        rx += "$"
+    return re.match(rx, path) is not None
+
+
 def _is_disallowed(url: str, rules: dict[str, list[str]]) -> bool:
     host = host_of(url)
     path = _url_path(url)
-    return any(path.startswith(p) for p in rules.get(host, ()))
+    return any(_rule_matches(path, p) for p in rules.get(host, ()))
 
 
 def _fetch_ms(url: str) -> int:
