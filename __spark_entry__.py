@@ -719,6 +719,112 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RECRAWL_NOW = 1767225600 + 7 * 86400  # fixed "now": 2026-01-08T00:00:00Z
+RECRAWL_MIN_AGE = 5 * 86400 + 1
+
+
+def _doc_id_from_url():
+    return F.regexp_extract(F.col("url"), r"/page/(\d+)$", 1).cast("bigint")
+
+
+def q_crawl_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot-per-URL compaction over a multi-capture history (the
+    Common-Crawl/CDC dedup): explode 1 + doc_id%3 daily captures per page,
+    keep the newest via one window row_number — the oracle predicts the
+    survivor arithmetically, independently checking the explode+window."""
+    from webcrawler_woc_spark.operators.recrawl import explode_captures, latest_captures
+
+    pages = _pages(spark, sf_dir).filter(F.col("url").rlike(r"/page/\d+$"))
+    caps = explode_captures(pages, F.lit(1) + _doc_id_from_url() % 3)
+    return latest_captures(caps)
+
+
+def q_crawl_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Age-prioritized re-crawl selection: stale URLs (age >= 5d+1s at the
+    fixed 'now') ranked oldest-first per host, top-5 per host (politeness
+    budget) — the operator that turns capture history back into frontier."""
+    from webcrawler_woc_spark.operators.recrawl import (
+        explode_captures,
+        latest_captures,
+        recrawl_schedule,
+    )
+
+    pages = _pages(spark, sf_dir).filter(F.col("url").rlike(r"/page/\d+$"))
+    latest = latest_captures(explode_captures(pages, F.lit(1) + _doc_id_from_url() % 3))
+    host = F.regexp_extract(F.col("url"), r"^http://([^/]+)/", 1)
+    return recrawl_schedule(
+        latest, host, now_epoch=RECRAWL_NOW, min_age_sec=RECRAWL_MIN_AGE, per_host_budget=5
+    )
+
+
+def q_crawl_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT sort keys for every corpus URL (pages + robots + sitemaps) — the
+    web-archive at-rest ordering that makes domain-prefix scans range-
+    prunable; the oracle rebuilds the keys with DuckDB's own list ops."""
+    from webcrawler_woc_spark.functions.surt import surt_host, surt_key
+
+    return _pages(spark, sf_dir).select(
+        "url",
+        surt_host(F.col("url")).alias("surt_host"),
+        surt_key(F.col("url")).alias("surt_key"),
+    )
+
+
+def _contact_text(doc_id):
+    """Deterministic PII-bearing text: documents.text + synthesized contact
+    block (1 or 2 emails, 1 phone, 1 IPv4) — identical concat in the oracle."""
+    ds = doc_id.cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        ds,
+        F.lit("@host"),
+        (doc_id % 10).cast("string"),
+        F.lit(".example"),
+        F.when(
+            doc_id % 3 == 0, F.concat(F.lit(" or admin"), ds, F.lit("@mail.example.org"))
+        ).otherwise(F.lit("")),
+        F.lit(" call +1555"),
+        F.lpad(ds, 7, "0"),
+        F.lit(" from 10."),
+        (doc_id % 256).cast("string"),
+        F.lit(".0."),
+        (doc_id % 100).cast("string"),
+    )
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails/phones/IPv4) over PII-bearing text: counts + the
+    rolling-hash fingerprint of the redacted stream; the oracle re-runs the
+    byte-identical regexes in RE2 and re-hashes."""
+    from webcrawler_woc_spark.operators.pii import pii_scrub
+
+    docs = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    df = docs.select("doc_id", _contact_text(doc_id).alias("contact"))
+    return pii_scrub(df, F.col("contact"), ["doc_id"])
+
+
+def q_text_df_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index document frequency + top-5 terms per language (the
+    tf-idf build step): distinct-tokens explode, partial-agg'd groupBy,
+    deterministic window rank."""
+    from webcrawler_woc_spark.operators.textstats import top_terms_per_lang
+
+    return top_terms_per_lang(_docs(spark, sf_dir), k=5)
+
+
+def q_dedup_cluster_keepmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER canonicalization: MinHash-LSH verified pairs ->
+    connected components over the pair graph -> keep-min survivor per
+    cluster. Pairs alone can't drive deletion ({A,B},{B,C} must keep one
+    doc, not two); this is the step that finishes the dedup pipeline."""
+    from webcrawler_woc_spark.operators.dedup import dedup_clusters, minhash_dedup
+
+    pairs = minhash_dedup(_docs(spark, sf_dir), n=8, n_perms=16, bands=8, threshold=0.2)
+    return dedup_clusters(pairs.select("doc_a", "doc_b"), iterations=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -777,6 +883,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decon_ngram_overlap": q_decon_ngram_overlap,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_resize": q_multimodal_resize,
+        "crawl_latest_capture": q_crawl_latest_capture,
+        "crawl_recrawl_schedule": q_crawl_recrawl_schedule,
+        "crawl_surt_keys": q_crawl_surt_keys,
+        "text_pii_redact": q_text_pii_redact,
+        "text_df_topterms": q_text_df_topterms,
+        "dedup_cluster_keepmin": q_dedup_cluster_keepmin,
     }
 
 
@@ -1373,6 +1485,67 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS f1
             FROM documents
         """,
+        # latest = base + (n_caps-1) days; the arithmetic prediction checks
+        # the engine's explode + window row_number=1 end to end
+        "crawl_latest_capture": """
+            SELECT 'http://host' || (doc_id % 10) || '.example/page/' || doc_id AS url,
+                   CAST(1 + doc_id % 3 AS INT) AS n_captures,
+                   CAST(1767225600 + (doc_id * 37) % 86400
+                        + (doc_id % 3) * 86400 AS BIGINT) AS latest_epoch
+            FROM documents
+        """,
+        "crawl_recrawl_schedule": f"""
+            WITH latest AS (
+                SELECT 'host' || (doc_id % 10) || '.example' AS host,
+                       'http://host' || (doc_id % 10) || '.example/page/' || doc_id AS url,
+                       CAST({RECRAWL_NOW} - (1767225600 + (doc_id * 37) % 86400
+                            + (doc_id % 3) * 86400) AS BIGINT) AS age_sec
+                FROM documents
+            )
+            SELECT host, url, age_sec,
+                   CAST(row_number() OVER w - 1 AS INT) AS slot
+            FROM latest WHERE age_sec >= {RECRAWL_MIN_AGE}
+            WINDOW w AS (PARTITION BY host ORDER BY age_sec DESC, url ASC)
+            QUALIFY row_number() OVER w <= 5
+        """,
+        # the oracle rebuilds SURT with DuckDB's own list ops — an
+        # independent implementation of the same transform
+        "crawl_surt_keys": """
+            WITH urls AS (
+                SELECT 'http://host' || (doc_id % 10) || '.example/page/' || doc_id AS url,
+                       'host' || (doc_id % 10) || '.example' AS host,
+                       '/page/' || doc_id AS path
+                FROM documents
+                UNION ALL
+                SELECT 'http://host' || h || '.example/robots.txt',
+                       'host' || h || '.example', '/robots.txt' FROM range(10) t(h)
+                UNION ALL
+                SELECT 'http://host' || h || '.example/sitemap0.txt',
+                       'host' || h || '.example', '/sitemap0.txt' FROM range(10) t(h)
+            )
+            SELECT url,
+                   array_to_string(list_reverse(string_split(host, '.')), ',') AS surt_host,
+                   array_to_string(list_reverse(string_split(host, '.')), ',')
+                       || ')' || path AS surt_key
+            FROM urls
+        """,
+        "text_pii_redact": _pii_sql(),
+        "text_df_topterms": f"""
+            WITH tk AS (
+                SELECT lang, unnest(list_distinct({TOKENS_SQL})) AS token
+                FROM documents
+            ),
+            dfc AS (
+                SELECT lang, token, CAST(count(*) AS BIGINT) AS df
+                FROM tk GROUP BY lang, token
+            )
+            SELECT lang, token, df,
+                   CAST(row_number() OVER w AS INT) AS rnk
+            FROM dfc
+            WINDOW w AS (PARTITION BY lang ORDER BY df DESC, token ASC)
+            QUALIFY row_number() OVER w <= 5
+        """,
+        "dedup_cluster_keepmin": _dedup_cluster_sql(),
     }
 
 
@@ -1384,6 +1557,76 @@ edges AS (
     WHERE regexp_extract(o.url, '^https?://[^/]+/page/(\\d+)$', 1) <> ''
 )
 """
+
+
+def _pii_sql() -> str:
+    """DuckDB twin of operators/pii.pii_scrub over the synthesized contact
+    text: byte-identical regexes (Java-regex ∩ RE2 subset), same redaction
+    order, same rolling-hash fingerprint of the redacted stream."""
+    from webcrawler_woc_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    fp = _POLY31.format(col="redacted", mult=31)
+    return f"""
+        WITH c AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id || '@host' || (doc_id % 10)
+                   || '.example'
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' or admin' || doc_id || '@mail.example.org'
+                           ELSE '' END
+                   || ' call +1555' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+                   || ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+                   AS contact
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, contact,
+                   regexp_replace(regexp_replace(regexp_replace(contact,
+                       '{EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{PHONE_RE}', '<PHONE>', 'g'),
+                       '{IPV4_RE}', '<IP>', 'g') AS redacted
+            FROM c
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(contact, '{EMAIL_RE}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(contact, '{PHONE_RE}')) AS INT) AS n_phones,
+               CAST(len(regexp_extract_all(contact, '{IPV4_RE}')) AS INT) AS n_ipv4,
+               CAST(length(redacted) AS INT) AS redacted_len,
+               {fp} AS redacted_fp
+        FROM r
+    """
+
+
+def _dedup_cluster_sql(iters: int = 5) -> str:
+    """Chained-CTE twin of operators/dedup.dedup_clusters: the verified
+    MinHash pair query (same params as dedup_minhash_lsh) feeds min-label
+    propagation over pair-touched vertices; keeper = component min."""
+    pairs = _minhash_sql(n=8, n_perms=16, bands=8, numer=200, denom=1000)
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per reference,
+    # so without it the shingle self-join re-evaluates once per label round
+    ctes = [
+        f"pairs_q AS MATERIALIZED ({pairs})",
+        "nodes AS (SELECT DISTINCT doc_id FROM ("
+        "SELECT doc_a AS doc_id FROM pairs_q UNION ALL SELECT doc_b FROM pairs_q))",
+        "und AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs_q "
+        "UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs_q)",
+        "l0 AS (SELECT doc_id, doc_id AS component FROM nodes)",
+    ]
+    for i in range(iters):
+        ctes.append(f"""
+l{i + 1} AS MATERIALIZED (
+    SELECT l.doc_id,
+           least(l.component, coalesce(n.n_min, l.component)) AS component
+    FROM l{i} l LEFT JOIN (
+        SELECT u.dst, min(p.component) AS n_min
+        FROM und u JOIN l{i} p ON p.doc_id = u.src
+        GROUP BY u.dst
+    ) n ON n.dst = l.doc_id
+)""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"\nSELECT doc_id, component AS cluster_id, doc_id = component AS is_kept FROM l{iters}"
+    )
 
 
 def _pagerank_sql(iters: int = 3) -> str:

@@ -18,6 +18,7 @@ import pytest
 # frame, broadcast is impossible at scale, SMJ is correct.
 SMJ_OK = {
     "dedup_minhash_lsh",
+    "dedup_cluster_keepmin",  # minhash pair graph + iterative label joins
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",

@@ -298,3 +298,35 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
     )
     return pairs
+
+
+def dedup_clusters(pairs: DataFrame, iterations: int = 5) -> DataFrame:
+    """Canonicalize verified near-dup PAIRS into clusters and pick a keeper.
+
+    A pair list alone can't drive deletion: {A,B}, {B,C} must collapse to one
+    surviving document, not two independent keeps. This runs min-label
+    propagation (graph.connected_components) over the pair graph restricted
+    to pair-touched vertices — at 100 TB that vertex set is tiny relative to
+    the corpus (only near-dups enter it), so each round is one bounded
+    shuffle. Fixed ``iterations`` rounds is part of the contract (near-dup
+    cluster diameters are short chains; 5 hops covers them at our
+    thresholds and keeps the DuckDB oracle a chained CTE).
+
+    Output (doc_id, cluster_id, is_kept): cluster_id = min doc_id within
+    ``iterations`` hops; keeper = the min itself (deterministic keep-first
+    rule, matching exact_dedup's keep-min semantics).
+    """
+    from webcrawler_woc_spark.operators.graph import connected_components
+
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = connected_components(nodes, edges, iterations=iterations)
+    return labels.select(
+        "doc_id",
+        F.col("component").alias("cluster_id"),
+        (F.col("doc_id") == F.col("component")).alias("is_kept"),
+    )

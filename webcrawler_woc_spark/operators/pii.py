@@ -1,0 +1,66 @@
+"""PII detection + redaction over web text — pure Catalyst regex kernels.
+
+Training-data pipelines scrub personally identifiable information before a
+corpus ships (the C4/Dolma-style email/phone/IP pass). Three detector
+classes, each a single JVM-side regex — counted with ``regexp_extract_all``
+and redacted with ``regexp_replace`` (global by default in Spark; the DuckDB
+twin passes the 'g' flag):
+
+* emails  -> ``<EMAIL>``
+* E.164-ish phone numbers (+NNNNNNNNNNN) -> ``<PHONE>``
+* dotted-quad IPv4 literals -> ``<IP>``
+
+Patterns stay inside the Java-regex ∩ RE2 common subset (no lookaround, no
+unicode classes) so the DuckDB oracle runs the byte-identical pattern.
+Scale shape: a scan-only projection — no shuffle, no Python; whole-stage
+codegen end to end. Redacted output is fingerprinted with the same rolling
+poly hash as ``textstats.fingerprints`` so the correctness gate value-hashes
+the full redacted byte stream without shipping megabyte strings around.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from webcrawler_woc_spark.operators.textstats import FINGERPRINT_MOD
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PHONE_RE = r"\+[0-9]{10,12}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def _count(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("int")
+
+
+def redact(text: Column) -> Column:
+    """Redaction order is part of the contract: emails first (an address
+    contains no '+'/dotted-quad, so later passes can't corrupt it), then
+    phones, then IPv4."""
+    r = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    r = F.regexp_replace(r, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(r, IPV4_RE, "<IP>")
+
+
+def pii_scrub(df: DataFrame, text: Column, keys: list[str]) -> DataFrame:
+    """Per-row PII counts + redacted-text fingerprint.
+
+    Output (*keys, n_emails, n_phones, n_ipv4, redacted_len, redacted_fp).
+    The fingerprint is the order-sensitive rolling hash of the REDACTED
+    string — any detector miss or over-match changes it."""
+    red = redact(text)
+    chars = F.filter(F.split(red, ""), lambda c: c != "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % FINGERPRINT_MOD,
+    )
+    return df.select(
+        *keys,
+        _count(text, EMAIL_RE).alias("n_emails"),
+        _count(text, PHONE_RE).alias("n_phones"),
+        _count(text, IPV4_RE).alias("n_ipv4"),
+        F.length(red).alias("redacted_len"),
+        fp.alias("redacted_fp"),
+    )

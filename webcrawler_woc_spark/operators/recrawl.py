@@ -1,0 +1,97 @@
+"""Re-crawl scheduling over multi-capture page histories.
+
+A production crawl sees the same URL many times (Common-Crawl keeps one
+capture per snapshot); the engine needs three shapes the reference's
+single-shot crawler (`/root/reference/src/crawler.rs:32-109` crawls each URL
+exactly once) never had to solve:
+
+* **capture history** — explode a per-URL capture count into one row per
+  (url, capture_no) with a deterministic capture timestamp;
+* **latest-capture compaction** — "keep the newest snapshot per key", the
+  CDC/as-of dedup every warehouse ingest runs. One window `row_number()=1`
+  per key: a single hash-partition shuffle on the key, no driver state —
+  at 10^10 captures this is the same plan Spark would pick for any CDC
+  MERGE source dedup (AQE splits skewed hot URLs);
+* **recrawl scheduling** — age-prioritized per-host re-fetch selection under
+  a politeness budget: stale URLs ranked oldest-first within each host,
+  top-k per host. Window over `host` (bounded partitions: budget caps the
+  output, AQE handles hot hosts), never a global sort.
+
+All arithmetic is integer (epoch seconds), so the DuckDB oracle twin is
+value-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DAY_SEC = 86400
+
+
+def explode_captures(pages: DataFrame, n_captures: Column) -> DataFrame:
+    """pages(url, warc_ts, ...) -> one row per capture: (url, capture_no,
+    capture_epoch). Capture c is taken c days after the base snapshot
+    (deterministic synthetic history; a real archive would supply these
+    rows directly). Epoch bigints throughout — timezone-proof."""
+    base_epoch = F.unix_timestamp(F.col("warc_ts"))
+    caps = F.sequence(F.lit(0), (n_captures - 1).cast("int"))
+    return pages.select(
+        "url",
+        base_epoch.alias("base_epoch"),
+        F.explode(caps).alias("capture_no"),
+    ).select(
+        "url",
+        "capture_no",
+        (F.col("base_epoch") + F.col("capture_no").cast("bigint") * DAY_SEC).alias(
+            "capture_epoch"
+        ),
+    )
+
+
+def latest_captures(captures: DataFrame) -> DataFrame:
+    """Latest-snapshot-per-URL compaction: (url, n_captures, latest_epoch).
+
+    The canonical "argmax per key" plan: one window over the key. Ordering
+    carries a full tiebreak (epoch DESC, capture_no DESC) so the survivor is
+    engine-deterministic even on equal timestamps."""
+    w = Window.partitionBy("url")
+    ranked = captures.select(
+        "url",
+        "capture_epoch",
+        F.row_number()
+        .over(w.orderBy(F.col("capture_epoch").desc(), F.col("capture_no").desc()))
+        .alias("rn"),
+        F.count("*").over(w).alias("n_captures"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "url", F.col("n_captures").cast("int").alias("n_captures"),
+        F.col("capture_epoch").alias("latest_epoch"),
+    )
+
+
+def recrawl_schedule(
+    latest: DataFrame,
+    host: Column,
+    now_epoch: int,
+    min_age_sec: int,
+    per_host_budget: int,
+) -> DataFrame:
+    """Select stale URLs for re-crawl: age >= min_age_sec, ranked oldest-first
+    per host, at most ``per_host_budget`` per host (politeness cap). Output
+    (host, url, age_sec, slot) with slot = 0-based per-host rank.
+
+    Scale shape: filter pushes to the scan; the window partitions by host and
+    the budget bounds every partition's output, so the job is one shuffle on
+    host regardless of corpus size."""
+    aged = latest.select(
+        host.alias("host"),
+        "url",
+        (F.lit(now_epoch).cast("bigint") - F.col("latest_epoch")).alias("age_sec"),
+    ).filter(F.col("age_sec") >= min_age_sec)
+    w = Window.partitionBy("host").orderBy(F.col("age_sec").desc(), F.col("url").asc())
+    return (
+        aged.withColumn("slot", (F.row_number().over(w) - 1).cast("int"))
+        .filter(F.col("slot") < per_host_budget)
+        .select("host", "url", "age_sec", "slot")
+    )

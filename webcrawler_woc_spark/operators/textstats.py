@@ -157,3 +157,36 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         lambda acc, c: (acc * 31 + F.ascii(c)) % FINGERPRINT_MOD,
     )
     return documents.select("doc_id", fp.alias("fingerprint"))
+
+
+def doc_frequency(documents: DataFrame) -> DataFrame:
+    """Per-language document frequency: (lang, token, df) where df counts
+    DOCUMENTS containing the token (array_distinct before explode — the
+    inverted-index build step of tf-idf and of stopword discovery).
+
+    Scale shape: explode then one partial-agg'd groupBy on (lang, token) —
+    map-side combine collapses each partition's duplicates before the
+    shuffle, so shuffle volume is bounded by distinct (lang, token) pairs
+    per partition, not token occurrences."""
+    toks = F.explode(F.array_distinct(_tokens(F.col("text")))).alias("token")
+    return (
+        documents.select("lang", toks)
+        .groupBy("lang", "token")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+
+
+def top_terms_per_lang(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k tokens by document frequency within each language — the
+    "commonest terms" report layered on doc_frequency. Deterministic total
+    order (df DESC, token ASC) so rank values are engine-stable.
+    Output (lang, token, df, rnk)."""
+    from pyspark.sql import Window
+
+    df = doc_frequency(documents)
+    w = Window.partitionBy("lang").orderBy(F.col("df").desc(), F.col("token").asc())
+    return (
+        df.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("lang", "token", "df", "rnk")
+    )
