@@ -825,6 +825,19 @@ def q_dedup_cluster_keepmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs.select("doc_a", "doc_b"), iterations=5)
 
 
+def q_crawl_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET source+sink roundtrip: serialize every doc page to an ISO
+    28500 conversion record (Catalyst binary concat), bundle per host into
+    WET-file blobs, parse back with the Arrow-batched length-framed scanner.
+    The oracle predicts (url, epoch, text) arithmetically — any framing bug
+    (octet count, CRLF placement, date format) breaks the match."""
+    from webcrawler_woc_spark.sources.warc import parse_wet_bundles, wet_bundle
+
+    pages = _pages(spark, sf_dir).filter(F.col("url").rlike(r"/page/\d+$"))
+    host = F.regexp_extract(F.col("url"), r"^http://([^/]+)/", 1)
+    return parse_wet_bundles(wet_bundle(pages, host))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -889,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": q_text_pii_redact,
         "text_df_topterms": q_text_df_topterms,
         "dedup_cluster_keepmin": q_dedup_cluster_keepmin,
+        "crawl_wet_roundtrip": q_crawl_wet_roundtrip,
     }
 
 
@@ -1546,6 +1560,12 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER w <= 5
         """,
         "dedup_cluster_keepmin": _dedup_cluster_sql(),
+        "crawl_wet_roundtrip": """
+            SELECT 'http://host' || (doc_id % 10) || '.example/page/' || doc_id AS url,
+                   CAST(1767225600 + (doc_id * 37) % 86400 AS BIGINT) AS warc_epoch,
+                   'Doc ' || doc_id || chr(10) || text AS text
+            FROM documents
+        """,
     }
 
 

@@ -141,12 +141,17 @@ def main():
     # its cache never pressures the other workloads (same protocol as the
     # BENCH/BASELINE.md scaling runs).
     kern_mult = int(os.environ.get("SPARK_GRAFT_KERNEL_MULT", "40"))
+    pages.unpersist()  # the x4 corpus is done; don't let it shove the kernel cache
     kern_pages, _ = build_corpus(spark, sf_dir, mult=kern_mult)
     kern_pages = kern_pages.persist()
     kern_pages.count()
-    kern_runs = [bench_wave_kernel(spark, kern_pages) for _ in range(3)]
-    kern_secs = sorted(r["sec"] for r in kern_runs)
-    kern = {"sec": kern_secs[1], "urls": kern_runs[0]["urls"]}  # median, runs disclosed
+    # 5 runs (not 3): this VM's co-tenant bursts run several seconds, long
+    # enough to poison 2 of 3 samples — a 5-sample median survives one burst
+    kern_runs = [bench_wave_kernel(spark, kern_pages) for _ in range(5)]
+    kern = {
+        "sec": statistics.median(r["sec"] for r in kern_runs),
+        "urls": kern_runs[0]["urls"],
+    }
     # metric name carries the replica multiplier: throughput scales with the
     # corpus mult (fixed per-job costs amortize), so an x40 number must never
     # be conflated with an old un-suffixed (x4-corpus) baseline

@@ -1,0 +1,72 @@
+"""WARC/WET source tests: record framing, bundling, and parse roundtrip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, epoch int, text string").select(
+        "url", F.timestamp_seconds("epoch").alias("warc_ts"), "text"
+    )
+
+
+class TestWetRecord:
+    def test_record_bytes_exact(self, spark):
+        from webcrawler_woc_spark.sources.warc import wet_record
+
+        df = _pages(spark, [("http://h0.example/a", 1767225600, "Hi\nthere")])
+        rec = df.select(
+            wet_record(F.col("url"), F.unix_timestamp("warc_ts"), F.col("text")).alias("r")
+        ).head().r
+        assert bytes(rec) == (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            b"WARC-Target-URI: http://h0.example/a\r\n"
+            b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            b"Content-Length: 8\r\n"
+            b"\r\n"
+            b"Hi\nthere\r\n\r\n"
+        )
+
+    def test_content_length_counts_octets_not_chars(self, spark):
+        from webcrawler_woc_spark.sources.warc import wet_record
+
+        df = _pages(spark, [("http://h0.example/u", 0, "café")])  # 4 chars, 5 bytes
+        rec = bytes(
+            df.select(wet_record(F.col("url"), F.lit(0), F.col("text")).alias("r")).head().r
+        )
+        assert b"Content-Length: 5\r\n" in rec
+
+
+class TestWetRoundtrip:
+    def test_bundle_and_parse(self, spark):
+        from webcrawler_woc_spark.sources.warc import parse_wet_bundles, wet_bundle
+
+        rows = [
+            ("http://h0.example/a", 100, "alpha"),
+            ("http://h0.example/b", 200, "beta\nlines"),
+            ("http://h1.example/c", 300, "gamma"),
+        ]
+        pages = _pages(spark, rows)
+        host = F.regexp_extract(F.col("url"), r"^http://([^/]+)/", 1)
+        bundles = wet_bundle(pages, host)
+        got_bundles = {r.bundle_key: r.n_records for r in bundles.collect()}
+        assert got_bundles == {"h0.example": 2, "h1.example": 1}
+        parsed = {(r.url, r.warc_epoch, r.text) for r in parse_wet_bundles(bundles).collect()}
+        assert parsed == set(rows)
+
+    def test_payload_with_crlf_crlf_survives(self, spark):
+        """Content-Length framing means separator bytes INSIDE a payload must
+        not split records — the bug a regex-based splitter would have."""
+        from webcrawler_woc_spark.sources.warc import parse_wet_bundles, wet_bundle
+
+        evil = "top\r\n\r\nWARC/1.0\r\nfake: yes\r\n\r\nbottom"
+        pages = _pages(
+            spark,
+            [("http://h0.example/evil", 42, evil), ("http://h0.example/z", 43, "tail")],
+        )
+        bundles = wet_bundle(pages, F.lit("one"))
+        parsed = {r.url: (r.warc_epoch, r.text) for r in parse_wet_bundles(bundles).collect()}
+        assert parsed["http://h0.example/evil"] == (42, evil)
+        assert parsed["http://h0.example/z"] == (43, "tail")
