@@ -686,6 +686,54 @@ def q_stream_host_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (state-store window MERGING +
+    watermark eviction, append-mode emission) over the events replayed as
+    micro-batches. Two far-future sentinel batches flush the finite replay
+    (see streaming/session_stream.py); the oracle recomputes the sessions
+    with microsecond lag/running-sum SQL."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from webcrawler_woc_spark.streaming.session_stream import (
+        session_result,
+        stream_user_sessions,
+    )
+
+    ev = _tbl(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    tmp = tempfile.mkdtemp(prefix="wcw_stream_sess_")
+    qname = "stream_sessionize_gate"
+    try:
+        d = f"{tmp}/ev"
+        ev.repartition(4).write.parquet(d)
+        # micro-batch order = file modification time: pin the data files
+        # first, each sentinel strictly later
+        base = _time.time()
+        seen_parts: set[str] = set()
+        for p in glob.glob(f"{d}/part-*"):
+            os.utime(p, (base, base))
+            seen_parts.add(p)
+        for i, uid in enumerate((-1, -2)):
+            spark.createDataFrame([(uid,)], "user_id bigint").select(
+                "user_id", F.lit(f"2100-01-0{i + 1} 00:00:00").cast("timestamp").alias("ts")
+            ).coalesce(1).write.mode("append").parquet(d)
+            for p in set(glob.glob(f"{d}/part-*")) - seen_parts:
+                os.utime(p, (base + 3600 * (i + 1), base + 3600 * (i + 1)))
+                seen_parts.add(p)
+        q = stream_user_sessions(spark, d, qname)
+        q.awaitTermination(600)
+        rows = session_result(spark, qname).collect()
+        return spark.createDataFrame(
+            rows, "user_id bigint, session_start_us bigint, session_end_us bigint, n_events bigint"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: flag training docs sharing any 16-gram
     with the eval slice (doc_id % 97 == 0) — the pre-benchmark hygiene pass
@@ -718,6 +766,8 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("feature", 2).cast("double").alias("f1"),
     )
 
+
+SESSION_GAP_US = 1800 * 1_000_000  # streaming/session_stream.GAP_US
 
 RECRAWL_NOW = 1767225600 + 7 * 86400  # fixed "now": 2026-01-08T00:00:00Z
 RECRAWL_MIN_AGE = 5 * 86400 + 1
@@ -903,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_df_topterms": q_text_df_topterms,
         "dedup_cluster_keepmin": q_dedup_cluster_keepmin,
         "crawl_wet_roundtrip": q_crawl_wet_roundtrip,
+        "stream_sessionize": q_stream_sessionize,
     }
 
 
@@ -1565,6 +1616,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1767225600 + (doc_id * 37) % 86400 AS BIGINT) AS warc_epoch,
                    'Doc ' || doc_id || chr(10) || text AS text
             FROM documents
+        """,
+        # microsecond-exact session_window semantics: merge is INCLUSIVE at
+        # the boundary (a gap of exactly 30:00 still merges; new session iff
+        # gap > 30:00) — pinned by tests/test_session_stream.py
+        "stream_sessionize": f"""
+            WITH e AS (
+                SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+            ),
+            d AS (
+                SELECT user_id, us,
+                       CASE WHEN us - lag(us) OVER w IS NULL
+                              OR us - lag(us) OVER w > {SESSION_GAP_US}
+                            THEN 1 ELSE 0 END AS brk
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC)
+            ),
+            s AS (
+                SELECT user_id, us,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY us ASC
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+                FROM d
+            )
+            SELECT user_id,
+                   CAST(min(us) AS BIGINT) AS session_start_us,
+                   CAST(max(us) + {SESSION_GAP_US} AS BIGINT) AS session_end_us,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sess
         """,
     }
 

@@ -31,7 +31,7 @@ SMJ_OK = {
 # the assignment crossJoin.
 BNLJ_OK = {"ann_cosine_topk", "ann_ivf_topk"}
 # streaming queries execute a StreamingQuery, not a single batch plan
-SKIP = {"stream_dedup_exactly_once", "stream_host_rate"}
+SKIP = {"stream_dedup_exactly_once", "stream_host_rate", "stream_sessionize"}
 
 
 def _formatted_plan(spark, df) -> str:
