@@ -888,6 +888,19 @@ def q_crawl_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_wet_bundles(wet_bundle(pages, host))
 
 
+SKETCH_PROBES = ["the", "merge", "spark", "table", "zzzmissing"]
+
+
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream (fixed Carter-Wegman
+    hashes => the whole d x w matrix is engine-deterministic), probed for
+    heavy-hitter estimates vs exact truth. The oracle rebuilds the identical
+    sketch in BIGINT SQL — estimates match exactly, not approximately."""
+    from webcrawler_woc_spark.operators.sketches import heavy_hitter_check
+
+    return heavy_hitter_check(_docs(spark, sf_dir), SKETCH_PROBES, depth=4, width=256)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -954,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_keepmin": q_dedup_cluster_keepmin,
         "crawl_wet_roundtrip": q_crawl_wet_roundtrip,
         "stream_sessionize": q_stream_sessionize,
+        "sketch_heavy_hitters": q_sketch_heavy_hitters,
     }
 
 
@@ -1643,6 +1657,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, sess
         """,
+        "sketch_heavy_hitters": _sketch_sql(),
     }
 
 
@@ -1654,6 +1669,47 @@ edges AS (
     WHERE regexp_extract(o.url, '^https?://[^/]+/page/(\\d+)$', 1) <> ''
 )
 """
+
+
+def _sketch_sql(depth: int = 4, width: int = 256) -> str:
+    """DuckDB twin of operators/sketches.heavy_hitter_check: identical poly
+    -> square-mod -> Carter-Wegman cell hashing, cell-sum sketch, min-probe."""
+    m31 = (1 << 31) - 1
+    poly = _POLY31.format(col="token", mult=31)
+    probes = ", ".join(f"('{p}')" for p in SKETCH_PROBES)
+    cell = f"((h31 * (2 * r.r + 3) + ((r.r + 1) * 2654435761) % {m31}) % {m31}) % {width}"
+    return f"""
+        WITH toks AS (
+            SELECT unnest({TOKENS_SQL}) AS token FROM documents
+        ),
+        th AS (SELECT token, {poly} AS p FROM toks),
+        h AS (SELECT token, ((p % {m31}) * (p % {m31})) % {m31} AS h31 FROM th),
+        cells AS (
+            SELECT r.r AS row, {cell} AS cell
+            FROM h, range({depth}) r(r)
+        ),
+        sketch AS (SELECT row, cell, count(*) AS cnt FROM cells GROUP BY row, cell),
+        probes(token) AS (VALUES {probes}),
+        ph AS (SELECT token, {poly} AS p FROM probes),
+        pcell AS (
+            SELECT token, r.r AS row, {cell} AS cell
+            FROM (SELECT token, ((p % {m31}) * (p % {m31})) % {m31} AS h31 FROM ph),
+                 range({depth}) r(r)
+        ),
+        est AS (
+            SELECT pc.token, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est_count
+            FROM pcell pc LEFT JOIN sketch s ON s.row = pc.row AND s.cell = pc.cell
+            GROUP BY pc.token
+        ),
+        truth AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS true_count
+            FROM toks WHERE token IN (SELECT token FROM probes) GROUP BY token
+        )
+        SELECT e.token, e.est_count,
+               CAST(coalesce(t.true_count, 0) AS BIGINT) AS true_count,
+               e.est_count - CAST(coalesce(t.true_count, 0) AS BIGINT) AS overcount
+        FROM est e LEFT JOIN truth t USING (token)
+    """
 
 
 def _pii_sql() -> str:

@@ -1,0 +1,45 @@
+"""Count-min sketch tests: never under-counts, exact on collision-free
+small streams, and the sketch matrix merges by addition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def test_estimates_never_undercount_and_small_stream_exact(spark):
+    from webcrawler_woc_spark.operators.sketches import heavy_hitter_check
+
+    docs = _docs(spark, ["a a a b", "b c", "a"])
+    out = {r.token: (r.est_count, r.true_count, r.overcount) for r in
+           heavy_hitter_check(docs, ["a", "b", "c", "nope"]).collect()}
+    assert all(o >= 0 for _, _, o in out.values())
+    # width 256 >> 3 distinct tokens: no collisions, estimates are exact
+    assert out["a"] == (4, 4, 0)
+    assert out["b"] == (2, 2, 0)
+    assert out["c"] == (1, 1, 0)
+    assert out["nope"][1] == 0
+
+
+def test_sketch_merges_by_addition(spark):
+    """Sketch(A ++ B) == cellwise Sketch(A) + Sketch(B) — the property that
+    makes per-partition sketching + tiny combine correct at scale."""
+    from webcrawler_woc_spark.operators.sketches import count_min_build
+
+    tok = lambda texts: _docs(spark, texts).select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    a, b = ["x y x"], ["y z"]
+    s_union = {(r.row, r.cell): r.cnt for r in count_min_build(tok(a + b)).collect()}
+    s_a = {(r.row, r.cell): r.cnt for r in count_min_build(tok(a)).collect()}
+    s_b = {(r.row, r.cell): r.cnt for r in count_min_build(tok(b)).collect()}
+    merged: dict = {}
+    for s in (s_a, s_b):
+        for k, v in s.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == s_union

@@ -1,0 +1,110 @@
+"""Mergeable frequency sketches — count-min over token streams.
+
+At 100 TB you cannot afford an exact (token -> count) table just to answer
+"which terms/hosts are heavy hitters": the distinct-key set is itself
+corpus-scale. A count-min sketch compresses the whole stream into a fixed
+d x w integer matrix with one-sided error (estimates only OVER-count, by at
+most eps*N with probability 1-delta), and — the property that matters on a
+cluster — it merges by cell-wise ADDITION, so each partition sketches
+locally and the combine is a tiny fixed-size reduce, never a shuffle of the
+key space. Cormode & Muthukrishnan 2005 (public algorithm).
+
+Determinism contract (the oracle gate hashes values): the d hash functions
+are fixed Carter-Wegman permutations over Mersenne-31 of the same
+square-mod rolling-poly string hash MinHash uses (dedup._sql_str_hash31) —
+every cell index is reproducible in DuckDB BIGINT SQL, so both the sketch
+MATRIX and the estimates are value-exact across engines, not just "close".
+
+Spark shape: build = explode rows x d -> groupBy(row, cell) sum — one
+bounded shuffle of at most d*w distinct keys per partition after map-side
+combine (the matrix, not the stream, crosses the wire). Probe = broadcast
+the tiny sketch into the probe tokens and take min over d cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webcrawler_woc_spark.operators.dedup import MERSENNE31, _sql_str_hash31
+
+
+def _cell(h31, row: int, width: int):
+    """Cell index of hash h31 in sketch row ``row`` (Carter-Wegman perm over
+    M31, then mod width) — same permutation family as dedup._minhash_perm."""
+    a = 2 * row + 3
+    b = ((row + 1) * 2654435761) % MERSENNE31
+    return F.pmod(F.pmod(h31 * F.lit(a) + F.lit(b), F.lit(MERSENNE31)), F.lit(width))
+
+
+def count_min_build(tokens: DataFrame, depth: int = 4, width: int = 256) -> DataFrame:
+    """Build the sketch from a ``token`` column: (row, cell, cnt), one
+    record per NON-EMPTY cell (zero cells are implicit — the dense matrix
+    is d*w ints however large the stream was)."""
+    h31 = _sql_str_hash31(F.col("token"))
+    hashed = tokens.select(h31.alias("h"))
+    rows = hashed.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).alias("row"), _cell(F.col("h"), r, width).alias("cell"))
+                for r in range(depth)
+            ])
+        ).alias("rc")
+    ).select("rc.row", "rc.cell")
+    return rows.groupBy("row", "cell").agg(F.count("*").cast("bigint").alias("cnt"))
+
+
+def count_min_estimate(
+    sketch: DataFrame, probes: DataFrame, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Estimate stream frequency for each probe ``token``:
+    est = min over rows of sketch[row][cell(token, row)] (missing cell = 0).
+    The sketch is broadcast — it is at most d*w rows by construction."""
+    h31 = _sql_str_hash31(F.col("token"))
+    probe_cells = probes.select(
+        "token",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).alias("row"), _cell(h31, r, width).alias("cell"))
+                for r in range(depth)
+            ])
+        ).alias("rc"),
+    ).select("token", "rc.row", "rc.cell")
+    joined = probe_cells.join(F.broadcast(sketch), ["row", "cell"], "left").select(
+        "token", F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")).alias("cnt")
+    )
+    return joined.groupBy("token").agg(F.min("cnt").alias("est_count"))
+
+
+def heavy_hitter_check(
+    documents: DataFrame, probes: list[str], depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Sketch the corpus token stream, then report estimate vs exact truth
+    for the probe tokens: (token, est_count, true_count, overcount).
+    overcount >= 0 always (count-min never under-counts) — the invariant a
+    test can pin without fixing the error magnitude."""
+    toks = documents.select(
+        F.explode(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")).alias(
+            "token"
+        )
+    )
+    sketch = count_min_build(toks, depth, width)
+    spark = documents.sparkSession
+    probe_df = spark.createDataFrame([(p,) for p in probes], "token string")
+    est = count_min_estimate(sketch, probe_df, depth, width)
+    truth = (
+        toks.join(F.broadcast(probe_df), "token")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("true_count"))
+    )
+    return (
+        # truth is <= len(probes) rows by construction — broadcast, don't
+        # let the planner guess (it picked SMJ from unknown agg sizes)
+        est.join(F.broadcast(truth), "token", "left")
+        .select(
+            "token",
+            "est_count",
+            F.coalesce(F.col("true_count"), F.lit(0).cast("bigint")).alias("true_count"),
+        )
+        .withColumn("overcount", F.col("est_count") - F.col("true_count"))
+    )
