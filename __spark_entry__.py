@@ -888,6 +888,32 @@ def q_crawl_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_wet_bundles(wet_bundle(pages, host))
 
 
+def q_crawl_robots_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google-spec robots rule precedence (longest rule wins, Allow wins
+    length ties, no rule = allowed) over synthesized per-host rule sets that
+    exercise wildcards, $ anchors, an override (longer Allow inside a
+    Disallow) and an exact tie. The oracle predicts every verdict
+    arithmetically from the doc-id digits."""
+    from webcrawler_woc_spark.operators.politeness import parse_robots_rules, robots_decision
+
+    h = F.col("id").cast("string")
+    robots = spark.range(10).select(
+        F.concat(F.lit("host"), h, F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /page/*"), h, F.lit("$\n"),
+            F.lit("Allow: /page/*0"), h, F.lit("$\n"),
+            F.lit("Disallow: /page/*1"), h, F.lit("$\n"),
+            F.lit("Allow: /page/*1"), h, F.lit("$\n"),
+            F.lit("Disallow:\n"),  # bare = allow-all, must parse to no rule
+        ).alias("text"),
+    )
+    rules = parse_robots_rules(robots)
+    frontier = _pages(spark, sf_dir).filter(F.col("url").rlike(r"/page/\d+$")).select(
+        "url", F.regexp_extract(F.col("url"), r"^http://([^/]+)/", 1).alias("host")
+    )
+    return robots_decision(frontier, rules)
+
+
 SKETCH_PROBES = ["the", "merge", "spark", "table", "zzzmissing"]
 
 
@@ -968,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_wet_roundtrip": q_crawl_wet_roundtrip,
         "stream_sessionize": q_stream_sessionize,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
+        "crawl_robots_precedence": q_crawl_robots_precedence,
     }
 
 
@@ -1658,6 +1685,17 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, sess
         """,
         "sketch_heavy_hitters": _sketch_sql(),
+        # host h's page doc_ids all end in digit h => the base Disallow
+        # /page/*h$ hits everything; Allow /page/*0h$ (longer) re-allows
+        # tens-digit-0 ids ONLY when the id actually has two digits;
+        # Allow vs Disallow /page/*1h$ tie -> allow re-admits tens-digit-1
+        "crawl_robots_precedence": """
+            SELECT 'http://host' || (doc_id % 10) || '.example/page/' || doc_id AS url,
+                   'host' || (doc_id % 10) || '.example' AS host,
+                   ((doc_id % 100 = doc_id % 10 AND doc_id >= 10)
+                    OR doc_id % 100 = 10 + doc_id % 10) AS allowed
+            FROM documents
+        """,
     }
 
 

@@ -102,6 +102,12 @@ def main(argv: list[str] | None = None) -> int:
              "warc_ts ISO-8601 (the shape Common-Crawl-style JSONL dumps use)",
     )
     ap.add_argument("--warehouse", required=True)
+    ap.add_argument(
+        "--wet-out", default=None,
+        help="also export the crawled pages' extracted text as WARC/WET "
+             "(ISO 28500 conversion records, one parquet row per host "
+             "bundle) — the Common-Crawl at-rest text format",
+    )
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--no-bloom", action="store_true")
     args = ap.parse_args(argv)
@@ -152,6 +158,23 @@ def main(argv: list[str] | None = None) -> int:
     wh = Warehouse(spark, args.warehouse, n_buckets=args.n_buckets)
     summary = crawl(spark, wh, pages, [(args.url, 1.0)], cfg)
     print(f"crawl finished: {summary}")
+
+    if args.wet_out:
+        from pyspark.sql import functions as F
+
+        from webcrawler_woc_spark.operators.fetch import host_expr
+        from webcrawler_woc_spark.plans.crawl import read_seen
+        from webcrawler_woc_spark.sources.warc import wet_bundle
+
+        seen = read_seen(wh)
+        if seen is not None:
+            # fetch-sim semantics: a seen URL with a corpus row had its body
+            # read; fetch failures have no row and thus no WET record
+            crawled = pages.join(seen.select("url"), "url").select("url", "warc_ts", "text")
+            wet_bundle(crawled, host_expr(F.col("url"))).write.mode("overwrite").parquet(
+                args.wet_out
+            )
+            print(f"WET bundles exported to {args.wet_out}")
 
     if args.output or args.verbose:
         links = read_links_out(wh)

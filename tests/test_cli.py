@@ -139,3 +139,30 @@ class TestCliEndToEnd:
         m = json.load(open(tmp_path / "wh_json" / "manifest.json"))
         w0 = m["waves"]["0"]["counts"]
         assert w0["fetched"] == 1 and w0["extracted_links"] > 0
+
+    def test_wet_out_exports_parseable_bundles(self, spark, pages_path, tmp_path):
+        (tmp_path / "wl.txt").write_text("host0.example\nhost1.example\n")
+        out = _run_main(
+            [
+                "http://host0.example/page/20", "-d", "1",
+                "-w", str(tmp_path / "wl.txt"),
+                "--pages", pages_path, "--warehouse", str(tmp_path / "wh"),
+                "--wet-out", str(tmp_path / "wet"),
+            ],
+            cwd=str(tmp_path),
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "WET bundles exported" in out.stdout
+        from webcrawler_woc_spark.sources.warc import parse_wet_bundles
+
+        bundles = spark.read.parquet(str(tmp_path / "wet"))
+        parsed = parse_wet_bundles(bundles).collect()
+        urls = {r.url for r in parsed}
+        # every fetched (corpus-matched) seen URL has exactly one WET record
+        m = json.load(open(tmp_path / "wh" / "manifest.json"))
+        fetched_total = sum(w["counts"].get("fetched", 0) for w in m["waves"].values())
+        assert len(parsed) == len(urls) == fetched_total > 0
+        assert "http://host0.example/page/20" in urls
+        # payload is the golden extracted text shape
+        seed_text = next(r.text for r in parsed if r.url.endswith("/page/20"))
+        assert seed_text.startswith("Doc 20\n")

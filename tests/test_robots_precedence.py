@@ -1,0 +1,73 @@
+"""Google-spec robots rule precedence truth table: longest rule wins,
+Allow wins exact-length ties, no matching rule allows, bare Disallow is a
+no-op, wildcards/$ anchors translate correctly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+ROBOTS = """User-agent: *
+Disallow: /shop/
+Allow: /shop/sale/
+Disallow: /tmp*$
+Disallow: /dual
+Allow: /dual
+Disallow:
+"""
+
+
+def _decide(spark, paths):
+    from webcrawler_woc_spark.operators.politeness import parse_robots_rules, robots_decision
+
+    robots = spark.createDataFrame([("h.example", ROBOTS)], "host string, text string")
+    rules = parse_robots_rules(robots)
+    frontier = spark.createDataFrame(
+        [(f"http://h.example{p}", "h.example") for p in paths], "url string, host string"
+    )
+    out = robots_decision(frontier, rules).collect()
+    return {r.url.replace("http://h.example", ""): r.allowed for r in out}
+
+
+def test_precedence_truth_table(spark):
+    got = _decide(
+        spark,
+        [
+            "/shop/item",        # Disallow /shop/ only -> blocked
+            "/shop/sale/item",   # longer Allow overrides -> allowed
+            "/tmpfile",          # wildcard-$ Disallow -> blocked
+            "/dual",             # equal-length Allow/Disallow tie -> allowed
+            "/elsewhere",        # no matching rule -> allowed
+        ],
+    )
+    assert got == {
+        "/shop/item": False,
+        "/shop/sale/item": True,
+        "/tmpfile": False,
+        "/dual": True,
+        "/elsewhere": True,
+    }
+
+
+def test_bare_disallow_parses_to_no_rule(spark):
+    from webcrawler_woc_spark.operators.politeness import parse_robots_rules
+
+    robots = spark.createDataFrame([("h.example", ROBOTS)], "host string, text string")
+    rules = {(r.rule_type, r.prefix) for r in parse_robots_rules(robots).collect()}
+    assert rules == {
+        ("disallow", "/shop/"),
+        ("allow", "/shop/sale/"),
+        ("disallow", "/tmp*$"),
+        ("disallow", "/dual"),
+        ("allow", "/dual"),
+    }
+
+
+def test_other_host_rules_do_not_apply(spark):
+    from webcrawler_woc_spark.operators.politeness import parse_robots_rules, robots_decision
+
+    robots = spark.createDataFrame([("other.example", ROBOTS)], "host string, text string")
+    frontier = spark.createDataFrame(
+        [("http://h.example/shop/item", "h.example")], "url string, host string"
+    )
+    out = robots_decision(frontier, parse_robots_rules(robots)).collect()
+    assert out[0].allowed is True

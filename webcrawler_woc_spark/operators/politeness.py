@@ -75,16 +75,74 @@ def url_path(url) -> "F.Column":
     return F.regexp_extract(url, r"^https?://[^/?#]+([^?#]*)", 1)
 
 
-def filter_disallowed(frontier: DataFrame, disallow: DataFrame) -> DataFrame:
-    """Frontier minus robots-disallowed URLs: a broadcast LEFT ANTI join on
-    (same host AND rule matches path) — the disallow table is per-host tiny,
-    the frontier is never shuffled.
+def parse_robots_rules(robots: DataFrame) -> DataFrame:
+    """Full rule parse of robots bodies: (host, rule_type, prefix) from every
+    ``Allow:`` / ``Disallow:`` line of a (host, text) frame. Empty-prefix
+    lines (a bare ``Disallow:`` = allow-all) carry no rule and are dropped.
+    [ \\t]* (not \\s*) so whitespace can't cross the line boundary."""
+    lines = robots.select(
+        "host", F.explode(F.split(F.col("text"), "\n")).alias("line")
+    )
+    allow_p = F.regexp_extract(F.col("line"), r"^Allow:[ \t]*(\S+)", 1)
+    dis_p = F.regexp_extract(F.col("line"), r"^Disallow:[ \t]*(\S+)", 1)
+    return (
+        lines.select(
+            "host",
+            F.when(allow_p != "", F.lit("allow"))
+            .when(dis_p != "", F.lit("disallow"))
+            .alias("rule_type"),
+            F.when(allow_p != "", allow_p).otherwise(dis_p).alias("prefix"),
+        )
+        .filter(F.col("rule_type").isNotNull() & (F.col("host") != ""))
+        .distinct()
+    )
 
-    Rule semantics per the Google robots spec: a plain rule is a path
-    PREFIX (fast startswith path); ``*`` matches any char sequence and a
-    trailing ``$`` anchors the end — wildcard rules are translated to an
-    anchored regex ONCE per rule (pure Catalyst string ops on the broadcast
-    side), then matched with RLIKE as the join residual."""
+
+def robots_decision(frontier: DataFrame, rules: DataFrame) -> DataFrame:
+    """Google-spec rule precedence over (url, host) rows: among the rules
+    matching a URL's path, the LONGEST raw rule wins; on a length tie the
+    Allow rule wins (least-restrictive tiebreak); no matching rule = allowed.
+    Output: frontier columns + ``allowed`` boolean.
+
+    Shape: rules broadcast (per-host tiny); the match join multiplies each
+    URL by its matching rules only, then one hash aggregation on (url, host)
+    takes max(struct(rule_len, is_allow)) — struct ordering implements
+    longest-first + allow-on-tie in a single order-independent max, so the
+    reduce is exact under any shuffle order. One shuffle on the frontier key
+    (co-partitioned with the engine's url_hash bucketing at scale)."""
+    pattern, wild = _rule_pattern()
+    r = F.broadcast(
+        rules.select(
+            F.col("host").alias("r_host"),
+            F.col("prefix").alias("r_prefix"),
+            wild.alias("r_wild"),
+            pattern.alias("r_pattern"),
+            F.length("prefix").alias("r_len"),
+            (F.col("rule_type") == "allow").cast("int").alias("r_allow"),
+        )
+    )
+    fr = frontier.withColumn("_path", url_path(F.col("url")))
+    cond = (F.col("host") == F.col("r_host")) & F.when(
+        F.col("r_wild"), F.expr("_path RLIKE r_pattern")
+    ).otherwise(F.startswith(F.col("_path"), F.col("r_prefix")))
+    matched = fr.join(r, cond, "left")
+    win = F.max(F.when(F.col("r_len").isNotNull(), F.struct("r_len", "r_allow")))
+    return (
+        matched.groupBy("url", "host")
+        .agg(win.alias("w"))
+        .select(
+            "url",
+            "host",
+            (F.col("w").isNull() | (F.col("w.r_allow") == 1)).alias("allowed"),
+        )
+    )
+
+
+def _rule_pattern() -> tuple["F.Column", "F.Column"]:
+    """(anchored_regex, is_wildcard) for the ``prefix`` column of a robots
+    rule, per the Google spec: ``*`` matches any char sequence, trailing
+    ``$`` anchors the end, everything else is literal. Pure Catalyst string
+    ops — translated ONCE per rule on the (tiny) broadcast side."""
     ends_dollar = F.col("prefix").endswith("$")
     body = F.when(
         ends_dollar, F.expr("substring(prefix, 1, length(prefix) - 1)")
@@ -96,11 +154,23 @@ def filter_disallowed(frontier: DataFrame, disallow: DataFrame) -> DataFrame:
         F.regexp_replace(esc, r"\*", ".*"),
         F.when(ends_dollar, F.lit("$")).otherwise(F.lit("")),
     )
+    return pattern, F.col("prefix").contains("*") | ends_dollar
+
+
+def filter_disallowed(frontier: DataFrame, disallow: DataFrame) -> DataFrame:
+    """Frontier minus robots-disallowed URLs: a broadcast LEFT ANTI join on
+    (same host AND rule matches path) — the disallow table is per-host tiny,
+    the frontier is never shuffled.
+
+    Rule semantics per the Google robots spec: a plain rule is a path
+    PREFIX (fast startswith path); wildcard rules are matched with RLIKE as
+    the join residual (see _rule_pattern)."""
+    pattern, wild = _rule_pattern()
     d = F.broadcast(
         disallow.select(
             F.col("host").alias("d_host"),
             F.col("prefix").alias("d_prefix"),
-            (F.col("prefix").contains("*") | ends_dollar).alias("d_wild"),
+            wild.alias("d_wild"),
             pattern.alias("d_pattern"),
         )
     )
