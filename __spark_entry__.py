@@ -914,6 +914,74 @@ def q_crawl_robots_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_decision(frontier, rules)
 
 
+def q_crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl delta between two corpus snapshots: v1 lacks
+    doc_id%11==3 (added later), v2 lacks doc_id%11==0 (gone) and revises the
+    text of doc_id%7==0 (changed). Fingerprint-compared FULL OUTER join;
+    the oracle predicts every status from doc-id arithmetic."""
+    from webcrawler_woc_spark.operators.recrawl import snapshot_diff
+    from webcrawler_woc_spark.operators.textstats import fingerprints
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("http://host"), (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example/page/"), F.col("doc_id").cast("string"),
+    )
+
+    def fp_frame(frame):
+        return fingerprints(frame).join(frame.select("doc_id"), "doc_id").select(
+            url.alias("url"), F.col("fingerprint").alias("fp")
+        )
+
+    v1 = docs.filter(F.col("doc_id") % 11 != 3)
+    v2 = docs.filter(F.col("doc_id") % 11 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(fp_frame(v1), fp_frame(v2))
+
+
+def q_rel_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (value-based, not row-based): per-user count
+    and integer-cents sum of events in the trailing hour [ts-1h, ts]. Range
+    frames include ALL order-value ties identically on both engines, so the
+    result is deterministic where a rows-frame would not be."""
+    from pyspark.sql import Window
+
+    ev = _tbl(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    base = ev.select("event_id", "user_id", epoch.alias("ep"), cents.alias("cents"))
+    w = Window.partitionBy("user_id").orderBy("ep").rangeBetween(-3600, 0)
+    return base.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_trailing_1h"),
+        F.sum("cents").over(w).alias("cents_trailing_1h"),
+    )
+
+
+def q_rel_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: all 2^k grouping-set combinations in one pass
+    (rollup's bigger sibling — cross-dimensional report totals)."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    price_cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(price_cents).alias("sum_price_cents"),
+            F.count("*").alias("n_items"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_price_cents", "n_items", "g_flag", "g_status"
+        )
+    )
+
+
 SKETCH_PROBES = ["the", "merge", "spark", "table", "zzzmissing"]
 
 
@@ -995,6 +1063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "crawl_robots_precedence": q_crawl_robots_precedence,
+        "crawl_snapshot_diff": q_crawl_snapshot_diff,
+        "rel_range_window": q_rel_range_window,
+        "rel_cube_pricing": q_rel_cube_pricing,
     }
 
 
@@ -1685,6 +1756,37 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, sess
         """,
         "sketch_heavy_hitters": _sketch_sql(),
+        # v1 lacks %11==3, v2 lacks %11==0, %7==0 revised in v2; the
+        # fingerprint comparison must land exactly on that arithmetic
+        "crawl_snapshot_diff": """
+            SELECT 'http://host' || (doc_id % 10) || '.example/page/' || doc_id AS url,
+                   CASE WHEN doc_id % 11 = 3 THEN 'added'
+                        WHEN doc_id % 11 = 0 THEN 'gone'
+                        WHEN doc_id % 7 = 0 THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM documents
+        """,
+        "rel_range_window": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+                   CAST(sum(cents) OVER w AS BIGINT) AS cents_trailing_1h
+            FROM (
+                SELECT event_id, user_id, floor(epoch(ts)) AS ep,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            WINDOW w AS (PARTITION BY user_id ORDER BY ep
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        """,
+        "rel_cube_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_price_cents,
+                   count(*) AS n_items,
+                   CAST(grouping(l_returnflag) AS INT) AS g_flag,
+                   CAST(grouping(l_linestatus) AS INT) AS g_status
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
         # host h's page doc_ids all end in digit h => the base Disallow
         # /page/*h$ hits everything; Allow /page/*0h$ (longer) re-allows
         # tens-digit-0 ids ONLY when the id actually has two digits;

@@ -19,6 +19,7 @@ import pytest
 SMJ_OK = {
     "dedup_minhash_lsh",
     "dedup_cluster_keepmin",  # minhash pair graph + iterative label joins
+    "crawl_snapshot_diff",  # full outer over two corpus-sized snapshots: SMJ is the right plan
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",

@@ -95,3 +95,26 @@ def recrawl_schedule(
         .filter(F.col("slot") < per_host_budget)
         .select("host", "url", "age_sec", "slot")
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "url") -> DataFrame:
+    """Incremental-crawl delta between two corpus snapshots, compared by a
+    per-key content fingerprint: (key, status) with status in
+    {added, gone, changed, unchanged}.
+
+    Inputs are (key, fp) frames — fp any stable content hash (the engine
+    uses textstats' rolling poly fingerprint, computed scan-side so the join
+    ships 16 bytes per row, never the documents). One FULL OUTER hash join
+    on the key: co-partitioned with the engine's url_hash bucketing at
+    scale, and the only operator class (full outer) the wave path itself
+    never needs — recrawl planning does."""
+    o = old.select(F.col(key).alias(key), F.col("fp").alias("fp_old"))
+    n = new.select(F.col(key).alias(key), F.col("fp").alias("fp_new"))
+    j = o.join(n, key, "full_outer")
+    status = (
+        F.when(F.col("fp_old").isNull(), "added")
+        .when(F.col("fp_new").isNull(), "gone")
+        .when(F.col("fp_old") != F.col("fp_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(key, status.alias("status"))
