@@ -982,6 +982,18 @@ def q_rel_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEARCH_TERMS = ["merge", "vector", "window"]
+
+
+def q_text_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval (integer tf-idf, global top-10) for a fixed term
+    query — the search-engine read path over the crawled corpus; scores are
+    all-integer so the oracle reproduces the exact ranking."""
+    from webcrawler_woc_spark.operators.textstats import ranked_search
+
+    return ranked_search(_docs(spark, sf_dir), SEARCH_TERMS, k=10)
+
+
 SKETCH_PROBES = ["the", "merge", "spark", "table", "zzzmissing"]
 
 
@@ -1066,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_snapshot_diff": q_crawl_snapshot_diff,
         "rel_range_window": q_rel_range_window,
         "rel_cube_pricing": q_rel_cube_pricing,
+        "text_search_ranked": q_text_search_ranked,
     }
 
 
@@ -1756,6 +1769,28 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, sess
         """,
         "sketch_heavy_hitters": _sketch_sql(),
+        "text_search_ranked": f"""
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            toks AS (
+                SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                FROM toks
+                WHERE token IN ({", ".join(repr(t) for t in SEARCH_TERMS)})
+                GROUP BY doc_id, token
+            ),
+            dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+            sc AS (
+                SELECT doc_id,
+                       CAST(sum(tf * ((1000000 * nn.n) // dfs.df)) AS BIGINT) AS score,
+                       CAST(count(*) AS INT) AS n_terms_matched
+                FROM tf JOIN dfs USING (token), nn
+                GROUP BY doc_id
+            )
+            SELECT doc_id, score, n_terms_matched
+            FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
         # v1 lacks %11==3, v2 lacks %11==0, %7==0 revised in v2; the
         # fingerprint comparison must land exactly on that arithmetic
         "crawl_snapshot_diff": """

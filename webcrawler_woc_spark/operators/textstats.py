@@ -190,3 +190,40 @@ def top_terms_per_lang(documents: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select("lang", "token", "df", "rnk")
     )
+
+
+def ranked_search(documents: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
+    """Ranked retrieval over the crawl corpus: integer tf-idf, global top-k.
+
+    score(d) = sum over matched query terms of tf(t,d) * idf_ppm(t), with
+    idf_ppm(t) = (10^6 * N) div df(t) — all-integer arithmetic so the score
+    is exact under any shuffle order and the DuckDB twin reproduces it
+    bit-for-bit (real BM25 adds float log/length-norm; the integer variant
+    keeps the same plan shape and an exact oracle).
+
+    Scale shape: the broadcast term list filters the token explode AT THE
+    SCAN, so only query-term postings exist downstream (a 5-term query over
+    10^10 docs shuffles 5 posting lists, not the corpus); tf and df are
+    partial-agg'd; the final top-k is a TakeOrdered (per-partition k then
+    driver merge), never a global sort. Output (doc_id, score,
+    n_terms_matched), ties broken by doc_id ASC."""
+    spark = documents.sparkSession
+    n_docs = documents.count()
+    probe = F.broadcast(spark.createDataFrame([(t,) for t in terms], "token string"))
+    toks = documents.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    tf = toks.join(probe, "token").groupBy("doc_id", "token").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dfs = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    idf = dfs.withColumn("idf_ppm", F.expr(f"({10**6} * {n_docs}) div df"))
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("idf_ppm")).alias("score"),
+            F.count("*").cast("int").alias("n_terms_matched"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
