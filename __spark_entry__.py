@@ -982,6 +982,18 @@ def q_rel_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count of the corpus URL space (the 'how many
+    unique URLs have we seen' question a 10^10-URL frontier cannot answer
+    with an exact distinct): fixed-hash registers + all-integer raw
+    estimator, so the oracle reproduces the estimate bit-for-bit alongside
+    the exact truth."""
+    from webcrawler_woc_spark.operators.sketches import distinct_count_check
+
+    values = _pages(spark, sf_dir).select(F.col("url").alias("value"))
+    return distinct_count_check(values)
+
+
 SEARCH_TERMS = ["merge", "vector", "window"]
 
 
@@ -1079,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_range_window": q_rel_range_window,
         "rel_cube_pricing": q_rel_cube_pricing,
         "text_search_ranked": q_text_search_ranked,
+        "sketch_hll_distinct": q_sketch_hll_distinct,
     }
 
 
@@ -1769,6 +1782,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, sess
         """,
         "sketch_heavy_hitters": _sketch_sql(),
+        "sketch_hll_distinct": _hll_sql(),
         "text_search_ranked": f"""
             WITH nn AS (SELECT count(*) AS n FROM documents),
             toks AS (
@@ -1844,6 +1858,62 @@ edges AS (
     WHERE regexp_extract(o.url, '^https?://[^/]+/page/(\\d+)$', 1) <> ''
 )
 """
+
+
+def _hll_sql() -> str:
+    """DuckDB twin of operators/sketches.distinct_count_check over the
+    corpus URLs: same poly/square-mod hash, register split, generated
+    rho CASE chain, integer harmonic sum and division sequence."""
+    from webcrawler_woc_spark.operators.sketches import (
+        HLL_ALPHA_PPM,
+        HLL_M,
+        HLL_SUFFIX_BITS,
+    )
+
+    m31 = (1 << 31) - 1
+    poly = _POLY31.format(col="url", mult=31)
+    rho_chain = " ".join(
+        f"WHEN suffix >= {1 << (HLL_SUFFIX_BITS - k)} THEN {k}"
+        for k in range(1, HLL_SUFFIX_BITS + 1)
+    )
+    b = HLL_SUFFIX_BITS + 1
+    num = HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << b)
+    return f"""
+        WITH urls AS (
+            SELECT 'http://host' || (doc_id % 10) || '.example/page/' || doc_id AS url
+            FROM documents
+            UNION ALL
+            SELECT 'http://host' || h || '.example/robots.txt' FROM range(10) t(h)
+            UNION ALL
+            SELECT 'http://host' || h || '.example/sitemap0.txt' FROM range(10) t(h)
+        ),
+        hp AS (SELECT url, {poly} AS p FROM urls),
+        h AS (SELECT ((p % {m31}) * (p % {m31})) % {m31} AS h31 FROM hp),
+        split AS (
+            SELECT h31 // {1 << HLL_SUFFIX_BITS} AS reg,
+                   h31 % {1 << HLL_SUFFIX_BITS} AS suffix
+            FROM h
+        ),
+        rho AS (
+            SELECT reg, CASE {rho_chain} ELSE {HLL_SUFFIX_BITS + 1} END AS rho
+            FROM split
+        ),
+        sparse AS (SELECT reg, max(rho) AS max_rho FROM rho GROUP BY reg),
+        dense AS (
+            SELECT t.r AS reg, coalesce(s.max_rho, 0) AS max_rho
+            FROM range({HLL_M}) t(r) LEFT JOIN sparse s ON s.reg = t.r
+        ),
+        agg AS (
+            SELECT CAST(sum(CAST(1 AS BIGINT) << CAST({b} - max_rho AS INT)) AS BIGINT) AS s,
+                   CAST(sum(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END) AS INT)
+                       AS n_zero_registers
+            FROM dense
+        )
+        SELECT (SELECT CAST(count(DISTINCT url) AS BIGINT) FROM urls) AS exact_distinct,
+               CAST(({num} // s) // 1000000 AS BIGINT) AS hll_estimate,
+               n_zero_registers
+        FROM agg
+    """
 
 
 def _sketch_sql(depth: int = 4, width: int = 256) -> str:

@@ -30,7 +30,11 @@ SMJ_OK = {
 # BNLJ allowlist: the exact cosine baseline broadcasts the tiny query set
 # into a crossJoin by design; IVF broadcasts the tiny centroid table into
 # the assignment crossJoin.
-BNLJ_OK = {"ann_cosine_topk", "ann_ivf_topk"}
+BNLJ_OK = {
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "sketch_hll_distinct",  # 1-row exact x 1-row estimate crossJoin
+}
 # streaming queries execute a StreamingQuery, not a single batch plan
 SKIP = {"stream_dedup_exactly_once", "stream_host_rate", "stream_sessionize"}
 

@@ -43,3 +43,31 @@ def test_sketch_merges_by_addition(spark):
         for k, v in s.items():
             merged[k] = merged.get(k, 0) + v
     assert merged == s_union
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Registers(A ∪ B) == cellwise max(Registers(A), Registers(B))."""
+    from webcrawler_woc_spark.operators.sketches import hll_registers
+
+    vals = lambda xs: spark.createDataFrame([(x,) for x in xs], "value string")
+    a = [f"u{i}" for i in range(40)]
+    b = [f"v{i}" for i in range(40)]
+    ra = {r.reg: r.max_rho for r in hll_registers(vals(a)).collect()}
+    rb = {r.reg: r.max_rho for r in hll_registers(vals(b)).collect()}
+    ru = {r.reg: r.max_rho for r in hll_registers(vals(a + b)).collect()}
+    assert ru == {k: max(ra[k], rb[k]) for k in ra}
+
+
+def test_hll_estimate_deterministic_and_sane(spark):
+    from webcrawler_woc_spark.operators.sketches import distinct_count_check
+
+    vals = spark.createDataFrame(
+        [(f"http://h{i % 7}.example/p/{i}",) for i in range(300)] * 2,  # dups collapse
+        "value string",
+    )
+    r1 = distinct_count_check(vals).head()
+    r2 = distinct_count_check(vals).head()
+    assert (r1.exact_distinct, r1.hll_estimate) == (r2.exact_distinct, r2.hll_estimate)
+    assert r1.exact_distinct == 300
+    # raw estimator, no range corrections: just pin a sane band
+    assert 150 <= r1.hll_estimate <= 600

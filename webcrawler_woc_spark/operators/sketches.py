@@ -108,3 +108,77 @@ def heavy_hitter_check(
         )
         .withColumn("overcount", F.col("est_count") - F.col("true_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al. 2007, public algorithm)
+# ---------------------------------------------------------------------------
+
+HLL_P = 6                      # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_SUFFIX_BITS = 31 - HLL_P   # the 31-bit poly hash: top p bits pick the
+HLL_ALPHA_PPM = 709000         # register, the rest feed rho; alpha_64 = .709
+
+
+def _rho(suffix) -> "F.Column":
+    """Position of the first 1-bit (from the MSB) of the SUFFIX_BITS-wide
+    value, 1-based; all-zero suffix => SUFFIX_BITS + 1. A generated when-
+    chain — pure integer comparisons, identical in the SQL twin."""
+    chain = None
+    for k in range(1, HLL_SUFFIX_BITS + 1):
+        cond = suffix >= (1 << (HLL_SUFFIX_BITS - k))
+        chain = F.when(cond, k) if chain is None else chain.when(cond, k)
+    return chain.otherwise(HLL_SUFFIX_BITS + 1)
+
+
+def hll_registers(values: DataFrame) -> DataFrame:
+    """Dense register table (reg, max_rho) for a ``value`` string column.
+    Merge rule is MAX per register — order-independent and mergeable across
+    partitions/sketches (union then max), the dual of count-min's addition.
+    Registers never touched carry max_rho = 0."""
+    h = _sql_str_hash31(F.col("value"))
+    reg = F.expr(f"h div {1 << HLL_SUFFIX_BITS}")
+    suffix = F.pmod(F.col("h"), F.lit(1 << HLL_SUFFIX_BITS))
+    sparse = (
+        values.select(h.alias("h"))
+        .select(reg.alias("reg"), _rho(suffix).alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+    )
+    spark = values.sparkSession
+    dense = spark.range(HLL_M).select(F.col("id").cast("bigint").alias("reg"))
+    return dense.join(sparse, "reg", "left").select(
+        "reg", F.coalesce(F.col("max_rho"), F.lit(0)).cast("int").alias("max_rho")
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """Raw HLL estimate from the dense register table, ALL-INTEGER: the
+    harmonic sum is computed as S = sum(2^(SUFFIX_BITS+1 - max_rho)) (every
+    term an exact int, order-independent), and the estimate as a fixed
+    integer-division sequence — bit-identical in the oracle. Raw estimator
+    only: the small/large-range corrections of the paper are documented
+    non-goals (they change accuracy, not the sketch contract).
+    Output one row: (hll_estimate, n_zero_registers)."""
+    b = HLL_SUFFIX_BITS + 1
+    # exact power of two via shift, never float pow
+    term = F.expr(f"shiftleft(cast(1 as bigint), {b} - max_rho)")
+    agg = registers.agg(
+        F.sum(term).alias("s"),
+        F.sum((F.col("max_rho") == 0).cast("int")).alias("n_zero_registers"),
+    )
+    num = HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << b)
+    return agg.select(
+        F.expr(f"({num} div s) div 1000000").cast("bigint").alias("hll_estimate"),
+        F.col("n_zero_registers").cast("int").alias("n_zero_registers"),
+    )
+
+
+def distinct_count_check(values: DataFrame) -> DataFrame:
+    """HLL estimate vs exact distinct for a ``value`` column, one row:
+    (exact_distinct, hll_estimate, n_zero_registers). The exact side is the
+    expensive global distinct the sketch exists to avoid — here it is the
+    oracle-checkable ground truth."""
+    est = hll_estimate(hll_registers(values))
+    exact = values.agg(F.countDistinct("value").cast("bigint").alias("exact_distinct"))
+    return exact.crossJoin(est)
