@@ -994,6 +994,60 @@ def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_count_check(values)
 
 
+def q_rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (union-window form, no pairwise blowup): each click event
+    matched to the user's most recent purchase at or before it. The oracle
+    is DuckDB's native ASOF LEFT JOIN — a fully independent implementation
+    of the same semantics."""
+    from webcrawler_woc_spark.operators.temporal import asof_join
+
+    ev = _tbl(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    probes = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "us")
+    builds = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "us")
+        .agg(F.max("event_id").alias("purchase_id"))  # unique per (key, time)
+        .withColumn("purchase_us", F.col("us"))
+    )
+    return asof_join(
+        probes, builds, key="user_id", time="us", build_cols=["purchase_id", "purchase_us"]
+    )
+
+
+RANGE_BASE = 1704067200  # 2024-01-01T00:00:00Z, the events epoch
+
+
+def q_rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via interval bucketing (the scalable rewrite of a theta
+    join): per-user synthetic activity windows counted against the event
+    stream with an equi-join on (user, hour-bucket) + residual filter;
+    zero-hit windows kept. The oracle runs the plain inequality join."""
+    from webcrawler_woc_spark.operators.temporal import interval_count_join
+
+    ev = _tbl(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").cast("long").alias("ep")
+    )
+    users = ev.select("user_id").distinct()
+    start = F.lit(RANGE_BASE).cast("bigint") + (
+        F.col("user_id") * 7919 + F.col("win_id") * 777600
+    ) % 2419200
+    intervals = (
+        users.withColumn("win_id", F.explode(F.sequence(F.lit(0), F.lit(2))))
+        .withColumn("win_id", F.col("win_id").cast("int"))
+        .withColumn("start_ep", start)
+        .withColumn(
+            "end_ep",
+            F.col("start_ep") + 3600 * (1 + F.pmod(F.col("user_id") + F.col("win_id"), F.lit(5))),
+        )
+    )
+    return interval_count_join(intervals, ev, key="user_id", bucket_sec=3600)
+
+
 SEARCH_TERMS = ["merge", "vector", "window"]
 
 
@@ -1092,6 +1146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_cube_pricing": q_rel_cube_pricing,
         "text_search_ranked": q_text_search_ranked,
         "sketch_hll_distinct": q_sketch_hll_distinct,
+        "rel_asof_join": q_rel_asof_join,
+        "rel_range_join": q_rel_range_join,
     }
 
 
@@ -1783,6 +1839,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sketch_heavy_hitters": _sketch_sql(),
         "sketch_hll_distinct": _hll_sql(),
+        "rel_asof_join": """
+            WITH p AS (
+                SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                FROM events WHERE event_type = 'click'
+            ),
+            b0 AS (
+                SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                       max(event_id) AS purchase_id
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT p.event_id, p.user_id, CAST(p.us AS BIGINT) AS us,
+                   CAST(b.purchase_id AS BIGINT) AS asof_purchase_id,
+                   CAST(b.us AS BIGINT) AS asof_purchase_us
+            FROM p ASOF LEFT JOIN b0 b
+                 ON p.user_id = b.user_id AND p.us >= b.us
+        """,
+        "rel_range_join": f"""
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            iv AS (
+                SELECT user_id, CAST(t.w AS INT) AS win_id,
+                       CAST({RANGE_BASE} + (user_id * 7919 + t.w * 777600) % 2419200
+                            AS BIGINT) AS start_ep
+                FROM u, range(3) t(w)
+            ),
+            iv2 AS (
+                SELECT user_id, win_id, start_ep,
+                       CAST(start_ep + 3600 * (1 + (user_id + win_id) % 5) AS BIGINT)
+                           AS end_ep
+                FROM iv
+            ),
+            pts AS (SELECT user_id, floor(epoch(ts)) AS ep FROM events)
+            SELECT iv2.user_id, win_id, start_ep, end_ep,
+                   CAST(count(pts.ep) AS BIGINT) AS n_points
+            FROM iv2 LEFT JOIN pts
+                 ON pts.user_id = iv2.user_id
+                AND pts.ep >= iv2.start_ep AND pts.ep < iv2.end_ep
+            GROUP BY 1, 2, 3, 4
+        """,
         "text_search_ranked": f"""
             WITH nn AS (SELECT count(*) AS n FROM documents),
             toks AS (
