@@ -1048,6 +1048,32 @@ def q_rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_count_join(intervals, ev, key="user_id", bucket_sec=3600)
 
 
+def q_rel_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the engine materializes an
+    HOURLY per-user rollup (the chunk-local pre-aggregate a time-series
+    store keeps), then answers the day-level query by re-aggregating the
+    hourly tier — never touching raw rows. The oracle aggregates the RAW
+    events straight to days, so a match proves the two-level rollup
+    invariant (count/sum re-aggregate losslessly; integer cents keep it
+    exact). At scale the hourly tier is what makes old chunks cheap: the
+    day query reads 24 rows per user-day instead of the event stream."""
+    ev = _tbl(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ep"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    hourly = (
+        ev.withColumn("hour_ep", F.expr("(ep div 3600) * 3600"))
+        .groupBy("user_id", "hour_ep")
+        .agg(F.count("*").cast("bigint").alias("n"), F.sum("cents").alias("cents"))
+    )
+    return (
+        hourly.withColumn("day_ep", F.expr("(hour_ep div 86400) * 86400"))
+        .groupBy("user_id", "day_ep")
+        .agg(F.sum("n").alias("n_events"), F.sum("cents").alias("sum_cents"))
+    )
+
+
 SEARCH_TERMS = ["merge", "vector", "window"]
 
 
@@ -1148,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": q_sketch_hll_distinct,
         "rel_asof_join": q_rel_asof_join,
         "rel_range_join": q_rel_range_join,
+        "rel_hypertable_rollup": q_rel_hypertable_rollup,
     }
 
 
@@ -1839,6 +1866,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sketch_heavy_hitters": _sketch_sql(),
         "sketch_hll_distinct": _hll_sql(),
+        # the oracle aggregates RAW events straight to days; the engine goes
+        # through its hourly tier — equality proves the rollup invariant
+        "rel_hypertable_rollup": """
+            SELECT user_id,
+                   -- CAST before //: DuckDB's // on DOUBLE is plain float
+                   -- division, only integer operands floor-divide
+                   (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_ep,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events
+            GROUP BY 1, 2
+        """,
         "rel_asof_join": """
             WITH p AS (
                 SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
