@@ -1074,6 +1074,30 @@ def q_rel_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count of the corpus link graph (link-farm clustering
+    signal): canonical lo<hi edges, two-join a<b<c enumeration, exact
+    integer count — the oracle enumerates the same triangles in SQL over
+    the arithmetic link graph."""
+    from webcrawler_woc_spark.operators.graph import doc_edges, triangle_count
+
+    children = extract_child_links(_gated(spark, sf_dir))
+    return triangle_count(doc_edges(children))
+
+
+def q_rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-segment account-balance percentiles by rank selection
+    (p50/p90/p99, integer cents, full tiebreak) — engine-independent where
+    quantile functions' interpolation rules are not."""
+    from webcrawler_woc_spark.operators.sampling import exact_percentiles
+
+    cust = _tbl(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    return exact_percentiles(
+        cust, "c_mktsegment", cents, quantiles=[50, 90, 99], tiebreak="c_custkey"
+    )
+
+
 SEARCH_TERMS = ["merge", "vector", "window"]
 
 
@@ -1175,6 +1199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_asof_join": q_rel_asof_join,
         "rel_range_join": q_rel_range_join,
         "rel_hypertable_rollup": q_rel_hypertable_rollup,
+        "graph_triangles": q_graph_triangles,
+        "rel_percentiles": q_rel_percentiles,
     }
 
 
@@ -1866,6 +1892,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sketch_heavy_hitters": _sketch_sql(),
         "sketch_hll_distinct": _hll_sql(),
+        "graph_triangles": _triangles_sql(),
+        "rel_percentiles": """
+            WITH base AS (
+                SELECT c_mktsegment,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS v,
+                       c_custkey,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) ASC,
+                                                   c_custkey ASC) AS rn,
+                       count(*) OVER (PARTITION BY c_mktsegment) AS n
+                FROM customer
+            )
+            SELECT c_mktsegment, CAST(max(n) AS BIGINT) AS n,
+                   max(CASE WHEN rn = ((n - 1) * 50) // 100 + 1 THEN v END) AS p50,
+                   max(CASE WHEN rn = ((n - 1) * 90) // 100 + 1 THEN v END) AS p90,
+                   max(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN v END) AS p99
+            FROM base GROUP BY c_mktsegment
+        """,
         # the oracle aggregates RAW events straight to days; the engine goes
         # through its hourly tier — equality proves the rollup invariant
         "rel_hypertable_rollup": """
@@ -2157,6 +2201,25 @@ l{i + 1} AS MATERIALIZED (
     return (
         "WITH " + ",".join(ctes)
         + f"\nSELECT doc_id, component AS cluster_id, doc_id = component AS is_kept FROM l{iters}"
+    )
+
+
+def _triangles_sql() -> str:
+    """DuckDB twin of operators/graph.triangle_count over the arithmetic
+    link graph: canonical lo<hi undirected edges, a<b<c enumeration."""
+    from webcrawler_woc_spark.sources.corpus import ORACLE_OUTLINKS_CTE
+
+    return (
+        "WITH " + ORACLE_OUTLINKS_CTE + "," + _EDGES_CTE + """
+        , und AS (
+            SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+            FROM edges WHERE src <> dst
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM und e1
+        JOIN und e2 ON e1.hi = e2.lo
+        JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+        """
     )
 
 

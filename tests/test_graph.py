@@ -63,3 +63,21 @@ class TestConnectedComponents:
         nodes, edges = _g(spark, 6, [(5, 0)])
         got = {r["doc_id"]: r["component"] for r in connected_components(nodes, edges, 2).collect()}
         assert got[5] == 0 and got[0] == 0
+
+
+class TestTriangles:
+    def test_counts_each_triangle_once(self, spark):
+        from webcrawler_woc_spark.operators.graph import triangle_count
+
+        # K4 on {1,2,3,4} has 4 triangles; edge directions/dupes must not matter
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 3), (5, 5)],
+            "src bigint, dst bigint",
+        )
+        assert triangle_count(edges).head().n_triangles == 4
+
+    def test_no_triangles_in_a_path(self, spark):
+        from webcrawler_woc_spark.operators.graph import triangle_count
+
+        edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src bigint, dst bigint")
+        assert triangle_count(edges).head().n_triangles == 0

@@ -65,3 +65,19 @@ class TestPackSequences:
         total_tokens = out.agg(F.sum("n_tokens")).collect()[0][0]
         last = out.orderBy(F.desc("doc_id")).limit(1).collect()[0]
         assert last["bin_id"] <= total_tokens // 512
+
+
+class TestExactPercentiles:
+    def test_rank_selection(self, spark):
+        from pyspark.sql import functions as F
+
+        from webcrawler_woc_spark.operators.sampling import exact_percentiles
+
+        rows = [("a", v, i) for i, v in enumerate([10, 20, 30, 40, 50, 60, 70, 80, 90, 100])]
+        rows += [("b", 7, 99)]
+        df = spark.createDataFrame(rows, "g string, v bigint, k bigint")
+        out = {r.g: r for r in exact_percentiles(
+            df, "g", F.col("v"), quantiles=[50, 90, 99], tiebreak="k").collect()}
+        # n=10: p50 -> rank (9*50)//100+1 = 5 -> 50; p90 -> rank 9 -> 90; p99 -> rank 9 -> 90
+        assert (out["a"].n, out["a"].p50, out["a"].p90, out["a"].p99) == (10, 50, 90, 90)
+        assert (out["b"].n, out["b"].p50, out["b"].p99) == (1, 7, 7)

@@ -104,3 +104,30 @@ def connected_components(nodes: DataFrame, edges: DataFrame, iterations: int = 5
             .localCheckpoint()  # see pagerank_int: truncate lineage per round
         )
     return labels
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count of the undirected link graph, one row
+    (n_triangles). Triangles measure local clustering — link-farm /
+    spam-ring detection signal on a web graph (dense mutual-link cliques
+    triangle-count far above organic linking).
+
+    Plan: canonicalize each undirected edge to (lo, hi) with lo < hi, then
+    the standard two-join enumeration a<b<c: (a,b) ⋈ (b,c) ⋈ (a,c) — each
+    triangle counted exactly once. Self-joins on the edge list are the
+    classic heavy-graph shuffle; at 10^10 edges the production mitigation
+    is degree-ordered orientation (point each edge at the higher-degree
+    endpoint), which this canonical form approximates by id order. Exact
+    integer count => oracle-equal."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    e1 = und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = und.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = und.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return tri.agg(F.count("*").cast("bigint").alias("n_triangles"))

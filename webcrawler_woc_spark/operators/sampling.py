@@ -74,3 +74,33 @@ def pack_sequences(
         F.expr(f"CAST(_cum0 div {budget_tokens} AS BIGINT)").alias("bin_id"),
         F.pmod(F.col("_cum0"), F.lit(budget_tokens)).cast("bigint").alias("offset_in_bin"),
     )
+
+
+def exact_percentiles(
+    df: "DataFrame", group: str, value, quantiles: list[int], tiebreak: str
+) -> "DataFrame":
+    """Exact per-group percentiles by RANK SELECTION, engine-deterministic:
+    the q-th percentile is the element at 1-based rank floor((n-1)*q/100)+1
+    of the group sorted by (value, tiebreak) — no interpolation, no
+    approx sketch, identical arithmetic in any engine (quantile functions
+    differ across engines in boundary/interpolation rules; rank selection
+    does not). One window shuffle on the group key.
+
+    Output: (group, n, p<q> for each q)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group).orderBy(F.col("v").asc(), F.col(tiebreak).asc())
+    base = df.select(group, value.alias("v"), tiebreak).select(
+        group,
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy(group)).alias("n"),
+    )
+    aggs = [F.max("n").cast("bigint").alias("n")]
+    for q in quantiles:
+        # all-integer rank arithmetic (div, never float multiply)
+        target = F.expr(f"((n - 1) * {q}) div 100 + 1")
+        aggs.append(
+            F.max(F.when(F.col("rn") == target, F.col("v"))).alias(f"p{q}")
+        )
+    return base.groupBy(group).agg(*aggs)
