@@ -767,7 +767,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SESSION_GAP_US = 1800 * 1_000_000  # streaming/session_stream.GAP_US
+from webcrawler_woc_spark.streaming.session_stream import GAP_US as SESSION_GAP_US
 
 RECRAWL_NOW = 1767225600 + 7 * 86400  # fixed "now": 2026-01-08T00:00:00Z
 RECRAWL_MIN_AGE = 5 * 86400 + 1
@@ -929,9 +929,8 @@ def q_crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fp_frame(frame):
-        return fingerprints(frame).join(frame.select("doc_id"), "doc_id").select(
-            url.alias("url"), F.col("fingerprint").alias("fp")
-        )
+        # fingerprints() is 1:1 on doc_id — derive the url straight from it
+        return fingerprints(frame).select(url.alias("url"), F.col("fingerprint").alias("fp"))
 
     v1 = docs.filter(F.col("doc_id") % 11 != 3)
     v2 = docs.filter(F.col("doc_id") % 11 != 0).withColumn(

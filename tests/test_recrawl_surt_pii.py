@@ -162,3 +162,18 @@ class TestDedupClusters:
             1: (1, True), 2: (1, False), 3: (1, False),
             10: (10, True), 11: (10, False),
         }
+
+
+def test_zero_captures_emit_no_rows(spark):
+    from pyspark.sql import functions as F
+
+    from webcrawler_woc_spark.operators.recrawl import explode_captures
+
+    pages = spark.createDataFrame([("http://h/a", 100), ("http://h/b", 200)],
+                                  "url string, epoch int").select(
+        "url", F.timestamp_seconds("epoch").alias("warc_ts"))
+    n = F.when(F.col("url").endswith("/a"), 0).otherwise(2)
+    rows = explode_captures(pages, n).collect()
+    # /a (zero captures) contributes nothing — no fabricated [0, -1] pair
+    assert sorted((r.url, r.capture_no) for r in rows) == [
+        ("http://h/b", 0), ("http://h/b", 1)]

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-GAP_US = 1800 * 1_000_000
+from webcrawler_woc_spark.streaming.session_stream import GAP_US
 
 
 def _run(spark, tmp_path, rows):
@@ -23,17 +23,22 @@ def _run(spark, tmp_path, rows):
     )
     df.repartition(2).write.parquet(d)
     base = 1_000_000_000
+    seen = set()
     for p in os.listdir(d):
         if p.startswith("part-"):
             os.utime(f"{d}/{p}", (base, base))
+            seen.add(p)
     for i, uid in enumerate((-1, -2)):
         spark.createDataFrame([(uid,)], "user_id bigint").select(
             "user_id", F.lit(f"2100-01-0{i + 1} 00:00:00").cast("timestamp").alias("ts")
         ).coalesce(1).write.mode("append").parquet(d)
+        # track staged parts so sentinel 1 is not re-stamped with sentinel
+        # 2's mtime (a getmtime>base check would re-touch it and lose the
+        # strict ordering)
         for p in os.listdir(d):
-            fp = f"{d}/{p}"
-            if p.startswith("part-") and os.path.getmtime(fp) > base:
-                os.utime(fp, (base + 3600 * (i + 1), base + 3600 * (i + 1)))
+            if p.startswith("part-") and p not in seen:
+                os.utime(f"{d}/{p}", (base + 3600 * (i + 1), base + 3600 * (i + 1)))
+                seen.add(p)
     q = stream_user_sessions(spark, d, "sess_test")
     q.awaitTermination(300)
     return {

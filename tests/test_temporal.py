@@ -48,3 +48,19 @@ def test_range_join_boundaries_and_bucket_spans(spark):
         (1, 1): 0,  # zero-hit interval preserved
         (2, 0): 2,  # 0 and 3599; 3600 excluded (exclusive end)
     }
+
+
+def test_asof_join_null_field_does_not_tear_rows(spark):
+    """A NULL field in the MATCHED build row must stay NULL — filling
+    columns independently would fall through to an older build's value,
+    fabricating a row that never existed (DuckDB ASOF returns the t=100
+    row with its NULL intact)."""
+    from webcrawler_woc_spark.operators.temporal import asof_join
+
+    probes = spark.createDataFrame([(1, 10, 150)], "event_id bigint, user_id bigint, us bigint")
+    builds = spark.createDataFrame(
+        [(10, 100, None, 111), (10, 50, 7, 222)],
+        "user_id bigint, us bigint, val bigint, other bigint",
+    )
+    r = asof_join(probes, builds, key="user_id", time="us", build_cols=["val", "other"]).head()
+    assert (r.asof_val, r.asof_other) == (None, 111)  # t=100 row verbatim, no mixing

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from webcrawler_woc_spark.operators.textstats import FINGERPRINT_MOD
+from webcrawler_woc_spark.operators.textstats import rolling_fingerprint
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
 PHONE_RE = r"\+[0-9]{10,12}"
@@ -50,12 +50,7 @@ def pii_scrub(df: DataFrame, text: Column, keys: list[str]) -> DataFrame:
     The fingerprint is the order-sensitive rolling hash of the REDACTED
     string — any detector miss or over-match changes it."""
     red = redact(text)
-    chars = F.filter(F.split(red, ""), lambda c: c != "")
-    fp = F.aggregate(
-        chars,
-        F.lit(0).cast("bigint"),
-        lambda acc, c: (acc * 31 + F.ascii(c)) % FINGERPRINT_MOD,
-    )
+    fp = rolling_fingerprint(red)
     return df.select(
         *keys,
         _count(text, EMAIL_RE).alias("n_emails"),

@@ -102,7 +102,9 @@ def robots_decision(frontier: DataFrame, rules: DataFrame) -> DataFrame:
     """Google-spec rule precedence over (url, host) rows: among the rules
     matching a URL's path, the LONGEST raw rule wins; on a length tie the
     Allow rule wins (least-restrictive tiebreak); no matching rule = allowed.
-    Output: frontier columns + ``allowed`` boolean.
+    Output: one DECISION row per distinct (url, host) — (url, host, allowed);
+    callers carrying extra frontier columns join the decisions back on url
+    (the aggregation cannot preserve arbitrary payload columns).
 
     Shape: rules broadcast (per-host tiny); the match join multiplies each
     URL by its matching rules only, then one hash aggregation on (url, host)

@@ -35,7 +35,12 @@ def explode_captures(pages: DataFrame, n_captures: Column) -> DataFrame:
     (deterministic synthetic history; a real archive would supply these
     rows directly). Epoch bigints throughout — timezone-proof."""
     base_epoch = F.unix_timestamp(F.col("warc_ts"))
-    caps = F.sequence(F.lit(0), (n_captures - 1).cast("int"))
+    # guard: sequence(0, -1) would generate a DESCENDING [0, -1] — a
+    # zero-capture URL must emit no rows, not two fabricated ones
+    n = n_captures.cast("int")
+    caps = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.expr("CAST(array() AS array<int>)")
+    )
     return pages.select(
         "url",
         base_epoch.alias("base_epoch"),

@@ -83,11 +83,9 @@ def heavy_hitter_check(
     for the probe tokens: (token, est_count, true_count, overcount).
     overcount >= 0 always (count-min never under-counts) — the invariant a
     test can pin without fixing the error magnitude."""
-    toks = documents.select(
-        F.explode(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")).alias(
-            "token"
-        )
-    )
+    from webcrawler_woc_spark.operators.textstats import _tokens
+
+    toks = documents.select(F.explode(_tokens(F.col("text"))).alias("token"))
     sketch = count_min_build(toks, depth, width)
     spark = documents.sparkSession
     probe_df = spark.createDataFrame([(p,) for p in probes], "token string")

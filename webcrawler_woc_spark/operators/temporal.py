@@ -44,15 +44,21 @@ def asof_join(
     as ``asof_<name>`` (null when no build precedes the probe).
 
     Builds MUST be unique per (key, time) — pre-aggregate duplicates first
-    (an arbitrary-tie as-of is nondeterministic in any engine)."""
-    p = probes.withColumn("_side", F.lit(1))
-    for c in build_cols:
-        p = p.withColumn(f"asof_{c}", F.lit(None).cast(builds.schema[c].dataType))
+    (an arbitrary-tie as-of is nondeterministic in any engine).
+
+    The carried build columns travel as ONE struct, filled with a single
+    last(ignorenulls) — filling each column independently would tear rows
+    (a NULL field in the matched build row would fall through to an OLDER
+    build's value, fabricating a row that never existed and diverging from
+    ASOF semantics)."""
     b = builds.select(
         key,
         time,
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"asof_{c}") for c in build_cols],
+        F.struct(*[F.col(c) for c in build_cols]).alias("_b"),
+    )
+    p = probes.withColumn("_side", F.lit(1)).withColumn(
+        "_b", F.lit(None).cast(b.schema["_b"].dataType)
     )
     for c in probes.columns:
         if c not in (key, time):
@@ -66,9 +72,12 @@ def asof_join(
     filled = u.select(
         *[c for c in probes.columns],
         "_side",
-        *[F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in build_cols],
+        F.last("_b", ignorenulls=True).over(w).alias("_b"),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return filled.filter(F.col("_side") == 1).select(
+        *[c for c in probes.columns],
+        *[F.col(f"_b.{c}").alias(f"asof_{c}") for c in build_cols],
+    )
 
 
 def interval_count_join(
@@ -76,16 +85,22 @@ def interval_count_join(
     points: DataFrame,
     key: str,
     bucket_sec: int = 3600,
+    broadcast_counts: bool = True,
 ) -> DataFrame:
     """Count points with ``ep`` in [start_ep, end_ep) per interval row:
-    (key, win_id, start_ep, end_ep, n_points) — zero-point intervals kept.
+    (key, win_id, start_ep, end_ep, n_points) — zero-point intervals kept;
+    EMPTY/inverted intervals (end <= start) are emitted with n_points = 0
+    and never explode (an inverted interval would otherwise generate a huge
+    DESCENDING bucket sequence).
 
     Plan: intervals explode to covered buckets (bounded by interval length /
     bucket_sec), equi-join on (key, bucket) with the residual range filter,
-    partial-agg'd count, then intervals LEFT JOIN the tiny per-interval
-    counts (broadcast) to restore the zeros."""
+    partial-agg'd count, then intervals LEFT JOIN the per-interval counts to
+    restore the zeros. ``broadcast_counts`` (default True) broadcasts that
+    counts side — bounded by the interval count, so set it False when the
+    interval side is itself huge and let the join shuffle."""
     b = bucket_sec
-    exploded = intervals.withColumn(
+    exploded = intervals.filter(F.col("end_ep") > F.col("start_ep")).withColumn(
         "bucket",
         F.explode(
             F.sequence(
@@ -100,7 +115,8 @@ def interval_count_join(
         .groupBy(key, "win_id")
         .agg(F.count("*").cast("bigint").alias("n_points"))
     )
-    return intervals.join(F.broadcast(hits), [key, "win_id"], "left").select(
+    hits = F.broadcast(hits) if broadcast_counts else hits
+    return intervals.join(hits, [key, "win_id"], "left").select(
         key,
         "win_id",
         "start_ep",

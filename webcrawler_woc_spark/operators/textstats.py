@@ -146,17 +146,24 @@ def repetition(documents: DataFrame) -> DataFrame:
     )
 
 
-def fingerprints(documents: DataFrame) -> DataFrame:
-    """Polynomial rolling-hash document fingerprint (order-sensitive, unlike
-    a bag-of-words hash): acc = (acc*31 + ascii(char)) mod FINGERPRINT_MOD,
-    computed as a Catalyst aggregate over the char array. SQL-twin exact."""
-    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != "")
-    fp = F.aggregate(
+def rolling_fingerprint(col) -> F.Column:
+    """THE contract fingerprint expression: acc = (acc*31 + ascii(char))
+    mod FINGERPRINT_MOD over the char array. One definition shared by
+    fingerprints() and pii.pii_scrub so the cross-engine recipe cannot
+    drift between callers."""
+    chars = F.filter(F.split(col, ""), lambda c: c != "")
+    return F.aggregate(
         chars,
         F.lit(0).cast("bigint"),
         lambda acc, c: (acc * 31 + F.ascii(c)) % FINGERPRINT_MOD,
     )
-    return documents.select("doc_id", fp.alias("fingerprint"))
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (order-sensitive, unlike
+    a bag-of-words hash), computed as a Catalyst aggregate over the char
+    array (see rolling_fingerprint). SQL-twin exact."""
+    return documents.select("doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint"))
 
 
 def doc_frequency(documents: DataFrame) -> DataFrame:
