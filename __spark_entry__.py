@@ -1097,6 +1097,17 @@ def q_rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup (the CCNet/Dolma paragraph pass): 3-token chunks,
+    global first-occurrence wins, documents reassembled from surviving
+    chunks in order — repeated boilerplate vanishes from every copy but the
+    first. The oracle rebuilds the identical chunking/selection/reassembly
+    in SQL (string_agg ORDER BY position)."""
+    from webcrawler_woc_spark.operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(_docs(spark, sf_dir), chunk_tokens=3)
+
+
 SEARCH_TERMS = ["merge", "vector", "window"]
 
 
@@ -1200,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_hypertable_rollup": q_rel_hypertable_rollup,
         "graph_triangles": q_graph_triangles,
         "rel_percentiles": q_rel_percentiles,
+        "dedup_paragraphs": q_dedup_paragraphs,
     }
 
 
@@ -1892,6 +1904,35 @@ def oracle_sql() -> dict[str, str]:
         "sketch_heavy_hitters": _sketch_sql(),
         "sketch_hll_distinct": _hll_sql(),
         "graph_triangles": _triangles_sql(),
+        "dedup_paragraphs": f"""
+            WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+            chunks AS (
+                SELECT doc_id, CAST(i.i AS INT) AS idx,
+                       array_to_string(t[i.i * 3 + 1 : i.i * 3 + 3], ' ') AS chunk,
+                       CAST(ceil(len(t) / 3.0) AS INT) AS n_chunks
+                FROM toks,
+                     unnest(range(0, CAST(ceil(len(t) / 3.0) AS BIGINT))) i(i)
+            ),
+            kept AS (
+                SELECT * FROM chunks
+                QUALIFY row_number() OVER (PARTITION BY chunk
+                                           ORDER BY doc_id ASC, idx ASC) = 1
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(chunk, ' ' ORDER BY idx) AS cleaned_text
+                FROM kept GROUP BY doc_id
+            ),
+            totals AS (
+                SELECT doc_id, CAST(max(n_chunks) AS INT) AS n_chunks
+                FROM chunks GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_chunks,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   coalesce(a.cleaned_text, '') AS cleaned_text
+            FROM totals t LEFT JOIN agg a USING (doc_id)
+        """,
         "rel_percentiles": """
             WITH base AS (
                 SELECT c_mktsegment,

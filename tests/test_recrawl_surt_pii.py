@@ -177,3 +177,22 @@ def test_zero_captures_emit_no_rows(spark):
     # /a (zero captures) contributes nothing — no fabricated [0, -1] pair
     assert sorted((r.url, r.capture_no) for r in rows) == [
         ("http://h/b", 0), ("http://h/b", 1)]
+class TestParagraphDedup:
+    def test_first_occurrence_wins_and_docs_reassemble(self, spark):
+        from webcrawler_woc_spark.operators.dedup import paragraph_dedup
+
+        # k=2 chunks; doc 1: [a b][c d]; doc 2: [a b][x y] (boilerplate 'a b'
+        # dropped); doc 3: [a b][c d] (drops ENTIRELY); doc 4 repeats its own
+        # chunk: [p q][p q] -> intra-doc dup dropped too
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b x y"), (3, "a b c d"), (4, "p q p q")],
+            "doc_id bigint, text string",
+        )
+        out = {r.doc_id: (r.n_chunks, r.n_kept, r.cleaned_text)
+               for r in paragraph_dedup(docs, chunk_tokens=2).collect()}
+        assert out == {
+            1: (2, 2, "a b c d"),
+            2: (2, 1, "x y"),
+            3: (2, 0, ""),
+            4: (2, 1, "p q"),
+        }

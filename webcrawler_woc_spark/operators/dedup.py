@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MERSENNE31 = (1 << 31) - 1
@@ -329,4 +329,76 @@ def dedup_clusters(pairs: DataFrame, iterations: int = 5) -> DataFrame:
         "doc_id",
         F.col("component").alias("cluster_id"),
         (F.col("doc_id") == F.col("component")).alias("is_kept"),
+    )
+
+
+def paragraph_dedup(documents: DataFrame, chunk_tokens: int = 3) -> DataFrame:
+    """Sub-document (paragraph-level) dedup, the CCNet/Dolma shape: chunk
+    each document into fixed-token "paragraphs", keep only the globally
+    FIRST occurrence of every distinct chunk (order: doc_id, then position),
+    and reassemble each document from its surviving chunks in original
+    order. Boilerplate repeated across pages (headers, footers, navigation)
+    disappears from every copy but the first.
+
+    Output (doc_id, n_chunks, n_kept, cleaned_text) — cleaned_text is ''
+    when every chunk was seen earlier (the doc drops entirely).
+
+    Scale shape: one explode (bounded: n_tokens/chunk_tokens rows per doc),
+    one window shuffle on the chunk hash for first-occurrence, one groupBy
+    doc_id for reassembly; array_sort on (idx, chunk) structs makes the
+    rebuild order deterministic whatever order collect_list saw."""
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    k = chunk_tokens
+    n_chunks = F.ceil(F.size("t") / F.lit(k)).cast("int")
+    chunks = (
+        documents.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            F.when(
+                F.size("t") > 0,
+                F.expr(
+                    f"transform(sequence(0, int(ceil(size(t) / {k})) - 1),"
+                    f" i -> struct(i AS idx, array_join(slice(t, i * {k} + 1, {k}), ' ') AS chunk))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<struct<idx:int,chunk:string>>)"))
+            .alias("cs"),
+            n_chunks.alias("n_chunks"),
+        )
+        .select("doc_id", "n_chunks", F.explode_outer("cs").alias("c"))
+        .select("doc_id", "n_chunks", F.col("c.idx").alias("idx"), F.col("c.chunk").alias("chunk"))
+    )
+    w = Window.partitionBy("chunk").orderBy(F.col("doc_id").asc(), F.col("idx").asc())
+    kept = chunks.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("chunk").isNull() | (F.col("rn") == 1)
+    )
+    assembled = kept.groupBy("doc_id").agg(
+        F.max("n_chunks").alias("n_chunks"),
+        F.count("chunk").cast("bigint").alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("chunk").isNotNull(),
+                                F.struct(F.col("idx"), F.col("chunk")),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("cleaned_text"),
+    )
+    # a doc whose EVERY chunk was first seen elsewhere has no surviving rows
+    # at all — restore it as fully-deduped (0 kept, empty text) with its
+    # TRUE chunk count from the pre-dedup chunk frame
+    totals = chunks.groupBy("doc_id").agg(F.max("n_chunks").alias("n_chunks"))
+    return totals.join(assembled.drop("n_chunks"), "doc_id", "left").select(
+        "doc_id",
+        F.col("n_chunks").cast("int").alias("n_chunks"),
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
     )
