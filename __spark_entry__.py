@@ -1108,6 +1108,45 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(_docs(spark, sf_dir), chunk_tokens=3)
 
 
+def q_crawl_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus accounting (page count + total extracted-text chars)
+    — the partition-level stats a crawl scheduler and storage planner feed
+    on; the oracle predicts both from doc-id arithmetic + the documents
+    n_chars column."""
+    pages = _pages(spark, sf_dir).filter(F.col("url").rlike(r"/page/\d+$"))
+    host = F.regexp_extract(F.col("url"), r"^http://([^/]+)/", 1)
+    return pages.groupBy(host.alias("host")).agg(
+        F.count("*").cast("bigint").alias("n_pages"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_chars"),
+    )
+
+
+def q_stream_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the extraction kernel (readStream -> MIME gate ->
+    Arrow extraction -> append sink, exactly-once via checkpoint): replay
+    the corpus as micro-batches and the emitted link set must equal the
+    batch oracle's arithmetic outlinks — closing the oracle gap on
+    streaming/extract_stream.py."""
+    import shutil
+
+    from webcrawler_woc_spark.streaming.extract_stream import stream_extract_links
+
+    pages = _pages(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="wcw_stream_extract_")
+    try:
+        pages.repartition(4).write.parquet(f"{tmp}/pages")
+        q = stream_extract_links(spark, f"{tmp}/pages", f"{tmp}/out", f"{tmp}/ckpt")
+        q.awaitTermination(600)
+        rows = (
+            spark.read.parquet(f"{tmp}/out")
+            .select("parent_url", "url", "link_type")
+            .collect()
+        )
+        return spark.createDataFrame(rows, "parent_url string, url string, link_type string")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 SEARCH_TERMS = ["merge", "vector", "window"]
 
 
@@ -1212,6 +1251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "rel_percentiles": q_rel_percentiles,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "crawl_host_stats": q_crawl_host_stats,
+        "stream_extract_links": q_stream_extract_links,
     }
 
 
@@ -2021,6 +2062,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, score, n_terms_matched
             FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "crawl_host_stats": """
+            SELECT 'host' || (doc_id % 10) || '.example' AS host,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(sum(5 + length(CAST(doc_id AS VARCHAR)) + n_chars)
+                        AS BIGINT) AS sum_text_chars
+            FROM documents GROUP BY 1
+        """,
+        "stream_extract_links": f"""
+            {_crawl_cte()}
+            SELECT 'http://host' || (o.doc_id % 10) || '.example/page/' || o.doc_id
+                       AS parent_url,
+                   o.url, o.link_type
+            FROM outlinks o JOIN extractable e USING (doc_id)
         """,
         # v1 lacks %11==3, v2 lacks %11==0, %7==0 revised in v2; the
         # fingerprint comparison must land exactly on that arithmetic

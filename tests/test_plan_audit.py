@@ -36,7 +36,12 @@ BNLJ_OK = {
     "sketch_hll_distinct",  # 1-row exact x 1-row estimate crossJoin
 }
 # streaming queries execute a StreamingQuery, not a single batch plan
-SKIP = {"stream_dedup_exactly_once", "stream_host_rate", "stream_sessionize"}
+SKIP = {
+    "stream_dedup_exactly_once",
+    "stream_host_rate",
+    "stream_sessionize",
+    "stream_extract_links",
+}
 
 
 def _formatted_plan(spark, df) -> str:
