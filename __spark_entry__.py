@@ -597,6 +597,18 @@ def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), budget_tokens=2048)
 
 
+def q_pipeline_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard sequence packing — the 100 TB form: one independent token
+    stream per shard (here: lang), Window.partitionBy(shard) so the running
+    sum parallelizes across shards instead of forcing the corpus through one
+    task. bin_id restarts per shard; the oracle partitions the same way."""
+    from webcrawler_woc_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), budget_tokens=2048, shard_col="lang"
+    )
+
+
 def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data ops composed into the real use-case: corpus
     curation. Keep documents that (1) language-identify as 'en', (2) pass
@@ -880,31 +892,55 @@ def q_crawl_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     28500 conversion record (Catalyst binary concat), bundle per host into
     WET-file blobs, parse back with the Arrow-batched length-framed scanner.
     The oracle predicts (url, epoch, text) arithmetically — any framing bug
-    (octet count, CRLF placement, date format) breaks the match."""
+    (octet count, CRLF placement, date format) breaks the match. Bundles are
+    byte-capped (8 KiB budget) so the parse path crosses blob boundaries —
+    the roundtrip rows are bundling-invariant, the oracle is unchanged."""
     from webcrawler_woc_spark.sources.warc import parse_wet_bundles, wet_bundle
 
     pages = _pages(spark, sf_dir).filter(F.col("url").rlike(r"/page/\d+$"))
     host = F.regexp_extract(F.col("url"), r"^http://([^/]+)/", 1)
-    return parse_wet_bundles(wet_bundle(pages, host))
+    return parse_wet_bundles(wet_bundle(pages, host, max_bundle_bytes=8192))
+
+
+def q_crawl_wet_bundle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET bundling with a byte budget — the hot-host OOM guard: records lay
+    out in url order per host and the bundle key is salted by the running
+    byte offset (bundle_seq = cum_bytes_before div 8192), so no blob exceeds
+    budget + one record. The oracle re-derives every record's exact octet
+    length (109 framing bytes + url + Content-Length digits + payload) and
+    the same cumulative-sum bucketing — any drift in framing bytes, record
+    order, or bucket arithmetic breaks the match."""
+    from webcrawler_woc_spark.sources.warc import wet_bundle
+
+    pages = _pages(spark, sf_dir).filter(F.col("url").rlike(r"/page/\d+$"))
+    host = F.regexp_extract(F.col("url"), r"^http://([^/]+)/", 1)
+    return wet_bundle(pages, host, max_bundle_bytes=8192).select(
+        "bundle_key", "bundle_seq", "n_records", "n_bytes"
+    )
 
 
 def q_crawl_robots_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Google-spec robots rule precedence (longest rule wins, Allow wins
     length ties, no rule = allowed) over synthesized per-host rule sets that
     exercise wildcards, $ anchors, an override (longer Allow inside a
-    Disallow) and an exact tie. The oracle predicts every verdict
-    arithmetically from the doc-id digits."""
+    Disallow), an exact tie, AND RFC 9309 group selection: a groupless rule
+    before any User-agent line plus a decoy ``otherbot`` group that would
+    block every page if group scoping were broken. The oracle predicts every
+    verdict arithmetically from the doc-id digits (decoy rules must not
+    contribute)."""
     from webcrawler_woc_spark.operators.politeness import parse_robots_rules, robots_decision
 
     h = F.col("id").cast("string")
     robots = spark.range(10).select(
         F.concat(F.lit("host"), h, F.lit(".example")).alias("host"),
         F.concat(
+            F.lit("Disallow: /page\n"),  # groupless: ignored per RFC 9309
             F.lit("User-agent: *\nDisallow: /page/*"), h, F.lit("$\n"),
             F.lit("Allow: /page/*0"), h, F.lit("$\n"),
             F.lit("Disallow: /page/*1"), h, F.lit("$\n"),
             F.lit("Allow: /page/*1"), h, F.lit("$\n"),
             F.lit("Disallow:\n"),  # bare = allow-all, must parse to no rule
+            F.lit("User-agent: otherbot\nDisallow: /\n"),  # decoy group
         ).alias("text"),
     )
     rules = parse_robots_rules(robots)
@@ -1253,6 +1289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "crawl_host_stats": q_crawl_host_stats,
         "stream_extract_links": q_stream_extract_links,
+        "pipeline_pack_sequences_sharded": q_pipeline_pack_sequences_sharded,
+        "crawl_wet_bundle_stats": q_crawl_wet_bundle_stats,
     }
 
 
@@ -1719,6 +1757,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum0 % 2048 AS BIGINT) AS offset_in_bin
             FROM c
         """,
+        "pipeline_pack_sequences_sharded": f"""
+            WITH t AS (
+                SELECT lang, doc_id, CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT lang, doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           PARTITION BY lang ORDER BY doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS cum0
+                FROM t
+            )
+            SELECT lang, doc_id, n_tokens,
+                   CAST(cum0 // 2048 AS BIGINT) AS bin_id,
+                   CAST(cum0 % 2048 AS BIGINT) AS offset_in_bin
+            FROM c
+        """,
         "text_token_counts": f"""
             SELECT doc_id,
                    CAST(len({TOKENS_SQL}) AS INT) AS n_tokens,
@@ -1915,6 +1971,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1767225600 + (doc_id * 37) % 86400 AS BIGINT) AS warc_epoch,
                    'Doc ' || doc_id || chr(10) || text AS text
             FROM documents
+        """,
+        # per-record WET octets, derived arithmetically: fixed framing is 109
+        # bytes (WARC/1.0 + WARC-Type + URI/Date/Content-Length field names,
+        # CRLFs, terminator), plus the url octets, the Content-Length digit
+        # count, and the utf-8 payload octets; bundle_seq buckets the per-host
+        # url-ordered cumulative sum at 8192 bytes exactly like the engine
+        "crawl_wet_bundle_stats": """
+            WITH r AS (
+                SELECT 'host' || (doc_id % 10) || '.example' AS bundle_key,
+                       'http://host' || (doc_id % 10) || '.example/page/' || doc_id AS url,
+                       octet_length(encode('Doc ' || doc_id || chr(10) || text)) AS payload
+                FROM documents
+            ),
+            b AS (
+                SELECT bundle_key, url, payload,
+                       109 + octet_length(encode(url))
+                           + length(CAST(payload AS VARCHAR)) + payload AS rec_bytes
+                FROM r
+            ),
+            c AS (
+                SELECT bundle_key, rec_bytes,
+                       CAST(coalesce(sum(rec_bytes) OVER (
+                           PARTITION BY bundle_key ORDER BY url ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS cum0
+                FROM b
+            )
+            SELECT bundle_key,
+                   CAST(cum0 // 8192 AS INT) AS bundle_seq,
+                   CAST(count(*) AS INT) AS n_records,
+                   CAST(sum(rec_bytes) AS BIGINT) AS n_bytes
+            FROM c GROUP BY bundle_key, bundle_seq
         """,
         # microsecond-exact session_window semantics: merge is INCLUSIVE at
         # the boundary (a gap of exactly 30:00 still merges; new session iff
@@ -2232,7 +2320,9 @@ def _sketch_sql(depth: int = 4, width: int = 256) -> str:
 def _pii_sql() -> str:
     """DuckDB twin of operators/pii.pii_scrub over the synthesized contact
     text: byte-identical regexes (Java-regex ∩ RE2 subset), same redaction
-    order, same rolling-hash fingerprint of the redacted stream."""
+    order, counts taken on the same progressively-redacted stages (emails on
+    raw, phones after email redaction, IPv4 after both — so counts equal
+    replacements), same rolling-hash fingerprint of the redacted stream."""
     from webcrawler_woc_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
 
     fp = _POLY31.format(col="redacted", mult=31)
@@ -2251,19 +2341,26 @@ def _pii_sql() -> str:
         ),
         r AS (
             SELECT doc_id, contact,
-                   regexp_replace(regexp_replace(regexp_replace(contact,
-                       '{EMAIL_RE}', '<EMAIL>', 'g'),
-                       '{PHONE_RE}', '<PHONE>', 'g'),
-                       '{IPV4_RE}', '<IP>', 'g') AS redacted
+                   regexp_replace(contact, '{EMAIL_RE}', '<EMAIL>', 'g') AS r1
             FROM c
+        ),
+        r2 AS (
+            SELECT doc_id, contact, r1,
+                   regexp_replace(r1, '{PHONE_RE}', '<PHONE>', 'g') AS r2
+            FROM r
+        ),
+        red AS (
+            SELECT doc_id, contact, r1, r2,
+                   regexp_replace(r2, '{IPV4_RE}', '<IP>', 'g') AS redacted
+            FROM r2
         )
         SELECT doc_id,
                CAST(len(regexp_extract_all(contact, '{EMAIL_RE}')) AS INT) AS n_emails,
-               CAST(len(regexp_extract_all(contact, '{PHONE_RE}')) AS INT) AS n_phones,
-               CAST(len(regexp_extract_all(contact, '{IPV4_RE}')) AS INT) AS n_ipv4,
+               CAST(len(regexp_extract_all(r1, '{PHONE_RE}')) AS INT) AS n_phones,
+               CAST(len(regexp_extract_all(r2, '{IPV4_RE}')) AS INT) AS n_ipv4,
                CAST(length(redacted) AS INT) AS redacted_len,
                {fp} AS redacted_fp
-        FROM r
+        FROM red
     """
 
 

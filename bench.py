@@ -125,9 +125,14 @@ def main():
     queries["crawl_depth3"] = round(statistics.median(r["sec"] for r in crawl_runs), 3)
     crawl_res = crawl_runs[0]  # scheduled/waves are deterministic across runs
 
+    # median-of-3 per query: the r02 "crawl_extracted_text regression" was a
+    # single-run artifact (warm steady-state is ~0.9s; one cold/noisy sample
+    # read as +41%) — short queries get the same noise protocol as the crawl
+    query_runs: dict[str, list[float]] = {}
     for name in (
         "crawl_extracted_text",
         "dedup_exact",
+        "dedup_simhash",
         "text_token_counts",
         "text_fingerprint",
         "ann_cosine_topk",
@@ -135,10 +140,14 @@ def main():
         "rel_topk_per_group",
     ):
         fn = entrymod.queries()[name]
-        t = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.time() - t, 3)
+        runs = []
+        for _ in range(3):
+            t = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t)
+        queries[name] = round(statistics.median(runs), 3)
+        query_runs[name] = [round(r, 3) for r in runs]
 
     # steady-state kernel throughput (the north-rule URLs/sec metric),
     # measured LAST on a larger replica so per-job fixed costs amortize and
@@ -178,6 +187,8 @@ def main():
         "crawl_scheduled": crawl_res["scheduled"],
         "crawl_depth3_runs": [round(r["sec"], 3) for r in crawl_runs],
         "crawl_depth3_stat": "median",
+        "query_runs": query_runs,
+        "query_stat": "median",
         "cpus": cpus,
     }
     print(json.dumps(out))

@@ -36,6 +36,10 @@ class TestNormalizeHost:
             ("host/path", None),  # forbidden slash
             ("host:80", None),  # Host::parse takes no port
             ("a@b", None),  # forbidden @
+            ("ex%61mple.com", "example.com"),  # Host::parse percent-decodes
+            ("EX%41MPLE.com", "example.com"),  # decode composes with lowercase
+            ("ex%2Fmple.com", None),  # decodes to '/', forbidden
+            ("100%.example", None),  # stray % survives decode -> forbidden
         ]
         for raw, want in cases:
             assert normalize_host(raw) == want, raw

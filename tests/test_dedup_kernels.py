@@ -1,0 +1,56 @@
+"""SimHash Arrow-batch kernel: the vectorized numpy path (codepoint Horner
+over a ragged utf-32 buffer + per-bit bincount votes) must be value-identical
+to a straightforward per-token Python reference — the corpus-scale parity is
+additionally pinned by the dedup_simhash DuckDB oracle."""
+
+from __future__ import annotations
+
+from webcrawler_woc_spark.operators.dedup import MERSENNE31, POLY_MOD
+
+
+def _ref_simhash(text: str) -> int:
+    """Independent per-token reference implementation (the pre-vectorization
+    semantics, kept here as the truth table)."""
+    toks = (text or "").split()
+    if not toks:
+        return 0
+    hashes = []
+    for tok in toks:
+        p1 = p2 = 0
+        for ch in tok:
+            p1 = (p1 * 31 + ord(ch)) % POLY_MOD
+            p2 = (p2 * 131 + ord(ch)) % POLY_MOD
+        m1 = (p1 % MERSENNE31) ** 2 % MERSENNE31
+        m2 = (p2 % MERSENNE31) ** 2 % MERSENNE31
+        hashes.append(m1 * (1 << 31) + m2)
+    sim = 0
+    for b in range(64):
+        votes = sum(1 if (h >> b) & 1 else -1 for h in hashes)
+        if votes > 0:
+            sim |= 1 << b
+    return sim
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the the the repeated repeated tokens tokens",  # duplicate-token weights
+    "café naïve 中文  emoji\U0001f600",  # non-ASCII codepoints
+    "single",
+    "",
+    "   ",  # whitespace only -> no tokens -> 0
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    "x" * 500,  # one long token exercises the Horner tail
+]
+
+
+def test_vectorized_kernel_matches_reference(spark):
+    from pyspark.sql import functions as F
+
+    from webcrawler_woc_spark.operators.dedup import simhash62
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id bigint, text string"
+    ).withColumn("text", F.col("text"))
+    got = {r.doc_id: r.simhash for r in simhash62(df).collect()}
+    for i, t in enumerate(TEXTS):
+        assert got[i] == _ref_simhash(t), (i, t[:40])

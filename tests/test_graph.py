@@ -81,3 +81,40 @@ class TestTriangles:
 
         edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src bigint, dst bigint")
         assert triangle_count(edges).head().n_triangles == 0
+
+    def test_star_graph_skew(self, spark):
+        """Star hub (the hot-host shape degree orientation exists for): hub 0
+        with 50 spokes has 0 triangles; adding one spoke-spoke edge makes
+        exactly 1. Under degree orientation the hub is every edge's SINK
+        (highest degree), so its wedge fan-out is 0 — the skew mitigation —
+        while the count stays exact."""
+        from webcrawler_woc_spark.operators.graph import triangle_count
+
+        spokes = [(0, i) for i in range(1, 51)]
+        edges = spark.createDataFrame(spokes, "src bigint, dst bigint")
+        assert triangle_count(edges).head().n_triangles == 0
+        edges2 = spark.createDataFrame(spokes + [(7, 33)], "src bigint, dst bigint")
+        assert triangle_count(edges2).head().n_triangles == 1
+
+    def test_orientation_invariance_on_random_graph(self, spark):
+        """Degree orientation must not change the count vs the naive id-order
+        enumeration — pinned on a deterministic pseudo-random graph."""
+        from webcrawler_woc_spark.operators.graph import triangle_count
+
+        edge_list = [
+            (a, b)
+            for a in range(20)
+            for b in range(a + 1, 20)
+            if (a * 7 + b * 13) % 5 == 0
+        ]
+        edges = spark.createDataFrame(edge_list, "src bigint, dst bigint")
+        # independent truth: brute-force count in Python
+        es = {frozenset(e) for e in edge_list}
+        truth = sum(
+            1
+            for a in range(20)
+            for b in range(a + 1, 20)
+            for c in range(b + 1, 20)
+            if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= es
+        )
+        assert triangle_count(edges).head().n_triangles == truth

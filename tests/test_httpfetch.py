@@ -1,0 +1,150 @@
+"""Real HTTP fetch mode (operators/httpfetch.py): kernel behavior against a
+local fixture server, and full e2e crawl parity between fetch_mode="join"
+(the corpus equi-join simulation) and fetch_mode="http" over the SAME corpus
+served at 127.0.0.1 — no external network is ever touched."""
+
+from __future__ import annotations
+
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawler_woc_spark.config import CrawlConfig
+from webcrawler_woc_spark.plans.crawl import crawl, read_crawl_order, read_links_out
+from webcrawler_woc_spark.plans.state import Warehouse
+from webcrawler_woc_spark.sources.corpus import (
+    default_content_type_expr,
+    pages_from_documents,
+)
+
+SEEDS = [("http://host0.example/page/0", 1.0)]
+WL = [f"host{i}.example" for i in range(5)]
+
+
+def _make_handler(content: dict[str, tuple[bytes, str]]):
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (http.server API)
+            hit = content.get(self.path)
+            if hit is None:
+                self.send_error(404)
+                return
+            body, ct = hit
+            self.send_response(200)
+            self.send_header("Content-Type", ct)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    return Handler
+
+
+@pytest.fixture(scope="module")
+def corpus_server(spark, sf_dir):
+    """Serve the derived corpus at 127.0.0.1: path /{host}{path} -> exact
+    corpus html bytes with the same Content-Type the simulation derives."""
+    pages = pages_from_documents(spark, sf_dir)
+    rows = pages.select(
+        "url", "html", default_content_type_expr(F.col("url")).alias("ct")
+    ).collect()
+    content = {
+        "/" + r.url.split("://", 1)[1]: (bytes(r.html), r.ct) for r in rows
+    }
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(content))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{server.server_address[1]}"
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+@pytest.fixture(scope="module")
+def pages(spark, sf_dir):
+    df = pages_from_documents(spark, sf_dir).cache()
+    df.count()
+    return df
+
+
+class TestHttpFetchKernel:
+    def test_fetch_success_failure_and_headers(self, spark, corpus_server):
+        from webcrawler_woc_spark.operators.httpfetch import http_fetch_join
+
+        frontier = spark.createDataFrame(
+            [
+                ("http://host0.example/page/0", 1, "host0.example", 1.0),
+                ("http://host0.example/robots.txt", 2, "host0.example", 1.0),
+                ("http://host0.example/nope", 3, "host0.example", 1.0),
+            ],
+            "url string, url_hash bigint, host string, priority double",
+        )
+        got = {
+            r.url: r
+            for r in http_fetch_join(frontier, http_base=corpus_server).collect()
+        }
+        ok = got["http://host0.example/page/0"]
+        assert ok.fetched and bytes(ok.html).startswith(b"<html>")
+        assert ok.content_type.startswith("text/html")
+        assert ok.headers["content-length"] == str(len(bytes(ok.html)))
+        assert ok.ipv4 == "10.0.0.0"  # synthetic DNS contract holds in http mode
+        robots = got["http://host0.example/robots.txt"]
+        assert robots.fetched and robots.content_type == "text/plain"
+        miss = got["http://host0.example/nope"]
+        assert not miss.fetched
+        assert miss.content_type is None and miss.html is None and miss.headers is None
+
+    def test_refused_connection_is_fetch_failure_not_error(self, spark):
+        from webcrawler_woc_spark.operators.httpfetch import http_fetch_join
+
+        frontier = spark.createDataFrame(
+            [("http://host0.example/x", 1, "host0.example", 1.0)],
+            "url string, url_hash bigint, host string, priority double",
+        )
+        # port 9 (discard) on loopback: nothing listens -> refused
+        got = http_fetch_join(
+            frontier, http_base="http://127.0.0.1:9", timeout_ms=2000
+        ).collect()
+        assert len(got) == 1 and not got[0].fetched
+
+
+class TestHttpCrawlParity:
+    def test_e2e_crawl_matches_join_mode(self, spark, pages, corpus_server):
+        """The whole engine (schedule -> fetch -> gate -> extract -> route ->
+        commit) must produce identical links_out and crawl order in both
+        fetch modes on the same corpus — the real-fetch skeleton's contract."""
+
+        def run(cfg):
+            with tempfile.TemporaryDirectory() as tmp:
+                wh = Warehouse(spark, tmp, n_buckets=8)
+                crawl(spark, wh, pages, SEEDS, cfg)
+                links = {
+                    tuple(r)
+                    for r in read_links_out(wh)
+                    .select(
+                        "url", "host", "content_type", "crawled", "link_type",
+                        "contains_words", "ipv4", "ipv6",
+                    )
+                    .collect()
+                }
+                order = sorted(
+                    (r.wave, r.host, r.slot, r.url)
+                    for r in read_crawl_order(wh).collect()
+                )
+                text = {
+                    (r.url, r.text)
+                    for r in wh.read_waves("extracted_text").collect()
+                }
+                return links, order, text
+
+        base = dict(whitelist=WL, words=["merge"], depth=2, use_bloom=True, n_buckets=8)
+        j = run(CrawlConfig(**base))
+        h = run(CrawlConfig(**base, fetch_mode="http", http_base=corpus_server))
+        assert j[1] == h[1]  # crawl order
+        assert j[0] == h[0]  # links_out rows (metadata incl. content_type/DNS)
+        assert j[2] == h[2]  # byte-identical extracted text

@@ -119,7 +119,10 @@ class TestMidWaveResume:
             m["last_wave"] = -1
             json.dump(m, open(manifest_path, "w"))
             staging = os.path.join(wh_b.path, "staging_wave_0.json")
-            json.dump({"cfg_fp": cfg_fingerprint(cfg), "wave": 0}, open(staging, "w"))
+            json.dump(
+                {"cfg_fp": cfg_fingerprint(cfg), "input_fp": "", "wave": 0},
+                open(staging, "w"),
+            )
 
             mtimes = {
                 t: os.path.getmtime(os.path.join(p, "_SUCCESS"))
@@ -160,7 +163,10 @@ class TestMidWaveResume:
             m["last_wave"] = -1
             json.dump(m, open(manifest_path, "w"))
             staging = os.path.join(wh_b.path, "staging_wave_0.json")
-            json.dump({"cfg_fp": cfg_fingerprint(cfg_old), "wave": 0}, open(staging, "w"))
+            json.dump(
+                {"cfg_fp": cfg_fingerprint(cfg_old), "input_fp": "", "wave": 0},
+                open(staging, "w"),
+            )
             mtimes = {
                 t: os.path.getmtime(os.path.join(p, "_SUCCESS")) for t, p in tables.items()
             }
@@ -171,4 +177,41 @@ class TestMidWaveResume:
             for t, p in tables.items():
                 assert os.path.getmtime(os.path.join(p, "_SUCCESS")) != mtimes[t], (
                     f"{t} kept a stale old-cfg table"
+                )
+
+    def test_changed_inputs_invalidate_crashed_attempt(self, spark, pages):
+        """Same cfg but DIFFERENT inputs (seed list / corpus identity): the
+        sidecar's input fingerprint must invalidate the crashed attempt's
+        leftovers — cfg alone does not pin a wave's outputs."""
+        import json
+        import os
+
+        from webcrawler_woc_spark.plans.wave import cfg_fingerprint, run_wave
+
+        cfg = CrawlConfig(whitelist=WL, depth=1, use_bloom=True, n_buckets=8)
+
+        with tempfile.TemporaryDirectory() as t2:
+            wh_b = Warehouse(spark, t2, n_buckets=8)
+            crawl(spark, wh_b, pages, SEEDS, cfg)  # "crashed" attempt
+            manifest_path = os.path.join(wh_b.path, "manifest.json")
+            m = json.load(open(manifest_path))
+            tables = m["waves"]["0"]["tables"]
+            del m["waves"]["0"]
+            m["last_wave"] = -1
+            json.dump(m, open(manifest_path, "w"))
+            staging = os.path.join(wh_b.path, "staging_wave_0.json")
+            # identical cfg_fp, but the crashed attempt ran with other inputs
+            json.dump(
+                {"cfg_fp": cfg_fingerprint(cfg), "input_fp": "other-inputs", "wave": 0},
+                open(staging, "w"),
+            )
+            mtimes = {
+                t: os.path.getmtime(os.path.join(p, "_SUCCESS")) for t, p in tables.items()
+            }
+
+            wh_c = Warehouse(spark, t2, n_buckets=8)
+            run_wave(spark, wh_c, pages, 0, cfg, bloom=None, input_fp="")
+            for t, p in tables.items():
+                assert os.path.getmtime(os.path.join(p, "_SUCCESS")) != mtimes[t], (
+                    f"{t} kept a table from a different-input attempt"
                 )

@@ -62,6 +62,49 @@ def test_bare_disallow_parses_to_no_rule(spark):
     }
 
 
+UA_ROBOTS = """Disallow: /groupless
+User-agent: otherbot
+Disallow: /
+User-agent: a
+User-agent: *
+Disallow: /shared
+User-agent: MyBot
+Disallow: /mine
+"""
+
+
+def _rules_for(spark, agent):
+    from webcrawler_woc_spark.operators.politeness import parse_robots_rules
+
+    robots = spark.createDataFrame([("h.example", UA_ROBOTS)], "host string, text string")
+    return {
+        (r.rule_type, r.prefix)
+        for r in parse_robots_rules(robots, user_agent=agent).collect()
+    }
+
+
+class TestUserAgentGroups:
+    def test_star_agent_skips_other_bots_group_and_groupless_rules(self, spark):
+        # RFC 9309: rules before any User-agent line bind to no group
+        # (ignored); the otherbot group is scoped away; consecutive UA lines
+        # (a, *) share one group, so /shared applies.
+        assert _rules_for(spark, "crawler") == {("disallow", "/shared")}
+
+    def test_matching_agent_gets_its_group_plus_star(self, spark):
+        assert _rules_for(spark, "mybot") == {
+            ("disallow", "/shared"),
+            ("disallow", "/mine"),  # UA match is case-insensitive
+        }
+
+    def test_ua_line_after_rules_starts_new_group(self, spark):
+        # the MyBot group must NOT inherit the preceding group's /shared
+        # beyond group scoping: otherbot sees only its own rule
+        assert _rules_for(spark, "otherbot") == {
+            ("disallow", "/"),
+            ("disallow", "/shared"),  # the * group always applies
+        }
+
+
 def test_other_host_rules_do_not_apply(spark):
     from webcrawler_woc_spark.operators.politeness import parse_robots_rules, robots_decision
 

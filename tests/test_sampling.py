@@ -59,6 +59,34 @@ class TestPackSequences:
             assert r["bin_id"] * 512 + r["offset_in_bin"] == cum
             cum += r["n_tokens"]
 
+    def test_sharded_packing_is_independent_per_shard(self, spark):
+        """shard_col partitions the running sum: each shard packs as if the
+        others did not exist (bin_id restarts, offsets restart), which is the
+        scale form — no global single-task window."""
+        rows = [
+            (1, "aa bb cc", "en"),   # 3 tokens
+            (2, "dd ee", "en"),      # 2 tokens -> en stream: 3,2
+            (10, "x y z w", "de"),   # 4 tokens
+            (11, "v", "de"),         # 1 token  -> de stream: 4,1
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+        out = {
+            (r.lang, r.doc_id): (r.bin_id, r.offset_in_bin)
+            for r in pack_sequences(df, budget_tokens=4, shard_col="lang").collect()
+        }
+        assert out == {
+            ("en", 1): (0, 0),   # starts the en stream
+            ("en", 2): (0, 3),   # 3 tokens before it, same bin
+            ("de", 10): (0, 0),  # de stream restarts at 0 regardless of en
+            ("de", 11): (1, 0),  # 4 tokens before it = exactly one full bin
+        }
+        # the global form over the SAME data is a different layout (one stream)
+        g = {
+            r.doc_id: (r.bin_id, r.offset_in_bin)
+            for r in pack_sequences(df, budget_tokens=4).collect()
+        }
+        assert g[10] != out[("de", 10)] or g[11] != out[("de", 11)]
+
     def test_total_bins_matches_token_stream(self, spark, sf_dir):
         docs = _docs(spark, sf_dir)
         out = pack_sequences(docs, budget_tokens=512)

@@ -108,6 +108,32 @@ class TestAdaptivePlanes:
         assert w4 <= 8 * w1, (w1, w4)
 
 
+class TestAdaptiveLists:
+    def test_sqrt_sizing_balances_assignment_and_probe_work(self):
+        from webcrawler_woc_spark.operators.similarity import adaptive_n_lists
+
+        assert adaptive_n_lists(100) == 16          # floor = pinned default
+        assert adaptive_n_lists(1 << 16) == 256     # sqrt(65536)
+        assert adaptive_n_lists(10**6) == 1000
+        assert adaptive_n_lists(10**9) == 31622
+        assert adaptive_n_lists(10**14) == 1 << 20  # capped (two-level regime)
+        # as N doubles, expected list population N/n_lists grows ~sqrt(2),
+        # never linearly: no list scan degenerates to a corpus scan
+        for n in (1 << 16, 1 << 20, 1 << 24):
+            pop_n = n / adaptive_n_lists(n)
+            pop_2n = (2 * n) / adaptive_n_lists(2 * n)
+            assert pop_2n / pop_n < 1.5, (n, pop_n, pop_2n)
+
+    def test_ivf_accepts_adaptive_none(self, spark, sf_dir):
+        from webcrawler_woc_spark.operators.similarity import ivf_ann_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = ivf_ann_topk(emb, n_lists=None, n_queries=3, k=3, nprobe=2)
+        rows = out.collect()
+        assert {r.query_id for r in rows} <= {0, 1, 2}
+        assert all(1 <= r.rank <= 3 for r in rows)
+
+
 class TestMultiprobe:
     def test_multiprobe_recall_superset_of_single_probe(self, spark, sf_dir):
         from webcrawler_woc_spark.operators.similarity import lsh_ann_topk

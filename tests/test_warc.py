@@ -56,6 +56,40 @@ class TestWetRoundtrip:
         parsed = {(r.url, r.warc_epoch, r.text) for r in parse_wet_bundles(bundles).collect()}
         assert parsed == set(rows)
 
+    def test_hot_host_splits_into_capped_blobs(self, spark):
+        """One hot host with a byte budget must yield MULTIPLE blobs (the
+        100 GB-host OOM guard), each within budget + one record, sequenced
+        deterministically by url order, and the parse roundtrip must still
+        reproduce every record."""
+        from webcrawler_woc_spark.sources.warc import parse_wet_bundles, wet_bundle
+
+        rows = [(f"http://hot.example/p{i:03d}", 100 + i, f"body {i} " + "x" * 50)
+                for i in range(20)]
+        pages = _pages(spark, rows)
+        host = F.regexp_extract(F.col("url"), r"^http://([^/]+)/", 1)
+        budget = 400
+        bundles = wet_bundle(pages, host, max_bundle_bytes=budget).collect()
+        assert len(bundles) > 1  # the hot host split
+        assert {b.bundle_key for b in bundles} == {"hot.example"}
+        assert sorted(b.bundle_seq for b in bundles) == list(range(len(bundles)))
+        max_rec = max(len(r[2].encode()) for r in rows) + len(rows[0][0]) + 120
+        assert all(b.n_bytes <= budget + max_rec for b in bundles)
+        assert sum(b.n_records for b in bundles) == len(rows)
+        parsed = {
+            (r.url, r.warc_epoch, r.text)
+            for r in parse_wet_bundles(
+                wet_bundle(pages, host, max_bundle_bytes=budget)
+            ).collect()
+        }
+        assert parsed == set(rows)
+
+    def test_uncapped_bundle_is_single_blob_seq_zero(self, spark):
+        from webcrawler_woc_spark.sources.warc import wet_bundle
+
+        pages = _pages(spark, [("http://h0.example/a", 1, "a"), ("http://h0.example/b", 2, "b")])
+        got = wet_bundle(pages, F.lit("k")).collect()
+        assert len(got) == 1 and got[0].bundle_seq == 0 and got[0].n_records == 2
+
     def test_payload_with_crlf_crlf_survives(self, spark):
         """Content-Length framing means separator bytes INSIDE a payload must
         not split records — the bug a regex-based splitter would have."""

@@ -62,3 +62,12 @@ class CrawlConfig:
     max_waves: int = 50  # safety bound for no-depth mode
     seed_priority: float = 1.0
     child_priority: float = 0.0
+    # "join" = corpus equi-join simulation (the default, driver design brief);
+    # "http" = real mapInPandas HTTP fetch (operators/httpfetch.py) with the
+    # same downstream contract — e2e parity-tested against a fixture server
+    fetch_mode: str = "join"
+    # http mode only: test-fixture base url (requests route to
+    # {http_base}/{host}{path}; None = fetch urls as-is) and the per-host
+    # in-flight connection cap enforced within each host's partition
+    http_base: str | None = None
+    http_max_per_host: int = 4

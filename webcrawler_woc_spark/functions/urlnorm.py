@@ -29,7 +29,7 @@ WHATWG behaviors implemented (public spec, https://url.spec.whatwg.org):
 from __future__ import annotations
 
 import re
-from urllib.parse import urljoin
+from urllib.parse import unquote, urljoin
 
 # Schemes the WHATWG standard treats as "special" (authority-based).
 SPECIAL_SCHEMES: dict[str, int | None] = {
@@ -310,6 +310,10 @@ def normalize_host(entry: str) -> str | None:
         return None
     if h.startswith("["):
         return h.lower() if h.endswith("]") and len(h) > 2 else None
+    # Host::parse percent-decodes BEFORE IDNA/validation ('ex%61mple.com' ->
+    # example.com); a stray '%' surviving the decode is still a forbidden
+    # host byte and rejects below, same as the url crate
+    h = unquote(h)
     if any(c in _FORBIDDEN_HOST_CHARS for c in h):
         return None
     h = h.lower()

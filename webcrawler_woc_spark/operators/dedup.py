@@ -221,31 +221,56 @@ def simhash62(documents: DataFrame) -> DataFrame:
 
     @pandas_udf(LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = (t or "").split()
-            if not toks:
-                continue
-            hs = np.array([hash_token(tok) for tok in toks], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
-            votes = (2 * bits - 1).sum(axis=0)
-            sim = np.uint64(0)
-            for b in range(64):
-                if votes[b] > 0:
-                    sim |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sim)
+        n_docs = len(texts)
+        out = np.zeros(n_docs, dtype=np.int64)
+        if n_docs == 0:
+            return pd.Series(out)
+        toks_per_doc = [(t or "").split() for t in texts]
+        counts = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=n_docs)
+        all_toks = [tok for toks in toks_per_doc for tok in toks]
+        if not all_toks:
+            return pd.Series(out)
+        # hash each DISTINCT token once (vocab << token stream), then scatter
+        uniq, inverse = np.unique(np.array(all_toks, dtype=object), return_inverse=True)
+        uniq_hashes = _hash_tokens_vec(uniq)
+        tok_hashes = uniq_hashes[inverse]
+        doc_ids = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        # bit votes per doc without the (n_tokens, 64) matrix: per bit,
+        # votes = 2*count(bit set) - n_tokens (all-integer)
+        sim = np.zeros(n_docs, dtype=np.int64)
+        for b in range(62):  # bits 62/63 of the 62-bit hash are always 0
+            bit_set = ((tok_hashes >> np.int64(b)) & np.int64(1)).astype(bool)
+            ones = np.bincount(doc_ids[bit_set], minlength=n_docs)
+            votes = 2 * ones - counts
+            sim |= (votes > 0).astype(np.int64) << np.int64(b)
+        out[counts > 0] = sim[counts > 0]
         return pd.Series(out)
 
-    def hash_token(tok: str) -> int:
-        # fold CODEPOINTS, not utf-8 bytes: the DuckDB twin hashes via
-        # ascii(char) == ord(char), and Spark's _sql_str_hash31 (MinHash)
-        # folds F.ascii the same way — bytes would silently diverge from
-        # the oracle on the first non-ASCII token
-        p1 = 0
-        p2 = 0
-        for ch in tok:
-            p1 = (p1 * 31 + ord(ch)) % POLY_MOD
-            p2 = (p2 * 131 + ord(ch)) % POLY_MOD
+    def _hash_tokens_vec(uniq: np.ndarray) -> np.ndarray:
+        """Vectorized two-multiplier rolling-poly hash over CODEPOINTS (not
+        utf-8 bytes: the DuckDB twin hashes via ascii(char) == ord(char), and
+        Spark's _sql_str_hash31 (MinHash) folds F.ascii the same way — bytes
+        would silently diverge from the oracle on the first non-ASCII token).
+
+        Horner evaluation runs column-parallel over a ragged codepoint array:
+        the concatenated vocab decodes to one utf-32 buffer (one C-level pass,
+        no per-char Python), then max_token_len vectorized rounds fold
+        position p into every token long enough to have one. All intermediates
+        stay < 2^63 (POLY_MOD*131 + cp ~ 1.3e17)."""
+        lengths = np.fromiter((len(t) for t in uniq), dtype=np.int64, count=len(uniq))
+        codes = np.frombuffer("".join(uniq.tolist()).encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        offsets = np.zeros(len(uniq), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        p1 = np.zeros(len(uniq), dtype=np.int64)
+        p2 = np.zeros(len(uniq), dtype=np.int64)
+        max_len = int(lengths.max()) if len(lengths) else 0
+        for pos in range(max_len):
+            active = lengths > pos
+            c = codes[offsets[active] + pos]
+            p1[active] = (p1[active] * 31 + c) % POLY_MOD
+            p2[active] = (p2[active] * 131 + c) % POLY_MOD
         m1 = (p1 % MERSENNE31) ** 2 % MERSENNE31
         m2 = (p2 % MERSENNE31) ** 2 % MERSENNE31
         return m1 * (1 << 31) + m2

@@ -112,13 +112,16 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     spam-ring detection signal on a web graph (dense mutual-link cliques
     triangle-count far above organic linking).
 
-    Plan: canonicalize each undirected edge to (lo, hi) with lo < hi, then
-    the standard two-join enumeration a<b<c: (a,b) ⋈ (b,c) ⋈ (a,c) — each
-    triangle counted exactly once. Self-joins on the edge list are the
-    classic heavy-graph shuffle; at 10^10 edges the production mitigation
-    is degree-ordered orientation (point each edge at the higher-degree
-    endpoint), which this canonical form approximates by id order. Exact
-    integer count => oracle-equal."""
+    Plan: canonicalize each undirected edge to (lo, hi), then orient every
+    edge from its lower-(degree, id) endpoint to its higher one and run the
+    standard two-join wedge enumeration: O(a,b) ⋈ O(b,c) ⋈ O(a,c) — each
+    triangle has exactly one source of two out-edges under a total order,
+    so it is counted exactly once. Degree orientation (vs plain id order)
+    is the 10^10-edge mitigation: a star hub of degree d gets ~0 out-edges
+    instead of d, so per-vertex wedge work is bounded by O(sqrt(m)) out-
+    degree instead of the hub degree — the self-join never explodes on a
+    hot host. The count itself is orientation-invariant, so the id-ordered
+    SQL oracle stays value-equal. Exact integer count => oracle-equal."""
     und = (
         edges.select(
             F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
@@ -126,8 +129,25 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
     )
-    e1 = und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    e2 = und.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
-    e3 = und.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    deg = (
+        und.select(F.col("lo").alias("v"))
+        .union(und.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("v", "lo").withColumnRenamed("deg", "deg_lo"), "lo")
+        .join(deg.withColumnRenamed("v", "hi").withColumnRenamed("deg", "deg_hi"), "hi")
+    )
+    lo_first = F.struct(F.col("deg_lo").alias("d"), F.col("lo").alias("i")) < F.struct(
+        F.col("deg_hi").alias("d"), F.col("hi").alias("i")
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("s"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("t"),
+    )
+    e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    e3 = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
     return tri.agg(F.count("*").cast("bigint").alias("n_triangles"))

@@ -35,9 +35,10 @@ def _count(text: Column, pattern: str) -> Column:
 
 
 def redact(text: Column) -> Column:
-    """Redaction order is part of the contract: emails first (an address
-    contains no '+'/dotted-quad, so later passes can't corrupt it), then
-    phones, then IPv4."""
+    """Redaction order is part of the contract: emails, then phones, then
+    IPv4. Order matters — a token can match two detectors (the local part of
+    '+12345678901@example.com' is also a phone pattern), and whichever pass
+    runs first swallows it."""
     r = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
     r = F.regexp_replace(r, PHONE_RE, "<PHONE>")
     return F.regexp_replace(r, IPV4_RE, "<IP>")
@@ -47,15 +48,22 @@ def pii_scrub(df: DataFrame, text: Column, keys: list[str]) -> DataFrame:
     """Per-row PII counts + redacted-text fingerprint.
 
     Output (*keys, n_emails, n_phones, n_ipv4, redacted_len, redacted_fp).
+    Counts are taken on the PROGRESSIVELY-redacted text (emails on raw,
+    phones after email redaction, IPv4 after both) so each count equals the
+    number of replacements its pass actually made — counting every detector
+    on the raw text would disagree with the redacted stream whenever one
+    token matches two detectors (e.g. a phone-shaped email local part).
     The fingerprint is the order-sensitive rolling hash of the REDACTED
     string — any detector miss or over-match changes it."""
-    red = redact(text)
+    r1 = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    r2 = F.regexp_replace(r1, PHONE_RE, "<PHONE>")
+    red = F.regexp_replace(r2, IPV4_RE, "<IP>")
     fp = rolling_fingerprint(red)
     return df.select(
         *keys,
         _count(text, EMAIL_RE).alias("n_emails"),
-        _count(text, PHONE_RE).alias("n_phones"),
-        _count(text, IPV4_RE).alias("n_ipv4"),
+        _count(r1, PHONE_RE).alias("n_phones"),
+        _count(r2, IPV4_RE).alias("n_ipv4"),
         F.length(red).alias("redacted_len"),
         fp.alias("redacted_fp"),
     )

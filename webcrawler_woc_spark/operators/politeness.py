@@ -75,25 +75,57 @@ def url_path(url) -> "F.Column":
     return F.regexp_extract(url, r"^https?://[^/?#]+([^?#]*)", 1)
 
 
-def parse_robots_rules(robots: DataFrame) -> DataFrame:
-    """Full rule parse of robots bodies: (host, rule_type, prefix) from every
-    ``Allow:`` / ``Disallow:`` line of a (host, text) frame. Empty-prefix
-    lines (a bare ``Disallow:`` = allow-all) carry no rule and are dropped.
-    [ \\t]* (not \\s*) so whitespace can't cross the line boundary."""
+def parse_robots_rules(robots: DataFrame, user_agent: str = "*") -> DataFrame:
+    """Full rule parse of robots bodies with RFC 9309 group selection:
+    (host, rule_type, prefix) from the ``Allow:`` / ``Disallow:`` lines of
+    the groups whose ``User-agent:`` matches ``user_agent`` (or ``*``).
+
+    Group semantics per the spec: a group starts at a ``User-agent`` line
+    whose predecessor is NOT a ``User-agent`` line (consecutive UA lines
+    share one group); rules bind to their group; rules before any UA line
+    belong to no group and are ignored; rules in groups scoped to OTHER
+    agents do not apply. Empty-prefix lines (a bare ``Disallow:`` =
+    allow-all) carry no rule and are dropped. [ \\t]* (not \\s*) so
+    whitespace can't cross the line boundary.
+
+    Shape: one posexplode + one per-host window (robots bodies are KB-sized
+    and the robots frame is per-host tiny — this entire parse runs on the
+    broadcast side of the decision join)."""
     lines = robots.select(
-        "host", F.explode(F.split(F.col("text"), "\n")).alias("line")
+        "host", F.posexplode(F.split(F.col("text"), "\n")).alias("idx", "line")
     )
+    ua_val = F.regexp_extract(F.col("line"), r"^User-agent:[ \t]*(\S+)", 1)
     allow_p = F.regexp_extract(F.col("line"), r"^Allow:[ \t]*(\S+)", 1)
     dis_p = F.regexp_extract(F.col("line"), r"^Disallow:[ \t]*(\S+)", 1)
-    return (
-        lines.select(
-            "host",
-            F.when(allow_p != "", F.lit("allow"))
-            .when(dis_p != "", F.lit("disallow"))
-            .alias("rule_type"),
-            F.when(allow_p != "", allow_p).otherwise(dis_p).alias("prefix"),
+    wcum = (
+        Window.partitionBy("host")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_ua = ua_val != ""
+    prev_is_ua = F.lag(is_ua, 1, False).over(Window.partitionBy("host").orderBy("idx"))
+    tagged = lines.select(
+        "host",
+        ua_val.alias("ua"),
+        F.when(allow_p != "", F.lit("allow"))
+        .when(dis_p != "", F.lit("disallow"))
+        .alias("rule_type"),
+        F.when(allow_p != "", allow_p).otherwise(dis_p).alias("prefix"),
+        F.sum((is_ua & ~prev_is_ua).cast("int")).over(wcum).alias("group_id"),
+    )
+    matching_groups = (
+        tagged.filter(
+            (F.col("ua") == "*") | (F.lower(F.col("ua")) == user_agent.lower())
         )
-        .filter(F.col("rule_type").isNotNull() & (F.col("host") != ""))
+        .select("host", "group_id")
+        .distinct()
+    )
+    return (
+        tagged.filter(F.col("rule_type").isNotNull() & (F.col("host") != ""))
+        # matching_groups is bounded by (#hosts x #groups-per-file) — always
+        # broadcastable; without the hint the unknown-size agg can plan SMJ
+        .join(F.broadcast(matching_groups), ["host", "group_id"], "left_semi")
+        .select("host", "rule_type", "prefix")
         .distinct()
     )
 

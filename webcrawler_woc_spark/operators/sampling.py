@@ -9,10 +9,10 @@ Scale notes:
 * sampling is a stateless per-row predicate (hash of doc_id) — no shuffle,
   fully parallel, reproducible across runs/engines (no RNG state, unlike
   ``df.sample`` whose split depends on partitioning);
-* packing uses ONE global running sum in this reference implementation; at
-  100 TB you pack per shard (repartition by shard key, window PARTITION BY
-  shard) — the per-shard plan is this exact window with a partition key,
-  noted here rather than parameterized because the gate corpus is one shard.
+* packing runs per shard when ``shard_col`` is given (window PARTITION BY
+  shard — fully parallel, the 100 TB form); the ``shard_col=None`` global
+  stream is the pinned single-shard contract and is a single task by
+  construction.
 """
 
 from __future__ import annotations
@@ -51,24 +51,43 @@ def stratified_sample(
 
 
 def pack_sequences(
-    documents: DataFrame, budget_tokens: int = 2048, order_col: str = "doc_id"
+    documents: DataFrame,
+    budget_tokens: int = 2048,
+    order_col: str = "doc_id",
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: documents are laid out in
     ``order_col`` order as one token stream and cut every ``budget_tokens``
     — each doc gets the bin it STARTS in and its offset there (docs may
     straddle bins; that is the standard pretraining packing contract).
 
-    Output (doc_id, n_tokens, bin_id, offset_in_bin) — all integers.
+    ``shard_col`` is the scale switch: with a shard key the running sum is
+    ``Window.partitionBy(shard_col)`` — one independent token stream per
+    shard, fully parallel (this is how a 100 TB corpus packs: shard by
+    source/date/hash first, pack within shards). With ``None`` (the pinned
+    single-stream contract) the whole input is ONE stream and the window is
+    global — a single task; only ever use that form on one shard's worth of
+    data.
+
+    Output ([shard_col,] doc_id, n_tokens, bin_id, offset_in_bin) — all
+    integers; bin_id restarts at 0 within each shard.
     """
     toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
-    t = documents.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+    keys = [shard_col] if shard_col else []
+    t = documents.select(*keys, "doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
     w = Window.orderBy(F.asc(order_col)).rowsBetween(Window.unboundedPreceding, -1)
+    if shard_col:
+        w = Window.partitionBy(shard_col).orderBy(F.asc(order_col)).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
     cum0 = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
     return t.select(
+        *keys,
         "doc_id",
         "n_tokens",
         cum0.alias("_cum0"),
     ).select(
+        *keys,
         "doc_id",
         "n_tokens",
         F.expr(f"CAST(_cum0 div {budget_tokens} AS BIGINT)").alias("bin_id"),

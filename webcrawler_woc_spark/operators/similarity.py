@@ -100,9 +100,26 @@ def lsh_signature(emb_col, dim: int, n_planes: int = 8):
     return sig
 
 
+def adaptive_n_lists(n_vectors: int) -> int:
+    """IVF coarse-quantizer size from the corpus count: ``~sqrt(N)`` lists
+    (the standard IVF sizing rule). Assignment work is N x n_lists distance
+    evals and probe work is ~nprobe * N / n_lists per query; sqrt(N)
+    balances them at N^1.5 total instead of N^2 (too many lists) or
+    unbounded list scans (too few). Floored at 16 (the pinned contract
+    default) and capped at 2^20 — past ~10^6 lists the broadcast centroid
+    table itself becomes the bottleneck and a real deployment goes
+    two-level (IVF over IVF), which is out of scope here and documented.
+    """
+    import math
+
+    if n_vectors <= 256:
+        return 16
+    return max(16, min(1 << 20, math.isqrt(n_vectors)))
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
-    n_lists: int = 16,
+    n_lists: int | None = 16,
     n_queries: int = 10,
     k: int = 5,
     nprobe: int = 2,
@@ -120,7 +137,13 @@ def ivf_ann_topk(
 
     Output (query_id, neighbor_id, sim_ppm, rank) — same contract as
     cosine_topk/lsh_ann_topk, recall < 1 by design.
+
+    ``n_lists=None`` sizes the quantizer from the corpus count via
+    ``adaptive_n_lists`` (~sqrt(N)) — the fixed default 16 is the pinned
+    contract value and would leave N/16-long list scans at 10^9 vectors.
     """
+    if n_lists is None:
+        n_lists = adaptive_n_lists(embeddings.count())
     emb = embeddings.select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
     )

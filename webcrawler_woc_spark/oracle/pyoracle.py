@@ -174,7 +174,9 @@ def crawl_oracle(
                 fetched = False  # timed out: body never read (crawler.rs:209-216)
             ct = content_type_fn(url) if fetched else None
             cw = False
-            if fetched and ct.lower() in HTML_MIMES:  # mime crate lowercases (links.rs:159-176)
+            # None-guard: a caller-supplied content_type_fn may return None
+            # for a fetched URL; mime crate lowercases (links.rs:159-176)
+            if fetched and ct is not None and ct.lower() in HTML_MIMES:
                 html = pages[url].decode("utf-8", "replace")
                 if words and contains_words(html, words):
                     cw = True

@@ -70,13 +70,27 @@ def crawl(
     bloom = wh.load_bloom() if cfg.use_bloom else None
     seed_urls = [u for u, _ in seeds]
 
+    # Mid-wave-resume identity: cfg alone doesn't pin a wave's outputs — the
+    # same cfg with a different seed list or --pages corpus produces different
+    # tables, and a resumed wave must not mix them. Fingerprint the seeds and
+    # the corpus' input files (file-based sources list them deterministically;
+    # an in-memory corpus contributes its empty list plus the seeds, which
+    # still catches the seed-swap case) and thread it into the staging sidecar.
+    import hashlib as _hashlib
+    import json as _json
+
+    input_fp = _hashlib.sha256(
+        _json.dumps([sorted(pages.inputFiles()), sorted(map(list, seeds))]).encode()
+    ).hexdigest()
+
     summary = {"waves": 0, "scheduled_total": 0}
     if cfg.depth is not None:
         last = -1
         for wave in range(start_wave, cfg.depth):
             # depth mode never consults sitemaps (crawler.rs:30-31)
             counts = run_wave(
-                spark, wh, pages, wave, cfg, bloom, robots, None, content_type_expr, disallow
+                spark, wh, pages, wave, cfg, bloom, robots, None, content_type_expr,
+                disallow, input_fp=input_fp,
             )
             bloom = wh.load_bloom() if cfg.use_bloom else None
             summary["waves"] += 1
@@ -96,7 +110,8 @@ def crawl(
                 break
             extra = sitemap_children(spark, pages, seed_urls) if wave == 0 else None
             counts = run_wave(
-                spark, wh, pages, wave, cfg, bloom, robots, extra, content_type_expr, disallow
+                spark, wh, pages, wave, cfg, bloom, robots, extra, content_type_expr,
+                disallow, input_fp=input_fp,
             )
             bloom = wh.load_bloom() if cfg.use_bloom else None
             summary["waves"] += 1

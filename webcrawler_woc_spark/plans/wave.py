@@ -57,6 +57,7 @@ def run_wave(
     extra_children: DataFrame | None = None,
     content_type_expr=None,
     disallow: DataFrame | None = None,
+    input_fp: str = "",
 ) -> dict:
     """Execute wave `wave`; commit all outputs; return counts."""
     t0 = time.time()
@@ -90,15 +91,30 @@ def run_wave(
     # working set (use MEMORY_AND_DISK semantics — Spark default spills).
     from ..operators.fetch import fetch_matched
 
-    matched = fetch_matched(scheduled, pages, frontier_rows=frontier_rows).cache()
-    fetched = fetch_join(
-        scheduled,
-        pages,
-        content_type_expr,
-        matched=matched,
-        timeout_ms=cfg.timeout_ms,
-        frontier_rows=frontier_rows,
-    )
+    if cfg.fetch_mode == "http":
+        # real HTTP fetch (operators/httpfetch.py): one mapInPandas pool per
+        # host partition, same output contract as fetch_join, so the rest of
+        # the wave is mode-agnostic. Cached: the fetch kernel must run ONCE
+        # (children.count below materializes it before any other consumer).
+        from ..operators.httpfetch import http_fetch_join
+
+        matched = http_fetch_join(
+            scheduled,
+            timeout_ms=cfg.timeout_ms,
+            max_per_host=cfg.http_max_per_host,
+            http_base=cfg.http_base,
+        ).cache()
+        fetched = matched
+    else:
+        matched = fetch_matched(scheduled, pages, frontier_rows=frontier_rows).cache()
+        fetched = fetch_join(
+            scheduled,
+            pages,
+            content_type_expr,
+            matched=matched,
+            timeout_ms=cfg.timeout_ms,
+            frontier_rows=frontier_rows,
+        )
     gate = F.col("fetched") & mime_ok(F.col("content_type"))
     if cfg.words:
         words_udf = make_contains_words_udf(cfg.words)
@@ -132,11 +148,18 @@ def run_wave(
     # links_out metadata and the extracted corpus cannot diverge.
     from ..operators.extract import html_body_gate
 
-    if content_type_expr is None:
-        from ..sources.corpus import default_content_type_expr as content_type_expr
-    gated = matched.filter(
-        html_body_gate(F.col("url"), content_type_expr, cfg.timeout_ms)
-    ).select("url", "html")
+    if cfg.fetch_mode == "http":
+        # http mode gates on the ACTUAL response metadata (fetched already
+        # encodes timeout/refused; content_type came off the wire)
+        gated = matched.filter(
+            F.col("fetched") & mime_ok(F.col("content_type"))
+        ).select("url", "html")
+    else:
+        if content_type_expr is None:
+            from ..sources.corpus import default_content_type_expr as content_type_expr
+        gated = matched.filter(
+            html_body_gate(F.col("url"), content_type_expr, cfg.timeout_ms)
+        ).select("url", "html")
     children = extract_child_links(gated).select("url", "link_type")
     if extra_children is not None:
         children = children.unionByName(extra_children.select("url", "link_type"))
@@ -287,11 +310,12 @@ def run_wave(
     # manifest commit below still makes the wave visible atomically.
     #
     # The determinism premise is VALIDATED, not assumed: a staging sidecar
-    # records the cfg fingerprint before any write; if the crashed attempt
-    # ran under a different cfg (the CLI re-derives cfg from flags on every
-    # resume), its leftovers are ignored and every table is rewritten —
-    # otherwise a resumed wave could atomically commit a mix of old-policy
-    # and new-policy tables.
+    # records the cfg fingerprint AND the input fingerprint (seed list +
+    # corpus input files, computed by crawl()) before any write; if the
+    # crashed attempt ran under a different cfg OR different inputs (the CLI
+    # re-derives both from flags on every resume), its leftovers are ignored
+    # and every table is rewritten — otherwise a resumed wave could
+    # atomically commit a mix of old-run and new-run tables.
     import json as _json
     import os as _os
 
@@ -301,11 +325,14 @@ def run_wave(
     if _os.path.exists(staging_path):
         try:
             with open(staging_path) as f:
-                stale_attempt = _json.load(f).get("cfg_fp") != cfg_fp
+                prior = _json.load(f)
+                stale_attempt = (
+                    prior.get("cfg_fp") != cfg_fp or prior.get("input_fp") != input_fp
+                )
         except (OSError, ValueError):
             stale_attempt = True
     with open(staging_path + ".tmp", "w") as f:
-        _json.dump({"cfg_fp": cfg_fp, "wave": wave}, f)
+        _json.dump({"cfg_fp": cfg_fp, "input_fp": input_fp, "wave": wave}, f)
     _os.replace(staging_path + ".tmp", staging_path)
 
     skipped: set[str] = set()

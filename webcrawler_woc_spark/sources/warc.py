@@ -58,20 +58,53 @@ def wet_record(url: Column, epoch: Column, text: Column) -> Column:
     return F.concat(F.encode(header, "utf-8"), payload, F.encode(F.lit(_CRLF + _CRLF), "utf-8"))
 
 
-def wet_bundle(pages: DataFrame, bundle_key: Column) -> DataFrame:
-    """Bundle per-page WET records into one blob per key (one WET "file"):
-    (bundle_key, wet binary, n_records). In-blob order is pinned (url ASC)
-    so blob bytes are deterministic; records are self-framing, so readers
-    never need the order."""
+def wet_bundle(
+    pages: DataFrame, bundle_key: Column, max_bundle_bytes: int | None = None
+) -> DataFrame:
+    """Bundle per-page WET records into blobs (one blob ≈ one WET "file"):
+    (bundle_key, bundle_seq, wet binary, n_records, n_bytes). In-blob order
+    is pinned (url ASC) so blob bytes are deterministic; records are
+    self-framing, so readers never need the order.
+
+    ``max_bundle_bytes`` is the scale guard: a hot host with 100 GB of text
+    must NOT become one in-memory blob (`collect_list` of the whole host =
+    executor OOM). With a budget, records are laid out in url order and the
+    key is salted by the running byte offset — ``bundle_seq = cum_bytes_before
+    div budget`` — so each blob holds at most budget + one record of bytes
+    (real WET files cap at ~1 GiB the same way). ``None`` keeps the single
+    blob per key (bundle_seq = 0) for small exports."""
     rec = wet_record(F.col("url"), F.unix_timestamp("warc_ts"), F.col("text"))
     per_page = pages.select(bundle_key.alias("bundle_key"), F.col("url"), rec.alias("rec"))
-    return per_page.groupBy("bundle_key").agg(
+    if max_bundle_bytes is None:
+        keyed = per_page.withColumn("bundle_seq", F.lit(0).cast("int"))
+    else:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("bundle_key")
+            .orderBy(F.asc("url"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum0 = F.coalesce(F.sum(F.octet_length("rec")).over(w), F.lit(0).cast("bigint"))
+        keyed = (
+            per_page.withColumn("_cum0", cum0)
+            .withColumn("bundle_seq", F.expr(f"CAST(_cum0 div {max_bundle_bytes} AS INT)"))
+            .drop("_cum0")
+        )
+    bundled = keyed.groupBy("bundle_key", "bundle_seq").agg(
         F.aggregate(
             F.transform(F.array_sort(F.collect_list(F.struct("url", "rec"))), lambda s: s["rec"]),
             F.lit(b""),
             lambda acc, r: F.concat(acc, r),
         ).alias("wet"),
         F.count("*").cast("int").alias("n_records"),
+    )
+    return bundled.select(
+        "bundle_key",
+        "bundle_seq",
+        "wet",
+        "n_records",
+        F.octet_length("wet").cast("bigint").alias("n_bytes"),
     )
 
 
