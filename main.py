@@ -25,6 +25,10 @@ Extra (engine-specific):
   --warehouse PATH     crawl-state warehouse; rerunning with the same path
                        resumes from the last committed wave automatically
                        (a completed crawl is a clean no-op)
+  --fetch-mode MODE    join (corpus equi-join sim, default) | http (real GET
+                       via the mapInPandas fetcher pool, per-host capped)
+  --http-base URL      http mode: fixture-server request rewrite (tests)
+  --wet-max-bundle-bytes N  byte budget per --wet-out blob (default 1 GiB)
 """
 
 from __future__ import annotations
@@ -108,8 +112,29 @@ def main(argv: list[str] | None = None) -> int:
              "(ISO 28500 conversion records, one parquet row per host "
              "bundle) — the Common-Crawl at-rest text format",
     )
+    ap.add_argument(
+        "--wet-max-bundle-bytes", type=int, default=1 << 30,
+        help="byte budget per WET blob for --wet-out (default 1 GiB, the "
+             "real WET file cap); hot hosts split into multiple blobs",
+    )
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument(
+        "--fetch-mode", choices=("join", "http"), default="join",
+        help="join = corpus equi-join fetch simulation (default); http = "
+             "real HTTP GET via the mapInPandas fetcher pool (the corpus is "
+             "then used only for robots/sitemap caches)",
+    )
+    ap.add_argument(
+        "--http-base", default=None,
+        help="http mode: rewrite requests to {base}/{host}{path} (fixture "
+             "server routing for network-free runs); omit to fetch as-is",
+    )
+    ap.add_argument(
+        "--http-max-per-host", type=int, default=4,
+        help="http mode: max in-flight connections per host (politeness cap "
+             "on top of the per-wave host budget)",
+    )
     args = ap.parse_args(argv)
 
     from webcrawler_woc_spark.config import CrawlConfig
@@ -154,6 +179,9 @@ def main(argv: list[str] | None = None) -> int:
         respect_disallow=args.respect_disallow,
         n_buckets=args.n_buckets,
         use_bloom=not args.no_bloom,
+        fetch_mode=args.fetch_mode,
+        http_base=args.http_base,
+        http_max_per_host=args.http_max_per_host,
     )
     wh = Warehouse(spark, args.warehouse, n_buckets=args.n_buckets)
     summary = crawl(spark, wh, pages, [(args.url, 1.0)], cfg)
@@ -171,9 +199,9 @@ def main(argv: list[str] | None = None) -> int:
             # fetch-sim semantics: a seen URL with a corpus row had its body
             # read; fetch failures have no row and thus no WET record
             crawled = pages.join(seen.select("url"), "url").select("url", "warc_ts", "text")
-            wet_bundle(crawled, host_expr(F.col("url"))).write.mode("overwrite").parquet(
-                args.wet_out
-            )
+            wet_bundle(
+                crawled, host_expr(F.col("url")), max_bundle_bytes=args.wet_max_bundle_bytes
+            ).write.mode("overwrite").parquet(args.wet_out)
             print(f"WET bundles exported to {args.wet_out}")
 
     if args.output or args.verbose:

@@ -113,6 +113,35 @@ class TestHttpFetchKernel:
         assert len(got) == 1 and not got[0].fetched
 
 
+class TestHttpCli:
+    def test_cli_fetch_mode_http(self, spark, pages, corpus_server, tmp_path):
+        """The user surface: main.py --fetch-mode http --http-base must run
+        the full crawl over the wire and finish with the same wave count as
+        the join-mode CLI drive."""
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        pages_path = str(tmp_path / "pages")
+        pages.write.parquet(pages_path)
+        wl = tmp_path / "wl.txt"
+        wl.write_text("host0.example\nhost1.example\n")
+        out = subprocess.run(
+            [
+                sys.executable, os.path.join(repo, "main.py"),
+                "http://host0.example/page/0", "-d", "2", "-w", str(wl),
+                "--timeout", "0",
+                "--pages", pages_path, "--warehouse", str(tmp_path / "wh"),
+                "--fetch-mode", "http", "--http-base", corpus_server,
+            ],
+            capture_output=True, text=True, cwd=str(tmp_path), timeout=420,
+            env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "'waves': 2" in out.stdout
+
+
 class TestHttpCrawlParity:
     def test_e2e_crawl_matches_join_mode(self, spark, pages, corpus_server):
         """The whole engine (schedule -> fetch -> gate -> extract -> route ->

@@ -33,6 +33,13 @@ def parse_robots_crawl_delay(pages: DataFrame) -> DataFrame:
 
     Pure Catalyst: filter on url suffix + regexp over the text body. The
     result is tiny (one row per host) and broadcast into the scheduler.
+
+    CONTRACT: the first ``Crawl-delay`` line of the FILE wins, regardless of
+    User-agent grouping — Crawl-delay is a non-RFC extension (RFC 9309
+    defines group scoping only for Allow/Disallow, which parse_robots_rules
+    implements); engines disagree on its group semantics, so the whole-file
+    rule is pinned here and mirrored by both oracles (pyoracle.py:53,
+    crawl_robots_delay SQL).
     """
     return (
         pages.filter(F.col("url").endswith("/robots.txt"))
