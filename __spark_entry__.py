@@ -577,6 +577,40 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(_docs(spark, sf_dir))
 
 
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/Dolma document-quality gate: word-count bounds, mean word
+    length, symbol ratio, bullet/ellipsis line ratios, composite pass flag —
+    all-integer ppm so the oracle is value-exact."""
+    from webcrawler_woc_spark.operators.textstats import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir))
+
+
+def _quality_urls(doc_id) -> F.Column:
+    """Synthetic URL-shape corpus (shared Spark recipe; the SQL twin inlines
+    the same formula): per-doc depth via repeated dirs, a digit-heavy
+    session segment every 7th doc, utm tracking params every 5th."""
+    d = doc_id
+    ds = d.cast("string")
+    return F.concat(
+        F.lit("http://host"), (d % 10).cast("string"), F.lit(".example/"),
+        F.expr("repeat('d/', CAST(doc_id % 4 AS INT))"),
+        F.when(d % 7 == 0, F.concat(ds, ds, ds, F.lit("/"))).otherwise(F.lit("")),
+        F.lit("page"), ds,
+        F.when(d % 5 == 0, F.concat(F.lit("?utm_source=feed&id="), ds)).otherwise(F.lit("")),
+    )
+
+
+def q_crawl_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-shape filtering (C4/RefinedWeb class): depth, path digit density,
+    query length, tracking params, composite pass — the pre-fetch frontier
+    filter, checked over synthesized URL shapes that exercise every rule."""
+    from webcrawler_woc_spark.operators.textstats import url_quality
+
+    urls = _docs(spark, sf_dir).select(_quality_urls(F.col("doc_id")).alias("url"))
+    return url_quality(urls)
+
+
 def q_pipeline_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified training-mix sampling: 60% of en, 30% of de,
     everything else whole — counted per stratum to keep the gate output
@@ -1291,6 +1325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_extract_links": q_stream_extract_links,
         "pipeline_pack_sequences_sharded": q_pipeline_pack_sequences_sharded,
         "crawl_wet_bundle_stats": q_crawl_wet_bundle_stats,
+        "text_gopher_rules": q_text_gopher_rules,
+        "crawl_url_quality": q_crawl_url_quality,
     }
 
 
@@ -1774,6 +1810,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum0 // 2048 AS BIGINT) AS bin_id,
                    CAST(cum0 % 2048 AS BIGINT) AS offset_in_bin
             FROM c
+        """,
+        "text_gopher_rules": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len({TOKENS_SQL}) AS INT) AS n_tokens,
+                       CAST(coalesce(list_sum(list_transform({TOKENS_SQL},
+                                x -> length(x))), 0) * 1000000
+                            // greatest(len({TOKENS_SQL}), 1) AS BIGINT)
+                           AS mean_word_len_ppm,
+                       CAST((length(text) - length(replace(text, '#', ''))
+                             + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1000000
+                            // greatest(len({TOKENS_SQL}), 1) AS BIGINT)
+                           AS symbol_word_ppm,
+                       CAST(len(list_filter(string_split(text, chr(10)),
+                                l -> l LIKE '- %' OR l LIKE '* %')) * 1000000
+                            // greatest(len(string_split(text, chr(10))), 1) AS BIGINT)
+                           AS bullet_line_ppm,
+                       CAST(len(list_filter(string_split(text, chr(10)),
+                                l -> l LIKE '%...')) * 1000000
+                            // greatest(len(string_split(text, chr(10))), 1) AS BIGINT)
+                           AS ellipsis_line_ppm
+                FROM documents
+            )
+            SELECT doc_id, n_tokens, mean_word_len_ppm, symbol_word_ppm,
+                   bullet_line_ppm, ellipsis_line_ppm,
+                   (n_tokens BETWEEN 50 AND 100000
+                    AND mean_word_len_ppm BETWEEN 3000000 AND 10000000
+                    AND symbol_word_ppm < 100000
+                    AND bullet_line_ppm < 900000
+                    AND ellipsis_line_ppm < 300000) AS passes
+            FROM t
+        """,
+        "crawl_url_quality": """
+            WITH u AS (
+                SELECT 'http://host' || (doc_id % 10) || '.example/'
+                       || repeat('d/', CAST(doc_id % 4 AS INT))
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN CAST(doc_id AS VARCHAR) || CAST(doc_id AS VARCHAR)
+                                    || CAST(doc_id AS VARCHAR) || '/'
+                               ELSE '' END
+                       || 'page' || doc_id
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN '?utm_source=feed&id=' || doc_id
+                               ELSE '' END AS url
+                FROM documents
+            ),
+            p AS (
+                SELECT url,
+                       regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                       regexp_extract(url, '\\?([^#]*)', 1) AS query
+                FROM u
+            ),
+            f AS (
+                SELECT url,
+                       CAST(length(url) AS INT) AS url_len,
+                       CAST(length(path) - length(replace(path, '/', '')) AS INT)
+                           AS path_depth,
+                       CAST((length(path) - length(regexp_replace(path, '[0-9]', '', 'g')))
+                            * 1000000 // greatest(length(path), 1) AS BIGINT)
+                           AS path_digit_ppm,
+                       CAST(length(query) AS INT) AS query_len,
+                       contains(query, 'utm_') AS has_tracking
+                FROM p
+            )
+            SELECT url, url_len, path_depth, path_digit_ppm, query_len, has_tracking,
+                   (path_depth <= 6 AND path_digit_ppm < 500000
+                    AND query_len < 64 AND NOT has_tracking) AS passes
+            FROM f
         """,
         "text_token_counts": f"""
             SELECT doc_id,

@@ -146,6 +146,101 @@ def repetition(documents: DataFrame) -> DataFrame:
     )
 
 
+def gopher_rules(documents: DataFrame) -> DataFrame:
+    """The Gopher/Dolma document-level quality rules as one scan-only
+    projection — the standard pretraining keep/drop gate (Rae et al. 2021
+    §A1.1, re-expressed with all-integer ppm arithmetic so the DuckDB twin
+    is value-exact):
+
+    * word count within [50, 100000];
+    * mean word length within [3, 10] chars;
+    * symbol-to-word ratio ('#' chars + '...' runs) < 0.1;
+    * < 90% of lines start with a bullet ('- ' / '* ');
+    * < 30% of lines end with an ellipsis ('...').
+
+    Output (doc_id, n_tokens, mean_word_len_ppm, symbol_word_ppm,
+    bullet_line_ppm, ellipsis_line_ppm, passes) — integers + one boolean.
+    Scale shape: pure Catalyst, no shuffle, whole-stage codegen; at 100 TB
+    this is a pushed-down projection over the corpus scan."""
+    # integer `div` everywhere (never double-divide + cast: Spark truncates,
+    # DuckDB rounds); the token sub-expressions mirror _tokens verbatim
+    n_tokens = F.size(_tokens(F.col("text")))
+    mean_len_ppm = F.expr(
+        "CAST(aggregate(filter(split(trim(text), '\\\\s+'), t -> t != ''), 0,"
+        " (acc, t) -> acc + length(t)) * 1000000"
+        " div greatest(size(filter(split(trim(text), '\\\\s+'), t -> t != '')), 1)"
+        " AS BIGINT)"
+    )
+    symbol_ppm = F.expr(
+        "CAST((length(text) - length(regexp_replace(text, '#', '')) +"
+        " size(regexp_extract_all(text, '\\\\.\\\\.\\\\.', 0))) * 1000000"
+        " div greatest(size(filter(split(trim(text), '\\\\s+'), t -> t != '')), 1)"
+        " AS BIGINT)"
+    )
+    out = documents.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        mean_len_ppm.alias("mean_word_len_ppm"),
+        symbol_ppm.alias("symbol_word_ppm"),
+        F.expr(
+            "CAST(size(filter(split(text, '\\n'), l -> l LIKE '- %' OR l LIKE '* %'))"
+            " * 1000000 div greatest(size(split(text, '\\n')), 1) AS BIGINT)"
+        ).alias("bullet_line_ppm"),
+        F.expr(
+            "CAST(size(filter(split(text, '\\n'), l -> l LIKE '%...'))"
+            " * 1000000 div greatest(size(split(text, '\\n')), 1) AS BIGINT)"
+        ).alias("ellipsis_line_ppm"),
+    )
+    passes = (
+        F.col("n_tokens").between(50, 100_000)
+        & F.col("mean_word_len_ppm").between(3_000_000, 10_000_000)
+        & (F.col("symbol_word_ppm") < 100_000)
+        & (F.col("bullet_line_ppm") < 900_000)
+        & (F.col("ellipsis_line_ppm") < 300_000)
+    )
+    return out.withColumn("passes", passes)
+
+
+def url_quality(urls: DataFrame) -> DataFrame:
+    """URL-shape quality features (the C4/RefinedWeb URL-filter class): a
+    crawler drops spammy/trap URLs BEFORE fetching, purely from the string —
+    the cheapest filter in the whole pipeline, so it runs first.
+
+    Input: a frame with a ``url`` column. Output (url, url_len, path_depth,
+    path_digit_ppm, query_len, has_tracking, passes):
+
+    * path_depth — '/' count in the path (deep auto-generated trees);
+    * path_digit_ppm — digit density of the path (session-id/hash URLs);
+    * query_len + has_tracking — long query strings and utm_* params;
+    * passes — depth <= 6, digit density < 50%, query < 64 chars, no
+      tracking params.
+
+    Pure Catalyst, no shuffle; at 10^10 URLs this is a frontier-side
+    projection ahead of the politeness scheduler."""
+    path = F.regexp_extract(F.col("url"), r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(F.col("url"), r"\?([^#]*)", 1)
+    staged = urls.select("url", path.alias("_path"), query.alias("_query"))
+    depth = F.length("_path") - F.length(F.regexp_replace(F.col("_path"), "/", ""))
+    out = staged.select(
+        "url",
+        F.length("url").cast("int").alias("url_len"),
+        depth.cast("int").alias("path_depth"),
+        F.expr(
+            "CAST((length(_path) - length(regexp_replace(_path, '[0-9]', '')))"
+            " * 1000000 div greatest(length(_path), 1) AS BIGINT)"
+        ).alias("path_digit_ppm"),
+        F.length("_query").cast("int").alias("query_len"),
+        F.col("_query").contains("utm_").alias("has_tracking"),
+    )
+    passes = (
+        (F.col("path_depth") <= 6)
+        & (F.col("path_digit_ppm") < 500_000)
+        & (F.col("query_len") < 64)
+        & ~F.col("has_tracking")
+    )
+    return out.withColumn("passes", passes)
+
+
 def rolling_fingerprint(col) -> F.Column:
     """THE contract fingerprint expression: acc = (acc*31 + ascii(char))
     mod FINGERPRINT_MOD over the char array. One definition shared by
