@@ -105,6 +105,27 @@ class TestUserAgentGroups:
         }
 
 
+class TestDisallowGroupScoping:
+    def test_engine_and_pyoracle_agree_on_multi_group_file(self, spark):
+        """The crawl's respect_disallow path and its Python oracle twin must
+        walk groups identically: otherbot's blanket Disallow and the
+        groupless rule never gate our frontier; the '*' group does."""
+        from pyspark.sql import functions as F
+
+        from webcrawler_woc_spark.operators.politeness import parse_robots_disallow
+        from webcrawler_woc_spark.oracle.pyoracle import _disallow_rules
+
+        pages_df = spark.createDataFrame(
+            [("http://h.example/robots.txt", UA_ROBOTS)], "url string, text string"
+        ).select("url", F.lit(None).cast("timestamp").alias("warc_ts"), "text")
+        engine = {
+            (r.host, r.prefix) for r in parse_robots_disallow(pages_df).collect()
+        }
+        assert engine == {("h.example", "/shared")}
+        oracle = _disallow_rules({"http://h.example/robots.txt": UA_ROBOTS.encode()})
+        assert {(h, p) for h, ps in oracle.items() for p in ps} == engine
+
+
 def test_other_host_rules_do_not_apply(spark):
     from webcrawler_woc_spark.operators.politeness import parse_robots_rules, robots_decision
 

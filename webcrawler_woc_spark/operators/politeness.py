@@ -58,22 +58,26 @@ def parse_robots_crawl_delay(pages: DataFrame) -> DataFrame:
     )
 
 
-def parse_robots_disallow(pages: DataFrame) -> DataFrame:
-    """robots cache, Disallow side: (host, prefix) rows from every
-    ``Disallow: <path>`` line of the corpus /robots.txt pages. Pure Catalyst
-    (explode over split lines + regexp); result is tiny and broadcast into
-    the frontier filter."""
-    robots = pages.filter(F.col("url").endswith("/robots.txt")).select(
-        F.regexp_extract(F.col("url"), r"^https?://([^/]+)/robots\.txt$", 1).alias("host"),
-        F.explode(F.split(F.col("text"), "\n")).alias("line"),
+def parse_robots_disallow(pages: DataFrame, user_agent: str = "*") -> DataFrame:
+    """robots cache, Disallow side: (host, prefix) rows from the
+    ``Disallow:`` lines of the corpus /robots.txt pages that bind to OUR
+    agent — delegated to ``parse_robots_rules`` so the crawl's enforcement
+    path shares the one RFC 9309 group-scoped parser (other bots' groups and
+    groupless rules never gate our frontier). Result is tiny and broadcast
+    into the frontier filter; the Python oracle twin implements the same
+    group walk (pyoracle._robots_groups)."""
+    robots = (
+        pages.filter(F.col("url").endswith("/robots.txt"))
+        .select(
+            F.regexp_extract(F.col("url"), r"^https?://([^/]+)/robots\.txt$", 1).alias("host"),
+            F.col("text"),
+        )
+        .filter(F.col("host") != "")
     )
     return (
-        robots.select(
-            "host",
-            F.regexp_extract(F.col("line"), r"^Disallow:\s*(\S+)", 1).alias("prefix"),
-        )
-        .filter((F.col("prefix") != "") & (F.col("host") != ""))
-        .distinct()
+        parse_robots_rules(robots, user_agent=user_agent)
+        .filter(F.col("rule_type") == "disallow")
+        .select("host", "prefix")
     )
 
 

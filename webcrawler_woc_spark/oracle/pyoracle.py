@@ -56,17 +56,53 @@ def _crawl_delays(pages: dict[str, bytes]) -> dict[str, int]:
     return delays
 
 
-def _disallow_rules(pages: dict[str, bytes]) -> dict[str, list[str]]:
-    """(host -> [path prefixes]) from every Disallow line of /robots.txt."""
+def _robots_groups(text: str) -> list[tuple[set[str], list[tuple[str, str]]]]:
+    """RFC 9309 group walk, the Python twin of politeness.parse_robots_rules:
+    a group starts at a User-agent line whose PREDECESSOR LINE is not a
+    User-agent line (consecutive UA lines share the group); Allow/Disallow
+    lines bind to the current group; rules before any UA line bind to none.
+    [ \\t] not \\s: a bare "Disallow:" line (allow-all) must not let the
+    match cross the newline and steal the next line's token.
+
+    Returns [(agents, [(rule_type, prefix), ...]), ...]."""
+    groups: list[tuple[set[str], list[tuple[str, str]]]] = []
+    agents: set[str] = set()
+    rules: list[tuple[str, str]] = []
+    prev_ua = False
+    started = False
+    for line in text.split("\n"):
+        m_ua = re.match(r"^User-agent:[ \t]*(\S+)", line)
+        if m_ua:
+            if not prev_ua:
+                if started:
+                    groups.append((agents, rules))
+                agents, rules = set(), []
+                started = True
+            agents.add(m_ua.group(1))
+            prev_ua = True
+            continue
+        prev_ua = False
+        m_r = re.match(r"^(Allow|Disallow):[ \t]*(\S+)", line)
+        if m_r and started:
+            rules.append((m_r.group(1).lower(), m_r.group(2)))
+    if started:
+        groups.append((agents, rules))
+    return groups
+
+
+def _disallow_rules(pages: dict[str, bytes], user_agent: str = "*") -> dict[str, list[str]]:
+    """(host -> [path prefixes]) from the Disallow lines of /robots.txt
+    groups binding to our agent (group-scoped, same walk as the engine)."""
     rules: dict[str, list[str]] = {}
     for url, body in pages.items():
         if url.endswith("/robots.txt"):
             host = host_of(url)
             if host:
-                # [ \t] not \s: a bare "Disallow:" line (allow-all) must not let the
-                # match cross the newline and steal the next line's token
-                for m in re.finditer(r"(?m)^Disallow:[ \t]*(\S+)", body.decode("utf-8", "replace")):
-                    rules.setdefault(host, []).append(m.group(1))
+                for agents, grules in _robots_groups(body.decode("utf-8", "replace")):
+                    if "*" in agents or any(a.lower() == user_agent.lower() for a in agents):
+                        for rtype, prefix in grules:
+                            if rtype == "disallow":
+                                rules.setdefault(host, []).append(prefix)
     return rules
 
 
