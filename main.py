@@ -194,11 +194,27 @@ def main(argv: list[str] | None = None) -> int:
         from webcrawler_woc_spark.plans.crawl import read_seen
         from webcrawler_woc_spark.sources.warc import wet_bundle
 
-        seen = read_seen(wh)
-        if seen is not None:
-            # fetch-sim semantics: a seen URL with a corpus row had its body
-            # read; fetch failures have no row and thus no WET record
-            crawled = pages.join(seen.select("url"), "url").select("url", "warc_ts", "text")
+        if args.fetch_mode == "http":
+            # http mode: the corpus never backed the fetch, so exporting its
+            # text would archive pages the crawl didn't see. Export the
+            # warehouse's extracted_text — the bytes actually fetched and
+            # parsed — with a fixed epoch (the skeleton records no per-fetch
+            # wall time; timestamps are simulation-domain only).
+            crawled = wh.read_waves("extracted_text")
+            if crawled is not None:
+                crawled = crawled.select(
+                    "url", F.timestamp_seconds(F.lit(0)).alias("warc_ts"), "text"
+                )
+        else:
+            seen = read_seen(wh)
+            crawled = None
+            if seen is not None:
+                # fetch-sim semantics: a seen URL with a corpus row had its
+                # body read; fetch failures have no row and thus no WET record
+                crawled = pages.join(seen.select("url"), "url").select(
+                    "url", "warc_ts", "text"
+                )
+        if crawled is not None:
             wet_bundle(
                 crawled, host_expr(F.col("url")), max_bundle_bytes=args.wet_max_bundle_bytes
             ).write.mode("overwrite").parquet(args.wet_out)

@@ -40,6 +40,8 @@ class TestNormalizeHost:
             ("EX%41MPLE.com", "example.com"),  # decode composes with lowercase
             ("ex%2Fmple.com", None),  # decodes to '/', forbidden
             ("100%.example", None),  # stray % survives decode -> forbidden
+            ("ex%00mple.com", None),  # decoded NUL: WHATWG forbidden code point
+            ("ex%1Fmple.com", None),  # decoded C0 control
         ]
         for raw, want in cases:
             assert normalize_host(raw) == want, raw

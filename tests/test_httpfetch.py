@@ -99,6 +99,21 @@ class TestHttpFetchKernel:
         assert not miss.fetched
         assert miss.content_type is None and miss.html is None and miss.headers is None
 
+    def test_malformed_url_is_fetch_failure_not_task_death(self, spark, corpus_server):
+        """A frontier row urllib can't even form a request for must become a
+        fetched=false row — never an exception that kills the Spark task."""
+        from webcrawler_woc_spark.operators.httpfetch import http_fetch_join
+
+        frontier = spark.createDataFrame(
+            [
+                ("no-scheme-at-all", 1, "host0.example", 1.0),
+                ("http://host0.example/page/0", 2, "host0.example", 1.0),
+            ],
+            "url string, url_hash bigint, host string, priority double",
+        )
+        got = {r.url: r.fetched for r in http_fetch_join(frontier, http_base=corpus_server).collect()}
+        assert got == {"no-scheme-at-all": False, "http://host0.example/page/0": True}
+
     def test_refused_connection_is_fetch_failure_not_error(self, spark):
         from webcrawler_woc_spark.operators.httpfetch import http_fetch_join
 

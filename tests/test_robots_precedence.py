@@ -90,18 +90,18 @@ class TestUserAgentGroups:
         # (a, *) share one group, so /shared applies.
         assert _rules_for(spark, "crawler") == {("disallow", "/shared")}
 
-    def test_matching_agent_gets_its_group_plus_star(self, spark):
+    def test_specific_group_suppresses_star_fallback(self, spark):
+        # RFC 9309 §2.2.1: a group naming OUR agent wins outright — the '*'
+        # group's /shared must NOT be merged in (no union semantics)
         assert _rules_for(spark, "mybot") == {
-            ("disallow", "/shared"),
             ("disallow", "/mine"),  # UA match is case-insensitive
         }
 
     def test_ua_line_after_rules_starts_new_group(self, spark):
-        # the MyBot group must NOT inherit the preceding group's /shared
-        # beyond group scoping: otherbot sees only its own rule
+        # otherbot has its own group, so it sees ONLY that group's rule;
+        # the '*' group is the suppressed fallback
         assert _rules_for(spark, "otherbot") == {
             ("disallow", "/"),
-            ("disallow", "/shared"),  # the * group always applies
         }
 
 

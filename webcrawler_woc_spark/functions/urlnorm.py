@@ -312,9 +312,12 @@ def normalize_host(entry: str) -> str | None:
         return h.lower() if h.endswith("]") and len(h) > 2 else None
     # Host::parse percent-decodes BEFORE IDNA/validation ('ex%61mple.com' ->
     # example.com); a stray '%' surviving the decode is still a forbidden
-    # host byte and rejects below, same as the url crate
+    # host byte and rejects below, same as the url crate. C0 controls + DEL
+    # (e.g. a decoded %00) are WHATWG forbidden domain code points the url
+    # crate also rejects — they only become reachable via the decode, so the
+    # guard lives here rather than in _FORBIDDEN_HOST_CHARS
     h = unquote(h)
-    if any(c in _FORBIDDEN_HOST_CHARS for c in h):
+    if any(c in _FORBIDDEN_HOST_CHARS or ord(c) < 0x20 or c == "\x7f" for c in h):
         return None
     h = h.lower()
     try:

@@ -42,7 +42,9 @@ FETCH_SCHEMA = (
     "html binary"
 )
 
-DEFAULT_TIMEOUT_MS = 10_000  # the reference's default (cli.rs:34-35)
+# the reference's default timeout (cli.rs:34-35) arrives via cfg.timeout_ms
+# (the CLI defaults --timeout to 10 s); kept here for reference/tests
+DEFAULT_TIMEOUT_MS = 10_000
 USER_AGENT = "webcrawler-woc-spark/0.1"
 
 
@@ -73,24 +75,25 @@ def http_fetch_join(
     """
     from .fetch import synth_ipv4, synth_ipv6
 
-    timeout_s = (timeout_ms or DEFAULT_TIMEOUT_MS) / 1000.0
+    # timeout_ms=None means the reference's timeout gate is DISABLED (join-
+    # mode parity: --timeout 0); a socket can't block forever though, so None
+    # maps to a 300 s transport safety cap, not the 10 s reference default
+    timeout_s = (timeout_ms if timeout_ms is not None else 300_000) / 1000.0
     cap = max(1, max_per_host)
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import threading
         import urllib.request
-        from collections import defaultdict
         from concurrent.futures import ThreadPoolExecutor
 
-        sems: defaultdict[str, threading.Semaphore] = defaultdict(
-            lambda: threading.Semaphore(cap)
-        )
-
-        def fetch_one(url: str, host: str):
-            target = _rewrite(url, host, http_base)
-            req = urllib.request.Request(target, headers={"User-Agent": USER_AGENT})
-            with sems[host]:
-                try:
+        def fetch_one(sems: dict, url: str, host: str):
+            # EVERYTHING fallible lives inside the try: a malformed frontier
+            # url (no '://', urllib-rejected) must be a fetch failure row,
+            # never an exception that kills the Spark task
+            try:
+                target = _rewrite(url, host, http_base)
+                req = urllib.request.Request(target, headers={"User-Agent": USER_AGENT})
+                with sems[host]:
                     with urllib.request.urlopen(req, timeout=timeout_s) as resp:
                         body = resp.read()
                         ct = resp.headers.get("Content-Type")
@@ -99,16 +102,23 @@ def http_fetch_join(
                             "content-length": str(len(body)),
                         }
                         return (True, ct, headers, body)
-                except Exception:
-                    # connect/timeout/HTTP-error/DNS -> reference fetch-failure
-                    # contract: bare link, no metadata (crawler.rs:209-216)
-                    return (False, None, None, None)
+            except Exception:
+                # connect/timeout/HTTP-error/DNS/parse -> reference fetch-
+                # failure contract: bare link, no metadata (crawler.rs:209-216)
+                return (False, None, None, None)
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # semaphores pre-built from the batch's host set BEFORE the pool
+            # starts: a defaultdict factory is not atomic under threads, and
+            # two racing first-touches would each get their OWN semaphore,
+            # silently doubling the per-host cap
+            sems = {h: threading.Semaphore(cap) for h in set(pdf["host"])}
             with ThreadPoolExecutor(max_workers=min(32, len(pdf))) as pool:
-                results = list(pool.map(fetch_one, pdf["url"], pdf["host"]))
+                results = list(
+                    pool.map(lambda args: fetch_one(sems, *args), zip(pdf["url"], pdf["host"]))
+                )
             yield pd.DataFrame(
                 {
                     "url": pdf["url"].values,

@@ -34,14 +34,22 @@ def _count(text: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("int")
 
 
-def redact(text: Column) -> Column:
-    """Redaction order is part of the contract: emails, then phones, then
-    IPv4. Order matters — a token can match two detectors (the local part of
+def redact_stages(text: Column) -> tuple[Column, Column, Column]:
+    """THE redaction chain, one definition: (after_emails, after_phones,
+    fully_redacted). Order is part of the contract: emails, then phones,
+    then IPv4 — a token can match two detectors (the local part of
     '+12345678901@example.com' is also a phone pattern), and whichever pass
-    runs first swallows it."""
-    r = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
-    r = F.regexp_replace(r, PHONE_RE, "<PHONE>")
-    return F.regexp_replace(r, IPV4_RE, "<IP>")
+    runs first swallows it. pii_scrub counts each detector on the stage its
+    pass actually sees, so sharing the stages is what keeps 'counts equal
+    replacements' true by construction."""
+    r1 = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    r2 = F.regexp_replace(r1, PHONE_RE, "<PHONE>")
+    return r1, r2, F.regexp_replace(r2, IPV4_RE, "<IP>")
+
+
+def redact(text: Column) -> Column:
+    """Fully-redacted text (the last redact_stages stage)."""
+    return redact_stages(text)[2]
 
 
 def pii_scrub(df: DataFrame, text: Column, keys: list[str]) -> DataFrame:
@@ -55,9 +63,7 @@ def pii_scrub(df: DataFrame, text: Column, keys: list[str]) -> DataFrame:
     token matches two detectors (e.g. a phone-shaped email local part).
     The fingerprint is the order-sensitive rolling hash of the REDACTED
     string — any detector miss or over-match changes it."""
-    r1 = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
-    r2 = F.regexp_replace(r1, PHONE_RE, "<PHONE>")
-    red = F.regexp_replace(r2, IPV4_RE, "<IP>")
+    r1, r2, red = redact_stages(text)
     fp = rolling_fingerprint(red)
     return df.select(
         *keys,

@@ -95,7 +95,10 @@ def parse_robots_rules(robots: DataFrame, user_agent: str = "*") -> DataFrame:
     whose predecessor is NOT a ``User-agent`` line (consecutive UA lines
     share one group); rules bind to their group; rules before any UA line
     belong to no group and are ignored; rules in groups scoped to OTHER
-    agents do not apply. Empty-prefix lines (a bare ``Disallow:`` =
+    agents do not apply. Specificity per RFC 9309 §2.2.1: when any group
+    names OUR agent, only those groups apply and the ``*`` groups are
+    IGNORED for that host; ``*`` groups apply only as the fallback when no
+    specific group exists. Empty-prefix lines (a bare ``Disallow:`` =
     allow-all) carry no rule and are dropped. [ \\t]* (not \\s*) so
     whitespace can't cross the line boundary.
 
@@ -124,10 +127,16 @@ def parse_robots_rules(robots: DataFrame, user_agent: str = "*") -> DataFrame:
         F.when(allow_p != "", allow_p).otherwise(dis_p).alias("prefix"),
         F.sum((is_ua & ~prev_is_ua).cast("int")).over(wcum).alias("group_id"),
     )
+    is_specific = F.lower(F.col("ua")) == user_agent.lower()
+    candidates = tagged.filter(is_specific | (F.col("ua") == "*")).select(
+        "host", "group_id", is_specific.alias("specific")
+    )
+    # per-host specificity fallback: a host with ANY specific group drops its
+    # '*' groups (RFC 9309 §2.2.1 — the most specific match wins, no union)
+    host_any = Window.partitionBy("host")
     matching_groups = (
-        tagged.filter(
-            (F.col("ua") == "*") | (F.lower(F.col("ua")) == user_agent.lower())
-        )
+        candidates.withColumn("_has_specific", F.max(F.col("specific").cast("int")).over(host_any))
+        .filter(F.col("specific") | (F.col("_has_specific") == 0))
         .select("host", "group_id")
         .distinct()
     )

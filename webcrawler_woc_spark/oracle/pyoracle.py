@@ -92,17 +92,24 @@ def _robots_groups(text: str) -> list[tuple[set[str], list[tuple[str, str]]]]:
 
 def _disallow_rules(pages: dict[str, bytes], user_agent: str = "*") -> dict[str, list[str]]:
     """(host -> [path prefixes]) from the Disallow lines of /robots.txt
-    groups binding to our agent (group-scoped, same walk as the engine)."""
+    groups binding to our agent — group-scoped with RFC 9309 §2.2.1
+    specificity (groups naming our agent suppress the '*' fallback),
+    the same walk as politeness.parse_robots_rules."""
     rules: dict[str, list[str]] = {}
     for url, body in pages.items():
         if url.endswith("/robots.txt"):
             host = host_of(url)
             if host:
-                for agents, grules in _robots_groups(body.decode("utf-8", "replace")):
-                    if "*" in agents or any(a.lower() == user_agent.lower() for a in agents):
-                        for rtype, prefix in grules:
-                            if rtype == "disallow":
-                                rules.setdefault(host, []).append(prefix)
+                groups = _robots_groups(body.decode("utf-8", "replace"))
+                specific = [
+                    g for g in groups
+                    if any(a.lower() == user_agent.lower() for a in g[0])
+                ]
+                chosen = specific if specific else [g for g in groups if "*" in g[0]]
+                for _agents, grules in chosen:
+                    for rtype, prefix in grules:
+                        if rtype == "disallow":
+                            rules.setdefault(host, []).append(prefix)
     return rules
 
 
