@@ -577,6 +577,15 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(_docs(spark, sf_dir))
 
 
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc exact-substring detection (Lee et al. window-hash pass):
+    8-token window hashes occurring in >= 2 distinct docs — the repeated
+    spans full-doc and paragraph dedup both miss."""
+    from webcrawler_woc_spark.operators.dedup import exact_substring_dups
+
+    return exact_substring_dups(_docs(spark, sf_dir), k=8)
+
+
 def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/Dolma document-quality gate: word-count bounds, mean word
     length, symbol ratio, bullet/ellipsis line ratios, composite pass flag —
@@ -1327,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_wet_bundle_stats": q_crawl_wet_bundle_stats,
         "text_gopher_rules": q_text_gopher_rules,
         "crawl_url_quality": q_crawl_url_quality,
+        "dedup_substrings": q_dedup_substrings,
     }
 
 
@@ -1810,6 +1820,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum0 // 2048 AS BIGINT) AS bin_id,
                    CAST(cum0 % 2048 AS BIGINT) AS offset_in_bin
             FROM c
+        """,
+        # 8-token window hashes: token hash = square-mod of the 31-poly char
+        # fold (same field as minhash/simhash), window fold = (a*31 + x) mod
+        # the 10^15 prime over the k token hashes — identical math both sides
+        "dedup_substrings": f"""
+            WITH th AS (
+                SELECT doc_id,
+                       list_transform({TOKENS_SQL}, tok ->
+                           (({_POLY31.format(col="tok", mult=31)} % 2147483647)
+                            * ({_POLY31.format(col="tok", mult=31)} % 2147483647))
+                           % 2147483647) AS hs
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(hs) >= 8
+                    THEN list_transform(range(1, len(hs) - 8 + 2), i ->
+                         list_reduce(
+                             list_prepend(CAST(0 AS BIGINT), list_slice(hs, i, i + 7)),
+                             (a, x) -> (a * 31 + x) % 999999999999989))
+                    ELSE CAST([] AS BIGINT[]) END) AS whash
+                FROM th
+            )
+            SELECT whash,
+                   CAST(count(DISTINCT doc_id) AS INT) AS n_docs,
+                   CAST(count(*) AS INT) AS n_occurrences,
+                   CAST(min(doc_id) AS BIGINT) AS first_doc
+            FROM w GROUP BY whash
+            HAVING count(DISTINCT doc_id) >= 2
         """,
         "text_gopher_rules": f"""
             WITH t AS (

@@ -64,6 +64,54 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+def exact_substring_dups(documents: DataFrame, k: int = 8) -> DataFrame:
+    """Cross-document EXACT SUBSTRING detection (the Lee et al. 2022
+    'Deduplicating Training Data' pass, window-hash form): every k-token
+    window of every document is hashed, and windows whose hash occurs in
+    two or more distinct documents are reported — the memorization-prone
+    repeated spans that full-document and paragraph dedup both miss
+    (boilerplate, licenses, quoted chains shorter than a paragraph).
+
+    Output (whash, n_docs, n_occurrences, first_doc) for windows with
+    n_docs >= 2, ordered nowhere (aggregate).
+
+    Plan shape: token hashes via the shared square-mod poly
+    (_sql_str_hash31 — SQL-expressible, so the DuckDB twin is value-exact),
+    per-doc window folds as one Catalyst transform over slice()s
+    (O(n·k) integer ops per doc, zero Python), one explode, one partial-
+    agg'd groupBy on the 8-byte window hash. At 100 TB the explode's
+    shuffle is the cost driver: map-side combine collapses within-partition
+    repeats first, and the true rolling form (prefix hashes, O(n) per doc)
+    drops in here without changing the contract if k grows. Hash collisions
+    can merge distinct windows — the production pipeline verifies spans by
+    content before cutting; at the gate the hash IS the contract (both
+    engines compute the identical fold)."""
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    toks_h = F.transform(toks, lambda t: _sql_str_hash31(t))
+    n = F.size(toks_h)
+    windows = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.aggregate(
+                F.slice(toks_h, i, k),
+                F.lit(0).cast("bigint"),
+                lambda a, x: (a * 31 + x) % POLY_MOD,
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+    w = documents.select("doc_id", F.explode(windows).alias("whash"))
+    return (
+        w.groupBy("whash")
+        .agg(
+            F.countDistinct("doc_id").cast("int").alias("n_docs"),
+            F.count("*").cast("int").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def char_shingles(documents: DataFrame, n: int = 16) -> DataFrame:
     """(doc_id, shingle) distinct character n-grams — pure Catalyst
     (sequence + transform + substring), no Python."""
