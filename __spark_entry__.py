@@ -577,6 +577,28 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(_docs(spark, sf_dir))
 
 
+def q_rel_pivot_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT reshaping (long -> wide): per-host-bucket document counts by
+    language as columns, via Spark's native groupBy().pivot() with PINNED
+    pivot values (an unpinned pivot needs an extra distinct-scan job AND
+    makes the output schema data-dependent — never do that at 100 TB).
+    Oracle = conditional aggregation (FILTER), the relational equivalent."""
+    docs = _docs(spark, sf_dir)
+    langs = ["de", "en", "es", "fr", "zh"]
+    wide = (
+        docs.groupBy((F.col("doc_id") % 10).alias("host_id"))
+        .pivot("lang", langs)
+        .count()
+    )
+    return wide.select(
+        F.col("host_id").cast("bigint").alias("host_id"),
+        *[
+            F.coalesce(F.col(lang), F.lit(0)).cast("int").alias(f"n_{lang}")
+            for lang in langs
+        ],
+    )
+
+
 def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc exact-substring detection (Lee et al. window-hash pass):
     8-token window hashes occurring in >= 2 distinct docs — the repeated
@@ -1337,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_rules": q_text_gopher_rules,
         "crawl_url_quality": q_crawl_url_quality,
         "dedup_substrings": q_dedup_substrings,
+        "rel_pivot_lang": q_rel_pivot_lang,
     }
 
 
@@ -1820,6 +1843,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum0 // 2048 AS BIGINT) AS bin_id,
                    CAST(cum0 % 2048 AS BIGINT) AS offset_in_bin
             FROM c
+        """,
+        "rel_pivot_lang": """
+            SELECT CAST(doc_id % 10 AS BIGINT) AS host_id,
+                   CAST(count(*) FILTER (lang = 'de') AS INT) AS n_de,
+                   CAST(count(*) FILTER (lang = 'en') AS INT) AS n_en,
+                   CAST(count(*) FILTER (lang = 'es') AS INT) AS n_es,
+                   CAST(count(*) FILTER (lang = 'fr') AS INT) AS n_fr,
+                   CAST(count(*) FILTER (lang = 'zh') AS INT) AS n_zh
+            FROM documents GROUP BY 1
         """,
         # 8-token window hashes: token hash = square-mod of the 31-poly char
         # fold (same field as minhash/simhash), window fold = (a*31 + x) mod
