@@ -35,6 +35,43 @@ def test_within_doc_repeat_alone_is_not_cross_doc(spark):
     assert exact_substring_dups(df, k=8).count() == 0
 
 
+def test_matches_brute_force_on_pseudo_random_corpus(spark):
+    """Window-level parity against an independent brute-force: every k-token
+    window STRING shared across docs must be found, and (absent hash
+    collisions, impossible at this scale) nothing else."""
+    from collections import defaultdict
+
+    from webcrawler_woc_spark.operators.dedup import exact_substring_dups
+
+    # deterministic pseudo-random docs over a tiny vocab => plenty of
+    # accidental shared windows at k=3
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = {
+        d: " ".join(vocab[(d * 7 + i * 13 + i * i * 5) % len(vocab)] for i in range(20))
+        for d in range(8)
+    }
+    k = 3
+    truth: dict[str, set[int]] = defaultdict(set)
+    occurrences: dict[str, int] = defaultdict(int)
+    for d, text in docs.items():
+        toks = text.split()
+        for i in range(len(toks) - k + 1):
+            w = " ".join(toks[i : i + k])
+            truth[w].add(d)
+            occurrences[w] += 1
+    expected = sorted(
+        (len(ds), occurrences[w], min(ds))
+        for w, ds in truth.items()
+        if len(ds) >= 2
+    )
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    got = sorted(
+        (r.n_docs, r.n_occurrences, r.first_doc)
+        for r in exact_substring_dups(df, k=k).collect()
+    )
+    assert got == expected
+
+
 def test_short_docs_produce_no_windows(spark):
     from webcrawler_woc_spark.operators.dedup import exact_substring_dups
 

@@ -128,6 +128,57 @@ class TestHttpFetchKernel:
         assert len(got) == 1 and not got[0].fetched
 
 
+class TestPerHostCap:
+    def test_in_flight_requests_per_host_never_exceed_cap(self, spark):
+        """The per-host semaphore IS the http-mode politeness layer: with a
+        slow server and 12 same-host URLs, the server must never observe
+        more than max_per_host concurrent requests."""
+        import threading
+        import time
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        state = {"active": 0, "max_seen": 0}
+        lock = threading.Lock()
+
+        class Slow(BaseHTTPRequestHandler):
+            def do_GET(self):
+                with lock:
+                    state["active"] += 1
+                    state["max_seen"] = max(state["max_seen"], state["active"])
+                time.sleep(0.15)
+                with lock:
+                    state["active"] -= 1
+                body = b"<html></html>"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), Slow)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            from webcrawler_woc_spark.operators.httpfetch import http_fetch_join
+
+            frontier = spark.createDataFrame(
+                [(f"http://hot.example/p{i}", i, "hot.example", 1.0) for i in range(12)],
+                "url string, url_hash bigint, host string, priority double",
+            ).coalesce(1)  # one partition = one pool, the worst case for the cap
+            out = http_fetch_join(
+                frontier,
+                http_base=f"http://127.0.0.1:{srv.server_address[1]}",
+                max_per_host=2,
+            ).collect()
+            assert all(r.fetched for r in out) and len(out) == 12
+            assert state["max_seen"] <= 2, state
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
+
 class TestHttpCli:
     def test_cli_fetch_mode_http(self, spark, pages, corpus_server, tmp_path):
         """The user surface: main.py --fetch-mode http --http-base must run
