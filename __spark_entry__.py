@@ -577,6 +577,16 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(_docs(spark, sf_dir))
 
 
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over the embedding corpus in exact integer
+    arithmetic (the SemDeDup clustering stage): fixed 3 iterations, k=8,
+    floor-scaled int vectors, integer squared-L2, order-independent integer
+    centroid means — value-identical to the chained-CTE SQL oracle."""
+    from webcrawler_woc_spark.operators.cluster import kmeans_int
+
+    return kmeans_int(_emb(spark, sf_dir), k=8, iterations=3, scale=1000)
+
+
 def q_rel_pivot_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT reshaping (long -> wide): per-host-bucket document counts by
     language as columns, via Spark's native groupBy().pivot() with PINNED
@@ -1360,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_url_quality": q_crawl_url_quality,
         "dedup_substrings": q_dedup_substrings,
         "rel_pivot_lang": q_rel_pivot_lang,
+        "cluster_kmeans": q_cluster_kmeans,
     }
 
 
@@ -1844,6 +1855,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum0 % 2048 AS BIGINT) AS offset_in_bin
             FROM c
         """,
+        "cluster_kmeans": _kmeans_sql(),
         "rel_pivot_lang": """
             SELECT CAST(doc_id % 10 AS BIGINT) AS host_id,
                    CAST(count(*) FILTER (lang = 'de') AS INT) AS n_de,
@@ -2703,6 +2715,55 @@ def _minhash_sql(n: int = 8, n_perms: int = 16, bands: int = 8,
             JOIN sizes sb ON sb.doc_id = c.doc_b
             WHERE n_common * {denom} >= {numer} * (sa.set_size + sb.set_size - n_common)
         """
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1000, dim: int = 64) -> str:
+    """Chained-CTE twin of operators/cluster.kmeans_int: int-scaled vectors,
+    exact integer squared-L2 assignment (ties -> lowest cid), TRUNCATING
+    integer centroid means (integer `//` truncates toward zero in DuckDB,
+    same as Spark's `div` — probed), empty clusters keep their centroid.
+    MATERIALIZED is load-bearing: plain CTEs re-inline per reference and the
+    iteration chain would re-evaluate every prior round."""
+    # CAST the list_sum: summing BIGINTs promotes to HUGEINT in DuckDB,
+    # which Arrow surfaces as decimal128 and the value-hash compare rejects
+    dist = (
+        f"CAST(list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> (e.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)])"
+        " * (e.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))) AS BIGINT)"
+    )
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, list_transform(embedding,"
+        f" x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v"
+        " FROM embeddings)",
+        f"c0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cid, v AS cv"
+        f" FROM e WHERE vec_id < {k})",
+    ]
+
+    def assign_sql(t: int) -> str:
+        return f"""(
+            SELECT vec_id, cid, dist FROM (
+                SELECT d.*, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+                FROM (SELECT e.vec_id, c.cid, {dist} AS dist FROM e, c{t} c) d
+            ) WHERE rn = 1)"""
+
+    for t in range(iters):
+        ctes.append(f"a{t} AS MATERIALIZED {assign_sql(t)}")
+        ctes.append(
+            f"""u{t} AS MATERIALIZED (
+            SELECT a.cid, t.dim,
+                   CAST(sum(e.v[CAST(t.dim AS INT)]) // count(*) AS BIGINT) AS m
+            FROM a{t} a JOIN e USING (vec_id), unnest(range(1, {dim + 1})) t(dim)
+            GROUP BY a.cid, t.dim)"""
+        )
+        ctes.append(
+            f"""c{t + 1} AS MATERIALIZED (
+            SELECT c.cid, coalesce(n.cv, c.cv) AS cv
+            FROM c{t} c LEFT JOIN (
+                SELECT cid, list(m ORDER BY dim) AS cv FROM u{t} GROUP BY cid
+            ) n USING (cid))"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\nSELECT vec_id, cid, dist FROM " + assign_sql(iters)
 
 
 def _simhash_sql(max_hamming: int = 8) -> str:

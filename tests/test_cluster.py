@@ -1,0 +1,50 @@
+"""Integer k-means (operators/cluster.py): hand-checkable separations;
+corpus-scale engine/oracle parity is pinned by the cluster_kmeans gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_two_obvious_clusters_separate(spark):
+    from webcrawler_woc_spark.operators.cluster import kmeans_int
+
+    # vecs 0,2,4 near (0,0); vecs 1,3,5 near (10,10) — initial centroids are
+    # vec 0 and vec 1, one in each blob, so 1 iteration already separates
+    rows = [
+        (0, [0.0, 0.1]), (1, [10.0, 10.1]),
+        (2, [0.2, 0.0]), (3, [9.9, 10.0]),
+        (4, [0.1, 0.2]), (5, [10.1, 9.9]),
+    ]
+    out = {r.vec_id: r.cid for r in kmeans_int(_emb(spark, rows), k=2, iterations=2).collect()}
+    assert out[0] == out[2] == out[4]
+    assert out[1] == out[3] == out[5]
+    assert out[0] != out[1]
+
+
+def test_deterministic_across_runs(spark):
+    from webcrawler_woc_spark.operators.cluster import kmeans_int
+
+    rows = [(i, [float((i * 7 + d * 3) % 11) for d in range(4)]) for i in range(20)]
+    a = sorted(map(tuple, kmeans_int(_emb(spark, rows), k=3, iterations=3).collect()))
+    b = sorted(map(tuple, kmeans_int(_emb(spark, rows), k=3, iterations=3).collect()))
+    assert a == b  # integer arithmetic: no shuffle-order float drift
+
+
+def test_empty_cluster_keeps_centroid(spark):
+    from webcrawler_woc_spark.operators.cluster import kmeans_int
+
+    # k=3 but only two tight blobs: one initial centroid (vec 2, inside blob
+    # A) loses all members to vec 0's updated centroid or keeps a subset —
+    # either way every vector still gets assigned and dists stay finite
+    rows = [
+        (0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [0.1, 0.1]),
+        (3, [0.05, 0.0]), (4, [10.1, 10.0]), (5, [9.9, 9.9]),
+    ]
+    out = kmeans_int(_emb(spark, rows), k=3, iterations=3).collect()
+    assert len(out) == 6
+    assert all(r.dist >= 0 for r in out)

@@ -26,6 +26,7 @@ SMJ_OK = {
     "graph_pagerank",
     "graph_components",
     "ann_ivf_topk",  # probes ⋈ inverted-file: the file is corpus-sized
+    "cluster_kmeans",  # assignment ⋈ vectors per iteration: both corpus-sized
 }
 # BNLJ allowlist: the exact cosine baseline broadcasts the tiny query set
 # into a crossJoin by design; IVF broadcasts the tiny centroid table into
@@ -34,6 +35,7 @@ BNLJ_OK = {
     "ann_cosine_topk",
     "ann_ivf_topk",
     "sketch_hll_distinct",  # 1-row exact x 1-row estimate crossJoin
+    "cluster_kmeans",  # corpus x broadcast(k centroids): the textbook k-means scan
 }
 # streaming queries execute a StreamingQuery, not a single batch plan
 SKIP = {

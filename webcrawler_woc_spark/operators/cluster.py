@@ -1,0 +1,112 @@
+"""Embedding clustering: distributed k-means in exact integer arithmetic —
+the SemDeDup-style curation stage (cluster the corpus embeddings, then
+dedup/diversify WITHIN clusters so the near-dup search never goes global).
+
+Why integer: float centroid updates are sums whose value depends on shuffle
+order — irreproducible across runs AND across engines. Here embeddings are
+scaled to integers once (floor(x * 1000) after an explicit double cast, the
+same IEEE op in DuckDB), distances are exact integer squared-L2, and the
+centroid update is an integer mean (sum div count) — order-independent at
+every step, so the fixed-iteration result is value-identical in the SQL
+oracle (the same trick as graph.pagerank_int).
+
+Scale shape per iteration (the textbook Spark k-means layout):
+* assignment — corpus x broadcast(centroids): k·dim integers broadcast, one
+  scan, no shuffle of the corpus; argmin by (dist ASC, cid ASC) ties.
+* update — posexplode to (cid, dim, val), one partial-agg'd groupBy on
+  (cid, dim) (map-side combine bounds the shuffle at k·dim rows per
+  partition), rebuild arrays with array_agg sorted by dim.
+* localCheckpoint between iterations truncates the growing lineage
+  (cache() would not — see graph.py).
+
+Initial centroids are the first k corpus vectors (deterministic 'training
+sample', the documented compromise shared with similarity.ivf_ann_topk —
+real deployments k-means++ seed, whose RNG is out of the oracle contract).
+
+Reference n/a: the reference crawler has no analytics (src/crawler.rs);
+this is part of the beyond-reference training-data surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _int_vec(col, scale: int) -> "F.Column":
+    # CAST to double BEFORE scaling: float*int arithmetic promotes
+    # differently across engines; float->double is exact, then *scale and
+    # floor are the identical IEEE ops in DuckDB
+    return F.transform(col, lambda x: F.floor(x.cast("double") * scale).cast("bigint"))
+
+
+def _sqdist(a, b) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_int(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """Fixed-iteration integer k-means over (vec_id, embedding:array<float>).
+
+    Returns the final assignment (vec_id, cid, dist) — all integers, fully
+    deterministic. An empty cluster keeps its previous centroid (no
+    reseeding — reseeding rules are engine lore, not arithmetic).
+    """
+    e = embeddings.select(
+        "vec_id", _int_vec(F.col("embedding"), scale).alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        scored = e.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "cid", _sqdist(F.col("v"), F.col("cv")).alias("dist")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("vec_id", "cid", "dist")
+        )
+
+    for _ in range(iterations):
+        a = assign(cents)
+        dims = (
+            a.join(e, "vec_id")
+            .select("cid", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            # TRUNCATING integer mean is the contract: sums go negative
+            # (embedding components do) and both engines truncate toward
+            # zero on integer division (Spark `div`, DuckDB `//`: -7/2 = -3
+            # in both — verified by probe; DuckDB floors only FLOAT `//`)
+            .agg(F.expr("CAST(sum(val) div count(*) AS BIGINT)").alias("m"))
+        )
+        new_cents = (
+            dims.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+        # empty clusters vanish from new_cents; keep their previous centroid
+        cents = (
+            cents.alias("old")
+            .join(new_cents.alias("new"), "cid", "left")
+            .select(
+                "cid",
+                F.coalesce(F.col("new.cv"), F.col("old.cv")).alias("cv"),
+            )
+            .localCheckpoint()  # truncate per-iteration lineage (see graph.py)
+        )
+    return assign(cents)
