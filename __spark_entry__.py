@@ -587,6 +587,18 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_int(_emb(spark, sf_dir), k=8, iterations=3, scale=1000)
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition: k-means clusters (cluster_kmeans) + within-
+    cluster ppm-cosine near-dup marking with the greedy min-id keep rule —
+    the pairwise search stays cluster-local, which is the entire point of
+    the clustering stage at 10^9 vectors."""
+    from webcrawler_woc_spark.operators.cluster import semantic_dedup
+
+    return semantic_dedup(
+        _emb(spark, sf_dir), k=8, iterations=3, scale=1000, threshold_ppm=300_000
+    )
+
+
 def q_rel_pivot_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT reshaping (long -> wide): per-host-bucket document counts by
     language as columns, via Spark's native groupBy().pivot() with PINNED
@@ -1371,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substrings": q_dedup_substrings,
         "rel_pivot_lang": q_rel_pivot_lang,
         "cluster_kmeans": q_cluster_kmeans,
+        "dedup_semantic": q_dedup_semantic,
     }
 
 
@@ -1856,6 +1869,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "cluster_kmeans": _kmeans_sql(),
+        "dedup_semantic": _semantic_dedup_sql(),
         "rel_pivot_lang": """
             SELECT CAST(doc_id % 10 AS BIGINT) AS host_id,
                    CAST(count(*) FILTER (lang = 'de') AS INT) AS n_de,
@@ -2717,13 +2731,14 @@ def _minhash_sql(n: int = 8, n_perms: int = 16, bands: int = 8,
         """
 
 
-def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1000, dim: int = 64) -> str:
+def _kmeans_ctes(k: int = 8, iters: int = 3, scale: int = 1000, dim: int = 64) -> list[str]:
     """Chained-CTE twin of operators/cluster.kmeans_int: int-scaled vectors,
     exact integer squared-L2 assignment (ties -> lowest cid), TRUNCATING
     integer centroid means (integer `//` truncates toward zero in DuckDB,
     same as Spark's `div` — probed), empty clusters keep their centroid.
     MATERIALIZED is load-bearing: plain CTEs re-inline per reference and the
-    iteration chain would re-evaluate every prior round."""
+    iteration chain would re-evaluate every prior round. Returns the CTE
+    list ending with `fin` (the final assignment) for callers to extend."""
     # CAST the list_sum: summing BIGINTs promotes to HUGEINT in DuckDB,
     # which Arrow surfaces as decimal128 and the value-hash compare rejects
     dist = (
@@ -2763,7 +2778,43 @@ def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1000, dim: int = 64) ->
                 SELECT cid, list(m ORDER BY dim) AS cv FROM u{t} GROUP BY cid
             ) n USING (cid))"""
         )
-    return "WITH " + ",\n".join(ctes) + "\nSELECT vec_id, cid, dist FROM " + assign_sql(iters)
+    ctes.append(f"fin AS MATERIALIZED {assign_sql(iters)}")
+    return ctes
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1000, dim: int = 64) -> str:
+    ctes = _kmeans_ctes(k, iters, scale, dim)
+    return "WITH " + ",\n".join(ctes) + "\nSELECT vec_id, cid, dist FROM fin"
+
+
+def _semantic_dedup_sql(
+    k: int = 8, iters: int = 3, scale: int = 1000, dim: int = 64,
+    threshold_ppm: int = 300_000,
+) -> str:
+    """SemDeDup twin: the k-means CTE chain + within-cluster ppm-cosine
+    pairs (same sequential-fold doubles as the ANN oracles) + the greedy
+    min-id keep rule."""
+    ctes = _kmeans_ctes(k, iters, scale, dim)
+    ctes.append(
+        "emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings)"
+    )
+    ctes.append(
+        "j AS MATERIALIZED (SELECT f.vec_id, f.cid, e.dv FROM fin f JOIN emb2 e USING (vec_id))"
+    )
+    ctes.append(
+        f"""dups AS MATERIALIZED (
+        SELECT DISTINCT b.vec_id
+        FROM j a JOIN j b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE CAST(floor(list_dot_product(a.dv, b.dv)
+                   / (sqrt(list_dot_product(a.dv, a.dv))
+                      * sqrt(list_dot_product(b.dv, b.dv))) * 1000000) AS BIGINT)
+              >= {threshold_ppm})"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT f.vec_id, f.cid, (d.vec_id IS NULL) AS keep"
+        + "\nFROM fin f LEFT JOIN dups d USING (vec_id)"
+    )
 
 
 def _simhash_sql(max_hamming: int = 8) -> str:

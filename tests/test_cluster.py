@@ -35,6 +35,25 @@ def test_deterministic_across_runs(spark):
     assert a == b  # integer arithmetic: no shuffle-order float drift
 
 
+def test_semantic_dedup_keeps_min_id_per_near_dup_set(spark):
+    from webcrawler_woc_spark.operators.cluster import semantic_dedup
+
+    # 2 and 4 duplicate 0 (same direction => cosine 1.0); 1,3,5 form the
+    # other blob with 3 duplicating 1; 5 is distinct within its cluster
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),
+        (2, [2.0, 0.0]), (3, [0.0, 3.0]),
+        (4, [1.0, 0.0]), (5, [0.3, 1.0]),  # cos(5,1)=0.958 < threshold
+    ]
+    out = {r.vec_id: r.keep for r in semantic_dedup(
+        _emb(spark, rows), k=2, iterations=2, threshold_ppm=990_000
+    ).collect()}
+    assert out[0] and out[1]          # min ids survive
+    assert not out[2] and not out[4]  # duplicates of 0
+    assert not out[3]                 # duplicate of 1
+    assert out[5]                     # similar-but-below-threshold survives
+
+
 def test_empty_cluster_keeps_centroid(spark):
     from webcrawler_woc_spark.operators.cluster import kmeans_int
 

@@ -27,6 +27,7 @@ SMJ_OK = {
     "graph_components",
     "ann_ivf_topk",  # probes ⋈ inverted-file: the file is corpus-sized
     "cluster_kmeans",  # assignment ⋈ vectors per iteration: both corpus-sized
+    "dedup_semantic",  # within-cluster self-join: both sides cluster-partitioned
 }
 # BNLJ allowlist: the exact cosine baseline broadcasts the tiny query set
 # into a crossJoin by design; IVF broadcasts the tiny centroid table into
@@ -36,6 +37,7 @@ BNLJ_OK = {
     "ann_ivf_topk",
     "sketch_hll_distinct",  # 1-row exact x 1-row estimate crossJoin
     "cluster_kmeans",  # corpus x broadcast(k centroids): the textbook k-means scan
+    "dedup_semantic",  # inherits the k-means assignment scan
 }
 # streaming queries execute a StreamingQuery, not a single batch plan
 SKIP = {

@@ -48,6 +48,69 @@ def _sqdist(a, b) -> "F.Column":
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    scale: int = 1000,
+    threshold_ppm: int = 300_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding corpus, then mark
+    near-duplicates WITHIN each cluster by exact ppm-floored cosine — the
+    pairwise search is cluster-local, so the quadratic term is bounded by
+    the largest cluster instead of the corpus (THE reason the clustering
+    stage exists). Keep rule: a vector survives unless a LOWER-id member of
+    its cluster is cosine-similar above the threshold (greedy min-id keeper
+    — deterministic, no component propagation needed).
+
+    Output (vec_id, cid, keep) — the curation verdict per vector.
+    Shape: kmeans assignment + ONE within-cluster self-join on cid (both
+    sides cluster-partitioned) + one distinct; cosine is the same
+    sequential-fold double the ANN operators use (oracle-exact)."""
+    assign = kmeans_int(embeddings, k=k, iterations=iterations, scale=scale).select(
+        "vec_id", "cid"
+    )
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("dv")
+    ).join(assign, "vec_id")
+    a = emb.select(
+        F.col("cid"), F.col("vec_id").alias("a_id"), F.col("dv").alias("av")
+    )
+    b = emb.select(
+        F.col("cid"), F.col("vec_id").alias("b_id"), F.col("dv").alias("bv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("av"), F.col("bv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("av"), F.col("av"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    norm_b = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("bv"), F.col("bv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    sim_ppm = F.floor(dot / (norm_a * norm_b) * 1_000_000).cast("bigint")
+    dups = (
+        a.join(b, (a["cid"] == b["cid"]) & (F.col("a_id") < F.col("b_id")))
+        .select(F.col("b_id").alias("vec_id"), sim_ppm.alias("sim_ppm"))
+        .filter(F.col("sim_ppm") >= threshold_ppm)
+        .select("vec_id")
+        .distinct()
+    )
+    return assign.join(dups.withColumn("_dup", F.lit(True)), "vec_id", "left").select(
+        "vec_id", "cid", F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")
+    )
+
+
 def kmeans_int(
     embeddings: DataFrame,
     k: int = 8,
