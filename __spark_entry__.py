@@ -587,6 +587,16 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_int(_emb(spark, sf_dir), k=8, iterations=3, scale=1000)
 
 
+def q_sketch_quantile_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log2-bucket quantile sketch (DDSketch-class, deterministic
+    integer bucketing via length(bin(v))-1) over per-doc text lengths —
+    p50/p90/p99 bucket + lower-bound estimates from a <=64-count histogram."""
+    from webcrawler_woc_spark.operators.sketches import log2_quantile_sketch
+
+    vals = _docs(spark, sf_dir).select(F.length("text").cast("bigint").alias("v"))
+    return log2_quantile_sketch(vals, "v")
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup composition: k-means clusters (cluster_kmeans) + within-
     cluster ppm-cosine near-dup marking with the greedy min-id keep rule —
@@ -1384,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pivot_lang": q_rel_pivot_lang,
         "cluster_kmeans": q_cluster_kmeans,
         "dedup_semantic": q_dedup_semantic,
+        "sketch_quantile_log2": q_sketch_quantile_log2,
     }
 
 
@@ -1870,6 +1881,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cluster_kmeans": _kmeans_sql(),
         "dedup_semantic": _semantic_dedup_sql(),
+        # integer-exact log2 bucketing: length(bin(v)) - 1 == floor(log2 v),
+        # no float log; rank arithmetic identical to rel_percentiles
+        "sketch_quantile_log2": """
+            WITH v AS (SELECT CAST(length(text) AS BIGINT) AS v FROM documents),
+            h AS (
+                SELECT CAST(length(bin(v)) - 1 AS INT) AS bucket,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM v WHERE v > 0 GROUP BY 1
+            ),
+            c AS (
+                SELECT bucket,
+                       CAST(sum(cnt) OVER (ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                       CAST(sum(cnt) OVER () AS BIGINT) AS n
+                FROM h
+            ),
+            agg AS (
+                SELECT CAST(max(n) AS BIGINT) AS n,
+                       min(CASE WHEN cum >= ((n - 1) * 50) // 100 + 1
+                                THEN bucket END) AS p50_bucket,
+                       min(CASE WHEN cum >= ((n - 1) * 90) // 100 + 1
+                                THEN bucket END) AS p90_bucket,
+                       min(CASE WHEN cum >= ((n - 1) * 99) // 100 + 1
+                                THEN bucket END) AS p99_bucket
+                FROM c
+            )
+            SELECT n,
+                   CAST(p50_bucket AS INT) AS p50_bucket,
+                   CAST(CAST(1 AS BIGINT) << p50_bucket AS BIGINT) AS p50_lo,
+                   CAST(p90_bucket AS INT) AS p90_bucket,
+                   CAST(CAST(1 AS BIGINT) << p90_bucket AS BIGINT) AS p90_lo,
+                   CAST(p99_bucket AS INT) AS p99_bucket,
+                   CAST(CAST(1 AS BIGINT) << p99_bucket AS BIGINT) AS p99_lo
+            FROM agg
+        """,
         "rel_pivot_lang": """
             SELECT CAST(doc_id % 10 AS BIGINT) AS host_id,
                    CAST(count(*) FILTER (lang = 'de') AS INT) AS n_de,

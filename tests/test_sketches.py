@@ -71,3 +71,36 @@ def test_hll_estimate_deterministic_and_sane(spark):
     assert r1.exact_distinct == 300
     # raw estimator, no range corrections: just pin a sane band
     assert 150 <= r1.hll_estimate <= 600
+
+
+def test_log2_quantile_sketch_hand_checked(spark):
+    from webcrawler_woc_spark.operators.sketches import log2_quantile_sketch
+
+    # 10 values: buckets are floor(log2): 1->0, 2..3->1, 4..7->2, 8->3
+    vals = spark.createDataFrame(
+        [(v,) for v in [1, 2, 3, 4, 4, 5, 6, 7, 7, 8]], "v bigint"
+    )
+    r = log2_quantile_sketch(vals, "v").head()
+    # hist: b0:1, b1:2, b2:6, b3:1; cum: 1,3,9,10; n=10
+    # p50 target (9*50)//100+1=5 -> first cum>=5 is b2; p90 t=9 -> b2; p99 t=9 -> b2
+    assert (r.n, r.p50_bucket, r.p50_lo) == (10, 2, 4)
+    assert (r.p90_bucket, r.p99_bucket) == (2, 2)
+
+
+def test_log2_quantile_sketch_merges_by_addition(spark):
+    """The sketch property: histogram(A ∪ B) == histogram(A) + histogram(B),
+    so any quantile of the union is answerable from the two part-sketches."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    def hist(rows):
+        df = spark.createDataFrame([(v,) for v in rows], "v bigint")
+        b = (F.length(F.bin(F.col("v"))) - 1).alias("bucket")
+        return Counter(
+            {r.bucket: r["count"] for r in df.filter("v > 0").groupBy(b).count().collect()}
+        )
+
+    a = [1, 5, 9, 130, 1025]
+    b = [2, 6, 2000, 70000]
+    assert hist(a) + hist(b) == hist(a + b)

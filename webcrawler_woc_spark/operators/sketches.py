@@ -180,3 +180,57 @@ def distinct_count_check(values: DataFrame) -> DataFrame:
     est = hll_estimate(hll_registers(values))
     exact = values.agg(F.countDistinct("value").cast("bigint").alias("exact_distinct"))
     return exact.crossJoin(est)
+
+
+def log2_quantile_sketch(
+    values: DataFrame, value_col: str = "v", quantiles: tuple[int, ...] = (50, 90, 99)
+) -> DataFrame:
+    """Mergeable QUANTILE sketch over positive integers — the third sketch
+    family member (count-min: frequencies by addition; HLL: distinct by MAX;
+    this: quantiles by bucket-count addition). DDSketch-class (Masson et al.
+    2019) with the coarsest deterministic bucketing: bucket = floor(log2(v)),
+    computed EXACTLY as length(bin(v)) - 1 — pure integer, no float log
+    whose boundary rounding could differ across engines. Relative error is
+    bounded by the bucket width (estimate = bucket lower bound 2^b, true
+    value < 2^(b+1)); finer gamma needs only more buckets.
+
+    Why a sketch when exact_percentiles exists: the exact rank-selection
+    needs a full sort per group; the histogram is ~64 counts TOTAL however
+    large the stream, merges by addition across partitions/days/shards, and
+    answers any quantile after the fact. The (<= 64)-row cumulative window
+    here is driver-scale by construction — the sketch, not the stream.
+
+    Output one row: (n, p{q}_bucket, p{q}_lo for each q) — all integers;
+    rank arithmetic matches exact_percentiles (target = (n-1)*q div 100 + 1).
+    """
+    from pyspark.sql import Window
+
+    b = (F.length(F.bin(F.col(value_col).cast("bigint"))) - 1).cast("int")
+    hist = (
+        values.filter(F.col(value_col) > 0)
+        .groupBy(b.alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = hist.select(
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    aggs = [F.max("n").alias("n")]
+    for q in quantiles:
+        target = F.expr(f"((n - 1) * {q}) div 100 + 1")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= target, F.col("bucket"))).alias(f"p{q}_bucket")
+        )
+    out = c.agg(*aggs)
+    cols = [F.col("n")]
+    for q in quantiles:
+        cols.append(F.col(f"p{q}_bucket"))
+        cols.append(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), p{q}_bucket)").alias(f"p{q}_lo")
+        )
+    return out.select(*cols)
