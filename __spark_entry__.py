@@ -1075,6 +1075,19 @@ def q_crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(fp_frame(v1), fp_frame(v2))
 
 
+def q_crawl_adaptive_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate-adaptive recrawl budgeting: the snapshot diff's per-host
+    change counts drive a proportional integer allocation of a global
+    re-fetch budget (100) — the feedback loop that turns age-only recrawl
+    into adaptive refresh. Oracle: the same doc-id status arithmetic as
+    crawl_snapshot_diff, aggregated per host."""
+    from webcrawler_woc_spark.operators.recrawl import adaptive_recrawl_budgets
+
+    diff = q_crawl_snapshot_diff(spark, sf_dir)
+    host = F.regexp_extract(F.col("url"), r"^http://([^/]+)/", 1)
+    return adaptive_recrawl_budgets(diff, host, budget_total=100)
+
+
 def q_rel_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame (value-based, not row-based): per-user count
     and integer-cents sum of events in the trailing hour [ts-1h, ts]. Range
@@ -1395,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_kmeans": q_cluster_kmeans,
         "dedup_semantic": q_dedup_semantic,
         "sketch_quantile_log2": q_sketch_quantile_log2,
+        "crawl_adaptive_recrawl": q_crawl_adaptive_recrawl,
     }
 
 
@@ -2421,6 +2435,28 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id % 7 = 0 THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM documents
+        """,
+        "crawl_adaptive_recrawl": """
+            WITH d AS (
+                SELECT 'host' || (doc_id % 10) || '.example' AS host,
+                       CASE WHEN doc_id % 11 = 3 THEN 'added'
+                            WHEN doc_id % 11 = 0 THEN 'gone'
+                            WHEN doc_id % 7 = 0 THEN 'changed'
+                            ELSE 'unchanged' END AS status
+                FROM documents
+            ),
+            per_host AS (
+                SELECT host, CAST(count(*) AS INT) AS n_urls,
+                       CAST(count(*) FILTER (status = 'changed') AS INT) AS n_changed
+                FROM d GROUP BY host
+            ),
+            tot AS (SELECT CAST(sum(n_changed) AS BIGINT) AS total_changed FROM per_host)
+            SELECT host, n_urls, n_changed,
+                   CAST(n_changed * 1000000 // n_urls AS BIGINT) AS change_ppm,
+                   CAST(CASE WHEN n_changed > 0
+                             THEN greatest(1, (100 * n_changed) // total_changed)
+                             ELSE 0 END AS INT) AS host_budget
+            FROM per_host, tot
         """,
         "rel_range_window": """
             SELECT event_id, user_id,

@@ -20,6 +20,7 @@ SMJ_OK = {
     "dedup_minhash_lsh",
     "dedup_cluster_keepmin",  # minhash pair graph + iterative label joins
     "crawl_snapshot_diff",  # full outer over two corpus-sized snapshots: SMJ is the right plan
+    "crawl_adaptive_recrawl",  # consumes the snapshot-diff full outer
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
@@ -36,6 +37,7 @@ BNLJ_OK = {
     "ann_cosine_topk",
     "ann_ivf_topk",
     "sketch_hll_distinct",  # 1-row exact x 1-row estimate crossJoin
+    "crawl_adaptive_recrawl",  # per-host aggregate x 1-row total crossJoin
     "cluster_kmeans",  # corpus x broadcast(k centroids): the textbook k-means scan
     "dedup_semantic",  # inherits the k-means assignment scan
 }

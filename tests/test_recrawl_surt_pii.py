@@ -196,3 +196,45 @@ class TestParagraphDedup:
             3: (2, 0, ""),
             4: (2, 1, "p q"),
         }
+
+
+class TestAdaptiveRecrawl:
+    def test_budget_proportional_to_change_counts(self, spark):
+        from pyspark.sql import functions as F
+
+        from webcrawler_woc_spark.operators.recrawl import adaptive_recrawl_budgets
+
+        rows = (
+            [("http://a.ex/p%d" % i, "changed") for i in range(6)]
+            + [("http://a.ex/q%d" % i, "unchanged") for i in range(4)]
+            + [("http://b.ex/p%d" % i, "changed") for i in range(2)]
+            + [("http://c.ex/p%d" % i, "unchanged") for i in range(5)]
+            + [("http://c.ex/x", "added")]  # added is NOT a change signal
+        )
+        diff = spark.createDataFrame(rows, "url string, status string")
+        host = F.regexp_extract(F.col("url"), r"^http://([^/]+)/", 1)
+        out = {
+            r.host: (r.n_urls, r.n_changed, r.change_ppm, r.host_budget)
+            for r in adaptive_recrawl_budgets(diff, host, budget_total=100).collect()
+        }
+        # total_changed = 8: a gets (100*6) div 8 = 75; b (100*2) div 8 = 25
+        assert out["a.ex"] == (10, 6, 600000, 75)
+        assert out["b.ex"] == (2, 2, 1000000, 25)
+        assert out["c.ex"] == (6, 0, 0, 0)  # no changes -> zero budget
+
+    def test_min_one_slot_for_any_changed_host(self, spark):
+        from pyspark.sql import functions as F
+
+        from webcrawler_woc_spark.operators.recrawl import adaptive_recrawl_budgets
+
+        rows = [("http://big.ex/p%d" % i, "changed") for i in range(99)] + [
+            ("http://tiny.ex/p", "changed")
+        ]
+        diff = spark.createDataFrame(rows, "url string, status string")
+        host = F.regexp_extract(F.col("url"), r"^http://([^/]+)/", 1)
+        out = {
+            r.host: r.host_budget
+            for r in adaptive_recrawl_budgets(diff, host, budget_total=10).collect()
+        }
+        assert out["tiny.ex"] == 1  # floor: a changing host never starves
+        assert out["big.ex"] == 9

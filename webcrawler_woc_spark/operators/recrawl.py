@@ -102,6 +102,48 @@ def recrawl_schedule(
     )
 
 
+def adaptive_recrawl_budgets(
+    diff: DataFrame, host: Column, budget_total: int
+) -> DataFrame:
+    """ADAPTIVE recrawl (the Cho & Garcia-Molina insight: refresh frequency
+    should track OBSERVED change rate, not uniform age): allocate a global
+    re-fetch budget across hosts proportionally to how many of their URLs
+    the latest snapshot diff saw change.
+
+    Input: a snapshot_diff status frame (url/status). Output per host:
+    (host, n_urls, n_changed, change_ppm, host_budget) where
+    ``host_budget = max(1, (budget_total * n_changed) div total_changed)``
+    for hosts with changes, 0 otherwise — all-integer, truncating,
+    documented (no largest-remainder rebalance; the +1 floor means totals
+    may exceed budget_total by at most #changed-hosts, the usual tolerance).
+
+    Shape: one partial-agg'd groupBy on host + a 1-row total broadcast into
+    the allocation projection — no second shuffle. The change signal is the
+    feedback loop closing recrawl_schedule's age-only prioritization."""
+    per_host = diff.groupBy(host.alias("host")).agg(
+        F.count("*").cast("int").alias("n_urls"),
+        F.sum((F.col("status") == "changed").cast("int")).cast("int").alias("n_changed"),
+    )
+    total = per_host.agg(
+        F.sum("n_changed").cast("bigint").alias("total_changed")
+    )
+    alloc = per_host.crossJoin(F.broadcast(total))
+    budget = F.when(
+        F.col("n_changed") > 0,
+        F.greatest(
+            F.lit(1),
+            F.expr(f"CAST(({budget_total} * n_changed) div total_changed AS INT)"),
+        ),
+    ).otherwise(F.lit(0))
+    return alloc.select(
+        "host",
+        "n_urls",
+        "n_changed",
+        F.expr("CAST(n_changed * 1000000 div n_urls AS BIGINT)").alias("change_ppm"),
+        budget.cast("int").alias("host_budget"),
+    )
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "url") -> DataFrame:
     """Incremental-crawl delta between two corpus snapshots, compared by a
     per-key content fingerprint: (key, status) with status in
