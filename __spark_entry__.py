@@ -1127,6 +1127,27 @@ def q_rel_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the generalization rollup/cube are sugar
+    for: an arbitrary set list ((flag), (status), ()) that NEITHER rollup
+    nor cube produces (no (flag, status) cell). One-pass aggregation with
+    GROUPING() markers disambiguating the null dimensions; SQL API (the
+    grouping-set lattice is a first-class SQL surface)."""
+    _tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_price_cents,
+               count(*) AS n_items,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
 def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count of the corpus URL space (the 'how many
     unique URLs have we seen' question a 10^10-URL frontier cannot answer
@@ -1409,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "sketch_quantile_log2": q_sketch_quantile_log2,
         "crawl_adaptive_recrawl": q_crawl_adaptive_recrawl,
+        "rel_grouping_sets": q_rel_grouping_sets,
     }
 
 
@@ -2478,6 +2500,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(grouping(l_returnflag) AS INT) AS g_flag,
                    CAST(grouping(l_linestatus) AS INT) AS g_status
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "rel_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_price_cents,
+                   count(*) AS n_items,
+                   CAST(grouping(l_returnflag) AS INT) AS g_flag,
+                   CAST(grouping(l_linestatus) AS INT) AS g_status
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """,
         # host h's page doc_ids all end in digit h => the base Disallow
         # /page/*h$ hits everything; Allow /page/*0h$ (longer) re-allows
