@@ -2474,9 +2474,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             tot AS (SELECT CAST(sum(n_changed) AS BIGINT) AS total_changed FROM per_host)
             SELECT host, n_urls, n_changed,
-                   CAST(n_changed * 1000000 // n_urls AS BIGINT) AS change_ppm,
+                   CAST(CAST(n_changed AS BIGINT) * 1000000 // n_urls AS BIGINT)
+                       AS change_ppm,
                    CAST(CASE WHEN n_changed > 0
-                             THEN greatest(1, (100 * n_changed) // total_changed)
+                             THEN greatest(1, (100 * CAST(n_changed AS BIGINT))
+                                              // total_changed)
                              ELSE 0 END AS INT) AS host_budget
             FROM per_host, tot
         """,
@@ -2919,7 +2921,9 @@ def _semantic_dedup_sql(
         f"""dups AS MATERIALIZED (
         SELECT DISTINCT b.vec_id
         FROM j a JOIN j b ON a.cid = b.cid AND a.vec_id < b.vec_id
-        WHERE CAST(floor(list_dot_product(a.dv, b.dv)
+        WHERE list_dot_product(a.dv, a.dv) > 0
+          AND list_dot_product(b.dv, b.dv) > 0
+          AND CAST(floor(list_dot_product(a.dv, b.dv)
                    / (sqrt(list_dot_product(a.dv, a.dv))
                       * sqrt(list_dot_product(b.dv, b.dv))) * 1000000) AS BIGINT)
               >= {threshold_ppm})"""

@@ -67,3 +67,20 @@ def test_empty_cluster_keeps_centroid(spark):
     out = kmeans_int(_emb(spark, rows), k=3, iterations=3).collect()
     assert len(out) == 6
     assert all(r.dist >= 0 for r in out)
+
+
+def test_zero_norm_vector_is_never_a_duplicate_and_never_crashes(spark):
+    """An all-zero embedding has undefined cosine; under ANSI mode an
+    unguarded 0/0 -> floor(NaN) -> bigint cast would kill the job. It must
+    instead survive with keep=True and not poison its cluster."""
+    from webcrawler_woc_spark.operators.cluster import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 0.0]),  # zero vector clusters somewhere
+        (2, [1.0, 0.0]),                    # true duplicate of 0
+    ]
+    out = {r.vec_id: r.keep for r in semantic_dedup(
+        _emb(spark, rows), k=2, iterations=1, threshold_ppm=990_000
+    ).collect()}
+    assert out[1]       # undefined cosine -> not anyone's duplicate
+    assert not out[2]   # the real duplicate is still caught

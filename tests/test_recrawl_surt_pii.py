@@ -238,3 +238,16 @@ class TestAdaptiveRecrawl:
         }
         assert out["tiny.ex"] == 1  # floor: a changing host never starves
         assert out["big.ex"] == 9
+
+    def test_no_int32_overflow_at_crawl_scale_counts(self, spark):
+        """n_changed * 1000000 must multiply in BIGINT: 3000 changed URLs on
+        one host overflowed INT32 under ANSI mode before the cast fix."""
+        from pyspark.sql import functions as F
+
+        from webcrawler_woc_spark.operators.recrawl import adaptive_recrawl_budgets
+
+        rows = [("http://big.ex/p%d" % i, "changed") for i in range(3000)]
+        diff = spark.createDataFrame(rows, "url string, status string")
+        host = F.regexp_extract(F.col("url"), r"^http://([^/]+)/", 1)
+        r = adaptive_recrawl_budgets(diff, host, budget_total=100).head()
+        assert (r.n_changed, r.change_ppm, r.host_budget) == (3000, 1000000, 100)

@@ -64,11 +64,19 @@ def semantic_dedup(
     — deterministic, no component propagation needed).
 
     Output (vec_id, cid, keep) — the curation verdict per vector.
-    Shape: kmeans assignment + ONE within-cluster self-join on cid (both
-    sides cluster-partitioned) + one distinct; cosine is the same
-    sequential-fold double the ANN operators use (oracle-exact)."""
-    assign = kmeans_int(embeddings, k=k, iterations=iterations, scale=scale).select(
-        "vec_id", "cid"
+    Shape: kmeans assignment (checkpointed once — three consumers below
+    would otherwise re-run the corpus scoring scan) + ONE within-cluster
+    self-join on cid (both sides cluster-partitioned) + one distinct;
+    cosine reuses similarity._dot/_norm — THE sequential-fold doubles the
+    ANN operators and their oracles share. Zero-norm vectors (upstream
+    garbage a clusterer must tolerate) are guarded: their cosine is
+    undefined, so they never register as anyone's duplicate."""
+    from .similarity import _dot, _norm
+
+    assign = (
+        kmeans_int(embeddings, k=k, iterations=iterations, scale=scale)
+        .select("vec_id", "cid")
+        .localCheckpoint()
     )
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("dv")
@@ -79,26 +87,16 @@ def semantic_dedup(
     b = emb.select(
         F.col("cid"), F.col("vec_id").alias("b_id"), F.col("dv").alias("bv")
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("av"), F.col("bv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    norm_a = _norm(F.col("av"))
+    norm_b = _norm(F.col("bv"))
+    # the when-guard short-circuits per row: 0/0 = NaN would crash the
+    # ANSI-mode bigint cast, and a NaN "similarity" is not a duplicate
+    sim_ppm = F.when(
+        (norm_a > 0) & (norm_b > 0),
+        F.floor(_dot(F.col("av"), F.col("bv")) / (norm_a * norm_b) * 1_000_000).cast(
+            "bigint"
+        ),
     )
-    norm_a = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("av"), F.col("av"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    norm_b = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("bv"), F.col("bv"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    sim_ppm = F.floor(dot / (norm_a * norm_b) * 1_000_000).cast("bigint")
     dups = (
         a.join(b, (a["cid"] == b["cid"]) & (F.col("a_id") < F.col("b_id")))
         .select(F.col("b_id").alias("vec_id"), sim_ppm.alias("sim_ppm"))
@@ -106,9 +104,9 @@ def semantic_dedup(
         .select("vec_id")
         .distinct()
     )
-    return assign.join(dups.withColumn("_dup", F.lit(True)), "vec_id", "left").select(
-        "vec_id", "cid", F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")
-    )
+    return assign.join(
+        dups.withColumn("_dup", F.lit(True)), "vec_id", "left"
+    ).select("vec_id", "cid", F.col("_dup").isNull().alias("keep"))
 
 
 def kmeans_int(

@@ -128,18 +128,26 @@ def adaptive_recrawl_budgets(
         F.sum("n_changed").cast("bigint").alias("total_changed")
     )
     alloc = per_host.crossJoin(F.broadcast(total))
+    # BIGINT multiplies: n_changed * 1000000 overflows INT32 at >= 2148
+    # changed URLs per host (an ANSI-mode crash, not a wrap) — routine at
+    # crawl scale; the oracle casts identically
     budget = F.when(
         F.col("n_changed") > 0,
         F.greatest(
             F.lit(1),
-            F.expr(f"CAST(({budget_total} * n_changed) div total_changed AS INT)"),
+            F.expr(
+                f"CAST(({budget_total} * CAST(n_changed AS BIGINT))"
+                " div total_changed AS INT)"
+            ),
         ),
     ).otherwise(F.lit(0))
     return alloc.select(
         "host",
         "n_urls",
         "n_changed",
-        F.expr("CAST(n_changed * 1000000 div n_urls AS BIGINT)").alias("change_ppm"),
+        F.expr(
+            "CAST(CAST(n_changed AS BIGINT) * 1000000 div n_urls AS BIGINT)"
+        ).alias("change_ppm"),
         budget.cast("int").alias("host_budget"),
     )
 
