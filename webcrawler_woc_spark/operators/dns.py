@@ -1,0 +1,77 @@
+"""Real DNS enrichment — the un-simulated twin of fetch.synth_ipv4/ipv6.
+
+The reference resolves A/AAAA per crawled page (src/links.rs:309-334,
+`dns_lookup::lookup_host`); the engine's default stays the deterministic
+synthetic columns (oracle-checkable), and this module is the real-resolver
+path for deployments: ``resolve_hosts`` maps a DISTINCT host frame through
+``socket.getaddrinfo`` in an Arrow-batched thread pool.
+
+Scale shape — resolve the HOST SET, not the URL stream: a 10^10-URL frontier
+has maybe 10^7 hosts; dedup first (one groupBy), resolve each host once,
+broadcast the tiny (host, ipv4, ipv6) table back into the wave (the same
+join shape as the robots cache). Per-row python would re-resolve per URL and
+hammer the resolver; the reference itself resolves per page fetch, which is
+exactly the anti-pattern this operator exists to avoid at scale.
+
+Failure contract mirrors the reference (links.rs:318-320: lookup errors =>
+no enrichment): any resolver error or timeout yields NULL columns, never a
+task failure. A future-with-deadline guards each lookup because
+``getaddrinfo`` has no timeout parameter of its own — a hung resolver must
+not wedge an executor core forever.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+RESOLVE_SCHEMA = "host string, ipv4 string, ipv6 string"
+
+
+def _resolve_one(host: str) -> tuple[str | None, str | None]:
+    import socket
+
+    ipv4 = ipv6 = None
+    try:
+        for family, _type, _proto, _canon, addr in socket.getaddrinfo(host, None):
+            if family == socket.AF_INET and ipv4 is None:
+                ipv4 = addr[0]
+            elif family == socket.AF_INET6 and ipv6 is None:
+                ipv6 = addr[0]
+    except Exception:
+        pass  # reference contract: lookup failure => no enrichment
+    return ipv4, ipv6
+
+
+def resolve_hosts(
+    hosts: DataFrame, timeout_s: float = 5.0, max_workers: int = 16
+) -> DataFrame:
+    """(host) frame -> (host, ipv4, ipv6); first A and first AAAA record,
+    NULLs on failure/timeout. Input should be the distinct host set (the
+    function distincts defensively — resolution must be once-per-host)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from concurrent.futures import ThreadPoolExecutor, TimeoutError
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            with ThreadPoolExecutor(max_workers=min(max_workers, len(pdf))) as pool:
+                futs = [(h, pool.submit(_resolve_one, h)) for h in pdf["host"]]
+                for h, fut in futs:
+                    try:
+                        ipv4, ipv6 = fut.result(timeout=timeout_s)
+                    except TimeoutError:
+                        ipv4 = ipv6 = None  # hung resolver: NULL, task survives
+                    out.append((h, ipv4, ipv6))
+            yield pd.DataFrame(out, columns=["host", "ipv4", "ipv6"])
+
+    return (
+        hosts.select("host")
+        .distinct()
+        .repartition("host")
+        .mapInPandas(gen, schema=RESOLVE_SCHEMA)
+    )
