@@ -64,6 +64,43 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+def _np_poly_squares(uniq: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+    """Vectorized dual rolling-poly hash over CODEPOINTS for an array of
+    distinct tokens: returns (m1, m2), the square-mod-Mersenne31 mixes of
+    the mult-31 and mult-131 Horner folds — the numpy twin of
+    _sql_str_hash31 (m1) and the second simhash component (m2).
+
+    Horner runs column-parallel over a ragged codepoint array: the
+    concatenated vocab decodes to one utf-32 buffer (one C-level pass, no
+    per-char Python), then max_token_len vectorized rounds fold position p
+    into every token long enough to have one. All intermediates stay < 2^63
+    (POLY_MOD*131 + cp ~ 1.3e17). Codepoints, not utf-8 bytes: the DuckDB
+    twin hashes via ascii(char) == ord(char) — bytes would silently diverge
+    on the first non-ASCII token."""
+    lengths = np.fromiter((len(t) for t in uniq), dtype=np.int64, count=len(uniq))
+    codes = np.frombuffer("".join(uniq.tolist()).encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    offsets = np.zeros(len(uniq), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    p1 = np.zeros(len(uniq), dtype=np.int64)
+    p2 = np.zeros(len(uniq), dtype=np.int64)
+    max_len = int(lengths.max()) if len(lengths) else 0
+    for pos in range(max_len):
+        active = lengths > pos
+        c = codes[offsets[active] + pos]
+        p1[active] = (p1[active] * 31 + c) % POLY_MOD
+        p2[active] = (p2[active] * 131 + c) % POLY_MOD
+    m1 = (p1 % MERSENNE31) ** 2 % MERSENNE31
+    m2 = (p2 % MERSENNE31) ** 2 % MERSENNE31
+    return m1, m2
+
+
+def _np_token_hash31(uniq: "np.ndarray") -> "np.ndarray":
+    """The mult-31 square-mod token hash (== _sql_str_hash31), vectorized."""
+    return _np_poly_squares(uniq)[0]
+
+
 def exact_substring_dups(documents: DataFrame, k: int = 8) -> DataFrame:
     """Cross-document EXACT SUBSTRING detection (the Lee et al. 2022
     'Deduplicating Training Data' pass, window-hash form): every k-token
@@ -75,32 +112,56 @@ def exact_substring_dups(documents: DataFrame, k: int = 8) -> DataFrame:
     Output (whash, n_docs, n_occurrences, first_doc) for windows with
     n_docs >= 2, ordered nowhere (aggregate).
 
-    Plan shape: token hashes via the shared square-mod poly
-    (_sql_str_hash31 — SQL-expressible, so the DuckDB twin is value-exact),
-    per-doc window folds as one Catalyst transform over slice()s
-    (O(n·k) integer ops per doc, zero Python), one explode, one partial-
-    agg'd groupBy on the 8-byte window hash. At 100 TB the explode's
-    shuffle is the cost driver: map-side combine collapses within-partition
-    repeats first, and the true rolling form (prefix hashes, O(n) per doc)
-    drops in here without changing the contract if k grows. Hash collisions
-    can merge distinct windows — the production pipeline verifies spans by
-    content before cutting; at the gate the hash IS the contract (both
-    engines compute the identical fold)."""
-    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
-    toks_h = F.transform(toks, lambda t: _sql_str_hash31(t))
-    n = F.size(toks_h)
-    windows = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.aggregate(
-                F.slice(toks_h, i, k),
-                F.lit(0).cast("bigint"),
-                lambda a, x: (a * 31 + x) % POLY_MOD,
-            ),
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
-    w = documents.select("doc_id", F.explode(windows).alias("whash"))
+    Plan shape: the window hashes come from ONE Arrow-batched numpy kernel
+    (the same vectorization pattern as simhash62: distinct-token memoization
+    per batch, utf-32 codepoint Horner for the square-mod token hash — the
+    IDENTICAL math _sql_str_hash31 expresses in SQL, so the DuckDB twin is
+    still value-exact — then a batch-wide sliding-window fold with cross-doc
+    windows masked out). The previous pure-Catalyst form (per-token
+    aggregate over split chars × per-window aggregate over slices) was the
+    repo's slowest kernel at 10× gate scale (~45 s vs ~1 s for this one);
+    the explode + partial-agg'd groupBy on the 8-byte hash is unchanged and
+    remains the shuffle cost driver at 100 TB. Hash collisions can merge
+    distinct windows — the production pipeline verifies spans by content
+    before cutting; at the gate the hash IS the contract (both engines
+    compute the identical fold)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def window_hashes(texts: pd.Series) -> pd.Series:
+        n_docs = len(texts)
+        empty: list[int] = []
+        if n_docs == 0:
+            return pd.Series([], dtype=object)
+        toks_per_doc = [(t or "").split() for t in texts]
+        counts = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=n_docs)
+        all_toks = [tok for toks in toks_per_doc for tok in toks]
+        total = len(all_toks)
+        if total < k:
+            return pd.Series([empty] * n_docs)
+        uniq, inverse = np.unique(np.array(all_toks, dtype=object), return_inverse=True)
+        hs = _np_token_hash31(uniq)[inverse]
+        # batch-wide sliding fold: w_i = fold over hs[i:i+k]; windows that
+        # straddle a document boundary are simply never sliced out below
+        sw = np.lib.stride_tricks.sliding_window_view(hs, k)
+        w = np.zeros(len(sw), dtype=np.int64)
+        for j in range(k):
+            w = (w * 31 + sw[:, j]) % POLY_MOD
+        offsets = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        out = []
+        for d in range(n_docs):
+            nw = counts[d] - k + 1
+            if nw <= 0:
+                out.append(empty)
+            else:
+                out.append(w[offsets[d] : offsets[d] + nw].tolist())
+        return pd.Series(out)
+
+    w = documents.select(
+        "doc_id", F.explode(window_hashes(F.col("text"))).alias("whash")
+    )
     return (
         w.groupBy("whash")
         .agg(
@@ -295,32 +356,9 @@ def simhash62(documents: DataFrame) -> DataFrame:
         return pd.Series(out)
 
     def _hash_tokens_vec(uniq: np.ndarray) -> np.ndarray:
-        """Vectorized two-multiplier rolling-poly hash over CODEPOINTS (not
-        utf-8 bytes: the DuckDB twin hashes via ascii(char) == ord(char), and
-        Spark's _sql_str_hash31 (MinHash) folds F.ascii the same way — bytes
-        would silently diverge from the oracle on the first non-ASCII token).
-
-        Horner evaluation runs column-parallel over a ragged codepoint array:
-        the concatenated vocab decodes to one utf-32 buffer (one C-level pass,
-        no per-char Python), then max_token_len vectorized rounds fold
-        position p into every token long enough to have one. All intermediates
-        stay < 2^63 (POLY_MOD*131 + cp ~ 1.3e17)."""
-        lengths = np.fromiter((len(t) for t in uniq), dtype=np.int64, count=len(uniq))
-        codes = np.frombuffer("".join(uniq.tolist()).encode("utf-32-le"), dtype=np.uint32).astype(
-            np.int64
-        )
-        offsets = np.zeros(len(uniq), dtype=np.int64)
-        np.cumsum(lengths[:-1], out=offsets[1:])
-        p1 = np.zeros(len(uniq), dtype=np.int64)
-        p2 = np.zeros(len(uniq), dtype=np.int64)
-        max_len = int(lengths.max()) if len(lengths) else 0
-        for pos in range(max_len):
-            active = lengths > pos
-            c = codes[offsets[active] + pos]
-            p1[active] = (p1[active] * 31 + c) % POLY_MOD
-            p2[active] = (p2[active] * 131 + c) % POLY_MOD
-        m1 = (p1 % MERSENNE31) ** 2 % MERSENNE31
-        m2 = (p2 % MERSENNE31) ** 2 % MERSENNE31
+        """62-bit dual hash m1 * 2^31 + m2 from the shared vectorized
+        codepoint-Horner kernel (_np_poly_squares)."""
+        m1, m2 = _np_poly_squares(uniq)
         return m1 * (1 << 31) + m2
 
     return documents.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
