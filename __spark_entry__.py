@@ -204,11 +204,39 @@ def q_crawl_dns_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_crawl_robots_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robots cache (north-rule politeness input): per-host Crawl-delay
-    parsed from the corpus /robots.txt rows (operators/politeness.py)."""
+    """Robots cache (north-rule politeness input): per-host Crawl-delay,
+    GROUP-SCOPED per RFC 9309 §2.2.1 specificity (round 4 contract). The
+    corpus robots rows (Crawl-delay inside the '*' group) are augmented with
+    decoy bodies that each falsify one scoping rule if broken: a decoy
+    otherbot group (ignored), a groupless delay (ignored -> default), a
+    specific wocbot group beating '*', a second '*' group supplying the
+    delay, a specific group with NO delay suppressing the '*' delay, and an
+    http/https twin-body host (deterministic min(text) pick). The oracle
+    predicts every delay arithmetically — no parser on the oracle side."""
     from webcrawler_woc_spark.operators.politeness import parse_robots_crawl_delay
 
-    return parse_robots_crawl_delay(_pages(spark, sf_dir)).select("host", "crawl_delay")
+    decoys = [
+        # (host, body, expected-delay-documented-in-oracle)
+        ("decoy1.example",
+         "User-agent: otherbot\nCrawl-delay: 99\nUser-agent: *\nCrawl-delay: 7\n"),  # -> 7
+        ("decoy2.example",
+         "Crawl-delay: 50\nUser-agent: *\nDisallow: /x\n"),  # groupless -> default 1
+        ("decoy3.example",
+         "User-agent: wocbot\nCrawl-delay: 3\nUser-agent: *\nCrawl-delay: 99\n"),  # -> 3
+        ("decoy4.example",
+         "User-agent: *\nDisallow: /a\nUser-agent: otherbot\nCrawl-delay: 99\n"
+         "User-agent: *\nCrawl-delay: 5\n"),  # second '*' group -> 5
+        ("decoy5.example",
+         "User-agent: wocbot\nUser-agent: helper\nDisallow: /b\n"
+         "User-agent: *\nCrawl-delay: 42\n"),  # specific group, no delay -> 1
+    ]
+    rows = [(f"http://{h}/robots.txt", body) for h, body in decoys]
+    # twin bodies for one host: min(text) picks "...11\n" < "...9\n" -> 11
+    rows.append(("http://decoy7.example/robots.txt", "User-agent: *\nCrawl-delay: 9\n"))
+    rows.append(("https://decoy7.example/robots.txt", "User-agent: *\nCrawl-delay: 11\n"))
+    decoy_pages = spark.createDataFrame(rows, "url string, text string")
+    pages = _pages(spark, sf_dir).select("url", "text").unionByName(decoy_pages)
+    return parse_robots_crawl_delay(pages, user_agent="wocbot").select("host", "crawl_delay")
 
 
 def q_crawl_disallow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1541,16 +1569,23 @@ def oracle_sql() -> dict[str, str]:
                    'fd00::' || printf('%x', h) AS ipv6
             FROM range(10) t(h)
         """,
-        # robots body reconstructed verbatim (sources/corpus.py
-        # robots_sitemap_pages), then regexp-parsed like the engine does
+        # corpus hosts carry Crawl-delay 1+h%3 inside their '*' group (the
+        # group selected for wocbot by '*'-fallback); decoy hosts' delays are
+        # predicted from RFC 9309 group-scoping semantics, NOT re-parsed —
+        # see q_crawl_robots_delay for the body each constant falsifies
         "crawl_robots_delay": """
             SELECT 'host' || h || '.example' AS host,
-                   CAST(regexp_extract(
-                       'User-agent: *' || chr(10) || 'Disallow: /private' || h
-                       || chr(10) || 'Crawl-delay: ' || (1 + h % 3) || chr(10)
-                       || 'Sitemap: http://host' || h || '.example/sitemap0.txt' || chr(10),
-                       'Crawl-delay:\\s*(\\d+)', 1) AS INT) AS crawl_delay
+                   CAST(1 + h % 3 AS INT) AS crawl_delay
             FROM range(10) t(h)
+            UNION ALL
+            SELECT * FROM (VALUES
+                ('decoy1.example', 7),   -- otherbot decoy group ignored
+                ('decoy2.example', 1),   -- groupless delay ignored -> default
+                ('decoy3.example', 3),   -- specific wocbot group beats '*'
+                ('decoy4.example', 5),   -- delay from the second '*' group
+                ('decoy5.example', 1),   -- specific group w/o delay suppresses '*'
+                ('decoy7.example', 11)   -- min(text) twin-body pick
+            ) v(host, crawl_delay)
         """,
         "crawl_disallow_filter": """
             WITH u AS (

@@ -135,3 +135,56 @@ def test_other_host_rules_do_not_apply(spark):
     )
     out = robots_decision(frontier, parse_robots_rules(robots)).collect()
     assert out[0].allowed is True
+
+
+class TestCrawlDelayGroupScoping:
+    """Round-4 contract: Crawl-delay binds to the RFC 9309 selected group
+    (specific-if-any-else-'*'), first delay line in file order wins, default
+    when the selected groups carry none. Engine and pyoracle must agree."""
+
+    BODIES = {
+        "decoy1.example": (
+            "User-agent: otherbot\nCrawl-delay: 99\nUser-agent: *\nCrawl-delay: 7\n", 7),
+        "decoy2.example": ("Crawl-delay: 50\nUser-agent: *\nDisallow: /x\n", 1),
+        "decoy3.example": (
+            "User-agent: wocbot\nCrawl-delay: 3\nUser-agent: *\nCrawl-delay: 99\n", 3),
+        "decoy4.example": (
+            "User-agent: *\nDisallow: /a\nUser-agent: otherbot\nCrawl-delay: 99\n"
+            "User-agent: *\nCrawl-delay: 5\n", 5),
+        "decoy5.example": (
+            "User-agent: wocbot\nUser-agent: helper\nDisallow: /b\n"
+            "User-agent: *\nCrawl-delay: 42\n", 1),
+    }
+
+    def test_engine_scoping(self, spark):
+        from webcrawler_woc_spark.operators.politeness import parse_robots_crawl_delay
+
+        pages = spark.createDataFrame(
+            [(f"http://{h}/robots.txt", body) for h, (body, _) in self.BODIES.items()],
+            "url string, text string",
+        )
+        got = {r.host: r.crawl_delay
+               for r in parse_robots_crawl_delay(pages, user_agent="wocbot").collect()}
+        assert got == {h: exp for h, (_, exp) in self.BODIES.items()}
+
+    def test_pyoracle_twin_agrees(self):
+        from webcrawler_woc_spark.oracle.pyoracle import _crawl_delays
+
+        pages = {f"http://{h}/robots.txt": body.encode()
+                 for h, (body, _) in self.BODIES.items()}
+        assert _crawl_delays(pages, user_agent="wocbot") == {
+            h: exp for h, (_, exp) in self.BODIES.items()
+        }
+
+    def test_twin_bodies_reduce_to_min_text(self, spark):
+        from webcrawler_woc_spark.operators.politeness import parse_robots_crawl_delay
+        from webcrawler_woc_spark.oracle.pyoracle import _crawl_delays
+
+        rows = [
+            ("http://twin.example/robots.txt", "User-agent: *\nCrawl-delay: 9\n"),
+            ("https://twin.example/robots.txt", "User-agent: *\nCrawl-delay: 11\n"),
+        ]
+        pages = spark.createDataFrame(rows, "url string, text string")
+        got = parse_robots_crawl_delay(pages).collect()
+        assert [(r.host, r.crawl_delay) for r in got] == [("twin.example", 11)]
+        assert _crawl_delays({u: b.encode() for u, b in rows}) == {"twin.example": 11}

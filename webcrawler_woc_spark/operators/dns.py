@@ -15,9 +15,13 @@ exactly the anti-pattern this operator exists to avoid at scale.
 
 Failure contract mirrors the reference (links.rs:318-320: lookup errors =>
 no enrichment): any resolver error or timeout yields NULL columns, never a
-task failure. A future-with-deadline guards each lookup because
-``getaddrinfo`` has no timeout parameter of its own — a hung resolver must
-not wedge an executor core forever.
+task failure. ``getaddrinfo`` has no timeout parameter of its own, so the
+pool collects results against ONE batch-wide deadline and then abandons the
+pool without joining (``shutdown(wait=False, cancel_futures=True)``): hung
+lookups yield NULL rows immediately and the stuck thread is leaked to die
+with the python worker, rather than blocking the task. Per-host timeouts
+therefore never compound — the batch is bounded by timeout_s per wave of
+``max_workers`` concurrent lookups, not ``len(batch) * timeout_s``.
 """
 
 from __future__ import annotations
@@ -53,20 +57,39 @@ def resolve_hosts(
     function distincts defensively — resolution must be once-per-host)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from concurrent.futures import ThreadPoolExecutor, TimeoutError
+        import math
+        import time
+        from concurrent.futures import ThreadPoolExecutor, wait
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out = []
-            with ThreadPoolExecutor(max_workers=min(max_workers, len(pdf))) as pool:
-                futs = [(h, pool.submit(_resolve_one, h)) for h in pdf["host"]]
-                for h, fut in futs:
+            batch = list(pdf["host"])
+            workers = min(max_workers, len(batch))
+            pool = ThreadPoolExecutor(max_workers=workers)
+            futs = {pool.submit(_resolve_one, h): h for h in batch}
+            # One deadline for the whole batch: timeout_s per wave of
+            # ``workers`` concurrent lookups (not per host — sequential
+            # fut.result(timeout) calls would compound to len*timeout).
+            deadline = time.monotonic() + timeout_s * max(
+                1, math.ceil(len(batch) / workers)
+            )
+            results: dict[str, tuple[str | None, str | None]] = {}
+            pending = set(futs)
+            while pending:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                done, pending = wait(pending, timeout=remaining)
+                for fut in done:
                     try:
-                        ipv4, ipv6 = fut.result(timeout=timeout_s)
-                    except TimeoutError:
-                        ipv4 = ipv6 = None  # hung resolver: NULL, task survives
-                    out.append((h, ipv4, ipv6))
+                        results[futs[fut]] = fut.result()
+                    except Exception:
+                        results[futs[fut]] = (None, None)
+            # Abandon hung lookups: don't join stuck getaddrinfo threads
+            # (they leak and die with the worker); unstarted futures cancel.
+            pool.shutdown(wait=False, cancel_futures=True)
+            out = [(h, *results.get(h, (None, None))) for h in batch]
             yield pd.DataFrame(out, columns=["host", "ipv4", "ipv6"])
 
     return (

@@ -28,33 +28,50 @@ from pyspark.sql import functions as F
 DEFAULT_CRAWL_DELAY = 1
 
 
-def parse_robots_crawl_delay(pages: DataFrame) -> DataFrame:
-    """robots cache: (host, crawl_delay) from corpus /robots.txt rows.
-
-    Pure Catalyst: filter on url suffix + regexp over the text body. The
-    result is tiny (one row per host) and broadcast into the scheduler.
-
-    CONTRACT: the first ``Crawl-delay`` line of the FILE wins, regardless of
-    User-agent grouping — Crawl-delay is a non-RFC extension (RFC 9309
-    defines group scoping only for Allow/Disallow, which parse_robots_rules
-    implements); engines disagree on its group semantics, so the whole-file
-    rule is pinned here and mirrored by both oracles (pyoracle.py:53,
-    crawl_robots_delay SQL).
-    """
+def _robots_frame(pages: DataFrame) -> DataFrame:
+    """(host, text) robots bodies from the corpus /robots.txt rows."""
     return (
         pages.filter(F.col("url").endswith("/robots.txt"))
         .select(
             F.regexp_extract(F.col("url"), r"^https?://([^/]+)/robots\.txt$", 1).alias("host"),
-            F.regexp_extract(F.col("text"), r"(?m)^Crawl-delay:\s*(\d+)", 1).alias("delay_s"),
+            F.col("text"),
         )
-        .withColumn(
-            "crawl_delay",
-            F.when(F.col("delay_s") == "", F.lit(DEFAULT_CRAWL_DELAY)).otherwise(
-                F.col("delay_s").cast("int")
-            ),
-        )
-        .drop("delay_s")
         .filter(F.col("host") != "")
+    )
+
+
+def parse_robots_crawl_delay(pages: DataFrame, user_agent: str = "*") -> DataFrame:
+    """robots cache: (host, crawl_delay) from corpus /robots.txt rows. The
+    result is tiny (one row per host with a robots body) and broadcast into
+    the scheduler.
+
+    CONTRACT (group-scoped since round 4): Crawl-delay binds to the RFC 9309
+    group selected for our agent — groups naming ``user_agent`` when any
+    exist, else the ``*`` groups (§2.2.1 specificity, same walk as
+    parse_robots_rules). Among the selected groups the FIRST Crawl-delay
+    line in file order wins (min(idx) — order-independent under shuffle).
+    Groupless lines, other agents' groups, and hosts whose selected groups
+    carry no Crawl-delay all fall back to DEFAULT_CRAWL_DELAY. Crawl-delay
+    is a non-RFC extension and engines disagree on its scoping; the
+    dominant group-scoped interpretation is pinned here and mirrored by
+    both oracles (pyoracle._crawl_delays, crawl_robots_delay SQL)."""
+    robots = _robots_frame(pages)
+    tagged = _tag_robots_lines(robots)
+    groups = _matching_groups(tagged, user_agent)
+    delays = (
+        tagged.filter(F.col("rule_type") == "delay")
+        .join(F.broadcast(groups), ["host", "group_id"], "left_semi")
+        .groupBy("host")
+        .agg(F.min(F.struct("idx", "delay_s")).alias("w"))
+        .select("host", F.col("w.delay_s").alias("crawl_delay"))
+    )
+    return (
+        robots.select("host")
+        .distinct()
+        .join(F.broadcast(delays), "host", "left")
+        .withColumn(
+            "crawl_delay", F.coalesce(F.col("crawl_delay"), F.lit(DEFAULT_CRAWL_DELAY))
+        )
     )
 
 
@@ -66,16 +83,8 @@ def parse_robots_disallow(pages: DataFrame, user_agent: str = "*") -> DataFrame:
     groupless rules never gate our frontier). Result is tiny and broadcast
     into the frontier filter; the Python oracle twin implements the same
     group walk (pyoracle._robots_groups)."""
-    robots = (
-        pages.filter(F.col("url").endswith("/robots.txt"))
-        .select(
-            F.regexp_extract(F.col("url"), r"^https?://([^/]+)/robots\.txt$", 1).alias("host"),
-            F.col("text"),
-        )
-        .filter(F.col("host") != "")
-    )
     return (
-        parse_robots_rules(robots, user_agent=user_agent)
+        parse_robots_rules(_robots_frame(pages), user_agent=user_agent)
         .filter(F.col("rule_type") == "disallow")
         .select("host", "prefix")
     )
@@ -105,12 +114,38 @@ def parse_robots_rules(robots: DataFrame, user_agent: str = "*") -> DataFrame:
     Shape: one posexplode + one per-host window (robots bodies are KB-sized
     and the robots frame is per-host tiny — this entire parse runs on the
     broadcast side of the decision join)."""
+    tagged = _tag_robots_lines(robots)
+    matching_groups = _matching_groups(tagged, user_agent)
+    return (
+        tagged.filter(F.col("rule_type").isin("allow", "disallow") & (F.col("host") != ""))
+        # matching_groups is bounded by (#hosts x #groups-per-file) — always
+        # broadcastable; without the hint the unknown-size agg can plan SMJ
+        .join(F.broadcast(matching_groups), ["host", "group_id"], "left_semi")
+        .select("host", "rule_type", "prefix")
+        .distinct()
+    )
+
+
+def _tag_robots_lines(robots: DataFrame) -> DataFrame:
+    """Shared robots line tagger: (host, idx, ua, rule_type, prefix, delay_s,
+    group_id) rows from (host, text) bodies. rule_type is 'allow' /
+    'disallow' / 'delay' / NULL; group_id numbers the RFC 9309 groups per
+    host (cumulative count of group-starting User-agent lines, so rules
+    before any UA line get group_id 0 — no group ever matches it).
+
+    Determinism guard: a host can contribute several robots bodies (http +
+    https twins, duplicate corpus rows) whose exploded lines would interleave
+    with nondeterministic idx tie order. At most one body may bind per host,
+    chosen as min(text) — deterministic under any row order, and a no-op for
+    the common exact-duplicate case."""
+    robots = robots.groupBy("host").agg(F.min("text").alias("text"))
     lines = robots.select(
         "host", F.posexplode(F.split(F.col("text"), "\n")).alias("idx", "line")
     )
     ua_val = F.regexp_extract(F.col("line"), r"^User-agent:[ \t]*(\S+)", 1)
     allow_p = F.regexp_extract(F.col("line"), r"^Allow:[ \t]*(\S+)", 1)
     dis_p = F.regexp_extract(F.col("line"), r"^Disallow:[ \t]*(\S+)", 1)
+    delay_v = F.regexp_extract(F.col("line"), r"^Crawl-delay:[ \t]*(\d+)", 1)
     wcum = (
         Window.partitionBy("host")
         .orderBy("idx")
@@ -118,34 +153,35 @@ def parse_robots_rules(robots: DataFrame, user_agent: str = "*") -> DataFrame:
     )
     is_ua = ua_val != ""
     prev_is_ua = F.lag(is_ua, 1, False).over(Window.partitionBy("host").orderBy("idx"))
-    tagged = lines.select(
+    return lines.select(
         "host",
+        "idx",
         ua_val.alias("ua"),
         F.when(allow_p != "", F.lit("allow"))
         .when(dis_p != "", F.lit("disallow"))
+        .when(delay_v != "", F.lit("delay"))
         .alias("rule_type"),
         F.when(allow_p != "", allow_p).otherwise(dis_p).alias("prefix"),
+        F.when(delay_v != "", delay_v.cast("int")).alias("delay_s"),
         F.sum((is_ua & ~prev_is_ua).cast("int")).over(wcum).alias("group_id"),
     )
+
+
+def _matching_groups(tagged: DataFrame, user_agent: str) -> DataFrame:
+    """(host, group_id) of the groups that bind to ``user_agent`` under RFC
+    9309 §2.2.1 specificity: a host with ANY group naming our agent drops its
+    '*' groups (most specific wins, no union); '*' is the fallback only."""
     is_specific = F.lower(F.col("ua")) == user_agent.lower()
     candidates = tagged.filter(is_specific | (F.col("ua") == "*")).select(
         "host", "group_id", is_specific.alias("specific")
     )
-    # per-host specificity fallback: a host with ANY specific group drops its
-    # '*' groups (RFC 9309 §2.2.1 — the most specific match wins, no union)
     host_any = Window.partitionBy("host")
-    matching_groups = (
-        candidates.withColumn("_has_specific", F.max(F.col("specific").cast("int")).over(host_any))
+    return (
+        candidates.withColumn(
+            "_has_specific", F.max(F.col("specific").cast("int")).over(host_any)
+        )
         .filter(F.col("specific") | (F.col("_has_specific") == 0))
         .select("host", "group_id")
-        .distinct()
-    )
-    return (
-        tagged.filter(F.col("rule_type").isNotNull() & (F.col("host") != ""))
-        # matching_groups is bounded by (#hosts x #groups-per-file) — always
-        # broadcastable; without the hint the unknown-size agg can plan SMJ
-        .join(F.broadcast(matching_groups), ["host", "group_id"], "left_semi")
-        .select("host", "rule_type", "prefix")
         .distinct()
     )
 

@@ -45,26 +45,55 @@ def _should_crawl(host, whitelist, blacklist) -> bool:
     return False
 
 
-def _crawl_delays(pages: dict[str, bytes]) -> dict[str, int]:
-    delays: dict[str, int] = {}
+def _robots_bodies(pages: dict[str, bytes]) -> dict[str, str]:
+    """host -> robots body; when a host contributes several bodies (http +
+    https twins, duplicate rows) pick min(text) — the same deterministic
+    one-body-per-host reduce as politeness._tag_robots_lines."""
+    bodies: dict[str, str] = {}
     for url, body in pages.items():
         if url.endswith("/robots.txt"):
             host = host_of(url)
-            m = re.search(r"(?m)^Crawl-delay:\s*(\d+)", body.decode("utf-8", "replace"))
             if host:
-                delays[host] = int(m.group(1)) if m else DEFAULT_CRAWL_DELAY
+                text = body.decode("utf-8", "replace")
+                if host not in bodies or text < bodies[host]:
+                    bodies[host] = text
+    return bodies
+
+
+def _crawl_delays(pages: dict[str, bytes], user_agent: str = "*") -> dict[str, int]:
+    """Group-scoped Crawl-delay, the twin of politeness.parse_robots_crawl_delay:
+    first Crawl-delay line (file order) among the groups selected for our
+    agent (specific-if-any-else-'*'); DEFAULT_CRAWL_DELAY when none."""
+    delays: dict[str, int] = {}
+    for host, text in _robots_bodies(pages).items():
+        groups = _robots_groups(text)
+        specific = [
+            g for g in groups if any(a.lower() == user_agent.lower() for a in g[0])
+        ]
+        chosen = specific if specific else [g for g in groups if "*" in g[0]]
+        delay = DEFAULT_CRAWL_DELAY
+        for _agents, grules in chosen:
+            found = next(
+                (int(v) for t, v in grules if t == "crawl-delay" and v.isdigit()), None
+            )
+            if found is not None:
+                delay = found
+                break
+        delays[host] = delay
     return delays
 
 
 def _robots_groups(text: str) -> list[tuple[set[str], list[tuple[str, str]]]]:
     """RFC 9309 group walk, the Python twin of politeness.parse_robots_rules:
     a group starts at a User-agent line whose PREDECESSOR LINE is not a
-    User-agent line (consecutive UA lines share the group); Allow/Disallow
-    lines bind to the current group; rules before any UA line bind to none.
-    [ \\t] not \\s: a bare "Disallow:" line (allow-all) must not let the
-    match cross the newline and steal the next line's token.
+    User-agent line (consecutive UA lines share the group); Allow/Disallow/
+    Crawl-delay lines bind to the current group; rules before any UA line
+    bind to none. [ \\t] not \\s: a bare "Disallow:" line (allow-all) must
+    not let the match cross the newline and steal the next line's token.
+    Crawl-delay captures leading digits only ((\\d+), like the engine's
+    regexp_extract) so a malformed "5x" value still yields 5 on both sides.
 
-    Returns [(agents, [(rule_type, prefix), ...]), ...]."""
+    Returns [(agents, [(rule_type, prefix_or_value), ...]), ...]."""
     groups: list[tuple[set[str], list[tuple[str, str]]]] = []
     agents: set[str] = set()
     rules: list[tuple[str, str]] = []
@@ -85,6 +114,10 @@ def _robots_groups(text: str) -> list[tuple[set[str], list[tuple[str, str]]]]:
         m_r = re.match(r"^(Allow|Disallow):[ \t]*(\S+)", line)
         if m_r and started:
             rules.append((m_r.group(1).lower(), m_r.group(2)))
+            continue
+        m_d = re.match(r"^Crawl-delay:[ \t]*(\d+)", line)
+        if m_d and started:
+            rules.append(("crawl-delay", m_d.group(1)))
     if started:
         groups.append((agents, rules))
     return groups

@@ -94,8 +94,13 @@ def run_wave(
     if cfg.fetch_mode == "http":
         # real HTTP fetch (operators/httpfetch.py): one mapInPandas pool per
         # host partition, same output contract as fetch_join, so the rest of
-        # the wave is mode-agnostic. Cached: the fetch kernel must run ONCE
-        # (children.count below materializes it before any other consumer).
+        # the wave is mode-agnostic. localCheckpoint (NOT cache): the live
+        # fetch is non-deterministic, so its output must be PINNED — cache
+        # eviction / task retry would re-issue real GETs and let the two
+        # consumers (slim metadata path, gated extraction path) observe
+        # different responses, breaking wave determinism and politeness.
+        # Lineage truncation makes recompute impossible by construction.
+        # eager=False: the first action below materializes it exactly once.
         from ..operators.httpfetch import http_fetch_join
 
         matched = http_fetch_join(
@@ -103,7 +108,7 @@ def run_wave(
             timeout_ms=cfg.timeout_ms,
             max_per_host=cfg.http_max_per_host,
             http_base=cfg.http_base,
-        ).cache()
+        ).localCheckpoint(eager=False)
         fetched = matched
     else:
         matched = fetch_matched(scheduled, pages, frontier_rows=frontier_rows).cache()
