@@ -668,6 +668,29 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_dups(_docs(spark, sf_dir), k=8)
 
 
+# token pair with colliding 31-bit-mixed token hashes (both 165141136, found
+# by birthday search over _np_token_hash31) — 8 repeats of each make two
+# DIFFERENT 8-token windows with the SAME window hash
+_COLLIDE_A = " ".join(["xjojar"] * 8)
+_COLLIDE_B = " ".join(["bibfvj"] * 8)
+
+
+def q_dedup_substrings_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-verified exact-substring dedup (the Lee et al. production
+    verify step): the hash report joined back to the corpus and regrouped by
+    ACTUAL window text, so hash collisions cannot merge distinct spans. Two
+    injected docs whose different windows share one window hash (a real
+    31-bit collision pair) make the hash-level report emit a false group —
+    this query must NOT contain it, which the text-level oracle proves."""
+    from webcrawler_woc_spark.operators.dedup import verify_substring_dups
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    collide = spark.createDataFrame(
+        [(-1, _COLLIDE_A), (-2, _COLLIDE_B)], "doc_id long, text string"
+    )
+    return verify_substring_dups(docs.unionByName(collide), k=8)
+
+
 def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/Dolma document-quality gate: word-count bounds, mean word
     length, symbol ratio, bullet/ellipsis line ratios, composite pass flag —
@@ -1417,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_grouping_sets": q_rel_grouping_sets,
         # --- changed or added in round 4 ---
         "crawl_robots_delay": q_crawl_robots_delay,
+        "dedup_substrings_verified": q_dedup_substrings_verified,
         # --- representative long-stable basics (also e2e-pinned) ---
         "crawl_bfs_depth3_seen": q_crawl_bfs_depth3_seen,
         "crawl_wave1_frontier": q_crawl_wave1_frontier,
@@ -2032,6 +2056,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS INT) AS n_occurrences,
                    CAST(min(doc_id) AS BIGINT) AS first_doc
             FROM w GROUP BY whash
+            HAVING count(DISTINCT doc_id) >= 2
+        """,
+        # text-level grouping: equal text => equal hash, so grouping ALL
+        # windows by (whash, wtext) equals the engine's semi-join-pruned
+        # verify pass; the injected collision docs' two windows share a hash
+        # but not text, so neither survives the >=2-distinct-docs gate
+        "dedup_substrings_verified": f"""
+            WITH d AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT * FROM (VALUES
+                    (CAST(-1 AS BIGINT), '{_COLLIDE_A}'),
+                    (CAST(-2 AS BIGINT), '{_COLLIDE_B}')) v(doc_id, text)
+            ),
+            th AS (
+                SELECT doc_id,
+                       {TOKENS_SQL} AS toks,
+                       list_transform({TOKENS_SQL}, tok ->
+                           (({_POLY31.format(col="tok", mult=31)} % 2147483647)
+                            * ({_POLY31.format(col="tok", mult=31)} % 2147483647))
+                           % 2147483647) AS hs
+                FROM d
+            ),
+            w AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(hs) >= 8
+                           THEN list_transform(range(1, len(hs) - 8 + 2), i ->
+                                list_reduce(
+                                    list_prepend(CAST(0 AS BIGINT), list_slice(hs, i, i + 7)),
+                                    (a, x) -> (a * 31 + x) % 999999999999989))
+                           ELSE CAST([] AS BIGINT[]) END) AS whash,
+                       unnest(CASE WHEN len(toks) >= 8
+                           THEN list_transform(range(1, len(toks) - 8 + 2), i ->
+                                array_to_string(list_slice(toks, i, i + 7), ' '))
+                           ELSE CAST([] AS VARCHAR[]) END) AS wtext
+                FROM th
+            )
+            SELECT whash, wtext,
+                   CAST(count(DISTINCT doc_id) AS INT) AS n_docs,
+                   CAST(count(*) AS INT) AS n_occurrences,
+                   CAST(min(doc_id) AS BIGINT) AS first_doc
+            FROM w GROUP BY whash, wtext
             HAVING count(DISTINCT doc_id) >= 2
         """,
         "text_gopher_rules": f"""

@@ -80,3 +80,53 @@ def test_short_docs_produce_no_windows(spark):
     )
     # both docs < 8 tokens: no windows at all, even though texts are equal
     assert exact_substring_dups(df, k=8).count() == 0
+
+
+class TestVerifySubstringDups:
+    """Content-verify stage (verify_substring_dups): hash collisions must
+    not survive, true text duplicates must, with the same counts as the
+    hash report."""
+
+    # real 31-bit collision pair: both token hashes == 165141136
+    A = " ".join(["xjojar"] * 8)
+    B = " ".join(["bibfvj"] * 8)
+
+    def test_collision_pair_really_collides(self):
+        import numpy as np
+
+        from webcrawler_woc_spark.operators.dedup import _np_token_hash31
+
+        hs = _np_token_hash31(np.array(["xjojar", "bibfvj"], dtype=object))
+        assert hs[0] == hs[1] == 165141136
+
+    def test_collision_reported_by_hash_but_killed_by_verify(self, spark):
+        from webcrawler_woc_spark.operators.dedup import (
+            exact_substring_dups,
+            verify_substring_dups,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, self.A), (2, self.B)], "doc_id bigint, text string"
+        )
+        hash_report = exact_substring_dups(docs, k=8).collect()
+        assert len(hash_report) == 1  # the false positive the hash pass makes
+        assert hash_report[0].n_docs == 2
+        assert verify_substring_dups(docs, k=8).count() == 0  # verify kills it
+
+    def test_true_duplicates_survive_with_counts(self, spark):
+        from webcrawler_woc_spark.operators.dedup import verify_substring_dups
+
+        shared = "one two three four five six seven eight"
+        docs = spark.createDataFrame(
+            [
+                (1, f"intro {shared} tail"),
+                (2, f"{shared} other end"),
+                (3, self.A),
+                (4, self.B),  # collision pair mixed in: must not appear
+            ],
+            "doc_id bigint, text string",
+        )
+        out = verify_substring_dups(docs, k=8).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.wtext, r.n_docs, r.n_occurrences, r.first_doc) == (shared, 2, 2, 1)

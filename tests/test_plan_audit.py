@@ -29,6 +29,9 @@ SMJ_OK = {
     "ann_ivf_topk",  # probes ⋈ inverted-file: the file is corpus-sized
     "cluster_kmeans",  # assignment ⋈ vectors per iteration: both corpus-sized
     "dedup_semantic",  # within-cluster self-join: both sides cluster-partitioned
+    # semi-join on whash (report side is an unbounded aggregate) + span
+    # positions ⋈ documents on doc_id: both sides corpus-scale, SMJ correct
+    "dedup_substrings_verified",
 }
 # BNLJ allowlist: the exact cosine baseline broadcasts the tiny query set
 # into a crossJoin by design; IVF broadcasts the tiny centroid table into

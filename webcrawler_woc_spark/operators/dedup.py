@@ -122,9 +122,29 @@ def exact_substring_dups(documents: DataFrame, k: int = 8) -> DataFrame:
     repo's slowest kernel at 10× gate scale (~45 s vs ~1 s for this one);
     the explode + partial-agg'd groupBy on the 8-byte hash is unchanged and
     remains the shuffle cost driver at 100 TB. Hash collisions can merge
-    distinct windows — the production pipeline verifies spans by content
-    before cutting; at the gate the hash IS the contract (both engines
-    compute the identical fold)."""
+    distinct windows — ``verify_substring_dups`` is the composable
+    content-verify stage that joins reported groups back to the corpus and
+    compares the actual window text; at this gate the hash IS the contract
+    (both engines compute the identical fold)."""
+    w = documents.select(
+        "doc_id", F.explode(_window_hash_udf(k)(F.col("text"))).alias("whash")
+    )
+    return (
+        w.groupBy("whash")
+        .agg(
+            F.countDistinct("doc_id").cast("int").alias("n_docs"),
+            F.count("*").cast("int").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _window_hash_udf(k: int):
+    """The Arrow-batched k-token window-hash kernel shared by
+    exact_substring_dups (hash report) and verify_substring_dups (content
+    verify): text -> [whash per window position], position order preserved
+    so posexplode yields (pos, whash)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
@@ -159,11 +179,46 @@ def exact_substring_dups(documents: DataFrame, k: int = 8) -> DataFrame:
                 out.append(w[offsets[d] : offsets[d] + nw].tolist())
         return pd.Series(out)
 
-    w = documents.select(
-        "doc_id", F.explode(window_hashes(F.col("text"))).alias("whash")
+    return window_hashes
+
+
+def verify_substring_dups(
+    documents: DataFrame, dups: DataFrame | None = None, k: int = 8
+) -> DataFrame:
+    """Content-verify stage for exact_substring_dups: re-derive the k-token
+    windows of the REPORTED hash groups and regroup them by the actual
+    window text, so 31-bit-mixed hash collisions can never merge distinct
+    spans (a colliding whash splits into one row per distinct text, and
+    splinters with < 2 distinct docs drop out).
+
+    Output (whash, wtext, n_docs, n_occurrences, first_doc) — the verified
+    twin of the hash report: equal text implies equal hash, so the verified
+    rows are exactly the true duplicated spans, independent of collisions.
+
+    Plan shape (the Lee et al. production step): one left-semi join of the
+    exploded (doc_id, pos, whash) stream against the (small, aggregate)
+    report keyed on whash prunes the corpus to reported spans only; the
+    surviving positions join back to the documents table on doc_id (one
+    hash shuffle co-partitioned with the corpus) and slice the window text
+    JVM-side (split + slice + concat_ws, no second Python pass). Window
+    text is materialized ONLY for reported spans — never for the full
+    explode. Tokenization parity: Catalyst ``split(text, '\\s+')`` with
+    empties filtered matches the kernel's python ``str.split()`` for ASCII
+    whitespace (the corpus contract; non-ASCII unicode spaces would differ).
+    """
+    if dups is None:
+        dups = exact_substring_dups(documents, k=k)
+    positions = documents.select(
+        "doc_id", F.posexplode(_window_hash_udf(k)(F.col("text"))).alias("pos", "whash")
+    ).join(dups.select("whash"), "whash", "left_semi")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    spans = positions.join(documents.select("doc_id", toks.alias("toks")), "doc_id").select(
+        "whash",
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos") + 1, F.lit(k))).alias("wtext"),
     )
     return (
-        w.groupBy("whash")
+        spans.groupBy("whash", "wtext")
         .agg(
             F.countDistinct("doc_id").cast("int").alias("n_docs"),
             F.count("*").cast("int").alias("n_occurrences"),
