@@ -133,6 +133,8 @@ def main():
         "crawl_extracted_text",
         "dedup_exact",
         "dedup_simhash",
+        "dedup_substrings",
+        "cluster_kmeans",
         "text_token_counts",
         "text_fingerprint",
         "ann_cosine_topk",

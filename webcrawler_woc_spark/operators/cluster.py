@@ -121,9 +121,14 @@ def kmeans_int(
     deterministic. An empty cluster keeps its previous centroid (no
     reseeding — reseeding rules are engine lore, not arithmetic).
     """
+    # cache the scaled corpus: every assign() and every update join reads
+    # it, so without this the parquet scan + _int_vec transform re-runs
+    # ~2x iterations + 1 times (MEMORY_AND_DISK — spills at scale). The
+    # final assignment is checkpointed below so the cache can be released
+    # before returning.
     e = embeddings.select(
         "vec_id", _int_vec(F.col("embedding"), scale).alias("v")
-    )
+    ).cache()
     cents = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
     )
@@ -170,4 +175,8 @@ def kmeans_int(
             )
             .localCheckpoint()  # truncate per-iteration lineage (see graph.py)
         )
-    return assign(cents)
+    # materialize the final re-score once, then release the corpus cache —
+    # callers get a pinned assignment with no dangling persisted input
+    result = assign(cents).localCheckpoint()
+    e.unpersist()
+    return result
