@@ -243,3 +243,66 @@ class TestHttpCrawlParity:
         assert j[1] == h[1]  # crawl order
         assert j[0] == h[0]  # links_out rows (metadata incl. content_type/DNS)
         assert j[2] == h[2]  # byte-identical extracted text
+
+
+class TestPerHostCapAcrossBatches:
+    """Partition-scoped semaphores: the per-host concurrency cap must hold
+    across Arrow batch boundaries, not just within one batch (kernel driven
+    directly — no Spark)."""
+
+    def test_cap_holds_across_batches(self):
+        import pandas as pd
+
+        from webcrawler_woc_spark.operators.httpfetch import _make_fetch_batches
+
+        cap = 2
+        lock = threading.Lock()
+        active: dict[str, int] = {}
+        peak: dict[str, int] = {}
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802
+                host = self.path.split("/")[1]
+                with lock:
+                    active[host] = active.get(host, 0) + 1
+                    peak[host] = max(peak.get(host, 0), active[host])
+                import time as _t
+
+                _t.sleep(0.05)  # hold the slot so overlaps are observable
+                with lock:
+                    active[host] -= 1
+                body = b"ok"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            base = f"http://127.0.0.1:{server.server_address[1]}"
+            kernel = _make_fetch_batches(timeout_s=10.0, cap=cap, http_base=base)
+
+            def batch(lo, hi):
+                return pd.DataFrame(
+                    {
+                        "url": [f"http://hot.example/p{i}" for i in range(lo, hi)],
+                        "url_hash": list(range(lo, hi)),
+                        "host": ["hot.example"] * (hi - lo),
+                        "priority": [1.0] * (hi - lo),
+                    }
+                )
+
+            out = list(kernel(iter([batch(0, 8), batch(8, 16)])))
+            assert [len(o) for o in out] == [8, 8]
+            assert all(o["fetched"].all() for o in out)
+            assert peak.get("hot.example", 0) <= cap
+            assert peak.get("hot.example", 0) == cap  # pool really overlapped
+        finally:
+            server.shutdown()
+            server.server_close()

@@ -60,26 +60,9 @@ def _rewrite(url: str, host: str, http_base: str | None) -> str:
     return http_base.rstrip("/") + "/" + host + (path or "/")
 
 
-def http_fetch_join(
-    frontier: DataFrame,
-    timeout_ms: int | None = None,
-    max_per_host: int = 4,
-    http_base: str | None = None,
-) -> DataFrame:
-    """Fetch every frontier row (url, url_hash, host, priority) over HTTP.
-
-    Returns the ``fetch_join`` contract columns: url, url_hash, host,
-    priority, fetched, content_type, headers, ipv4, ipv6, html, page_text
-    (page_text is NULL — a real fetch has no golden text; extraction derives
-    text from the body downstream, same as the gated simulation path).
-    """
-    from .fetch import synth_ipv4, synth_ipv6
-
-    # timeout_ms=None means the reference's timeout gate is DISABLED (join-
-    # mode parity: --timeout 0); a socket can't block forever though, so None
-    # maps to a 300 s transport safety cap, not the 10 s reference default
-    timeout_s = (timeout_ms if timeout_ms is not None else 300_000) / 1000.0
-    cap = max(1, max_per_host)
+def _make_fetch_batches(timeout_s: float, cap: int, http_base: str | None):
+    """Build the mapInPandas fetch kernel (module-level so the burst test
+    can drive it with hand-made batches, no Spark required)."""
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import threading
@@ -107,14 +90,20 @@ def http_fetch_join(
                 # failure contract: bare link, no metadata (crawler.rs:209-216)
                 return (False, None, None, None)
 
+        # PARTITION-scoped semaphores: consecutive Arrow batches of one
+        # partition share each host's cap, so batch boundaries can't reset
+        # permits and burst a host back-to-back
+        sems: dict = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            # semaphores pre-built from the batch's host set BEFORE the pool
-            # starts: a defaultdict factory is not atomic under threads, and
-            # two racing first-touches would each get their OWN semaphore,
-            # silently doubling the per-host cap
-            sems = {h: threading.Semaphore(cap) for h in set(pdf["host"])}
+            # this batch's new hosts are added BEFORE the pool starts (the
+            # generator body is single-threaded here): a defaultdict factory
+            # is not atomic under threads, and two racing first-touches would
+            # each get their OWN semaphore, silently doubling the cap
+            for h in set(pdf["host"]):
+                if h not in sems:
+                    sems[h] = threading.Semaphore(cap)
             with ThreadPoolExecutor(max_workers=min(32, len(pdf))) as pool:
                 results = list(
                     pool.map(lambda args: fetch_one(sems, *args), zip(pdf["url"], pdf["host"]))
@@ -131,6 +120,30 @@ def http_fetch_join(
                     "html": [r[3] for r in results],
                 }
             )
+
+    return fetch_batches
+
+
+def http_fetch_join(
+    frontier: DataFrame,
+    timeout_ms: int | None = None,
+    max_per_host: int = 4,
+    http_base: str | None = None,
+) -> DataFrame:
+    """Fetch every frontier row (url, url_hash, host, priority) over HTTP.
+
+    Returns the ``fetch_join`` contract columns: url, url_hash, host,
+    priority, fetched, content_type, headers, ipv4, ipv6, html, page_text
+    (page_text is NULL — a real fetch has no golden text; extraction derives
+    text from the body downstream, same as the gated simulation path).
+    """
+    from .fetch import synth_ipv4, synth_ipv6
+
+    # timeout_ms=None means the reference's timeout gate is DISABLED (join-
+    # mode parity: --timeout 0); a socket can't block forever though, so None
+    # maps to a 300 s transport safety cap, not the 10 s reference default
+    timeout_s = (timeout_ms if timeout_ms is not None else 300_000) / 1000.0
+    fetch_batches = _make_fetch_batches(timeout_s, max(1, max_per_host), http_base)
 
     raw = frontier.select("url", "url_hash", "host", "priority").repartition(
         F.col("host")

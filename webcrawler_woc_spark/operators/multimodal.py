@@ -53,15 +53,51 @@ def synth_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(blob: bytes, kind: str):
-    """STUB — true decode requires PIL/ffmpeg, absent in this sandbox.
+def _probe_pil():
+    """Import-probe for a real image decoder (PIL). Returns the Image module
+    when present, else None — the operator adapts to its environment instead
+    of being sandbox-shaped (this container has no media libs, so the probe
+    returns None here; the code path is unit-tested behind a skipif)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
 
-    Raises NotImplementedError for real decoding; callers use
-    ``fake_feature`` for the deterministic stand-in."""
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_media(blob: bytes, kind: str):
+    """Decode a media blob. Images decode for real when PIL is importable
+    (returns a loaded ``PIL.Image``); audio/video decode (ffmpeg) and the
+    no-decoder case raise NotImplementedError — callers fall back to
+    ``fake_feature``, the deterministic stand-in."""
+    if kind == "image":
+        image_mod = _probe_pil()
+        if image_mod is not None:
+            import io
+
+            img = image_mod.open(io.BytesIO(blob))
+            img.load()  # force the decode now: errors surface here, not lazily
+            return img
     raise NotImplementedError(
         "media decode requires image/audio libs not present in this environment; "
         "use fake_feature() or plug a decoder into media_features()"
     )
+
+
+def image_feature(blob: bytes, dim: int = 4) -> list[float]:
+    """Real image feature via decode_media: [width, height, n_bands,
+    mean-of-first-band-extrema] — deterministic for a given image, used by
+    media_features(use_real_decode=True) for image rows when PIL exists."""
+    img = decode_media(blob, "image")
+    extrema = img.getextrema()
+    first = extrema[0] if isinstance(extrema[0], tuple) else extrema
+    return [
+        float(img.width),
+        float(img.height),
+        float(len(img.getbands())),
+        float((first[0] + first[1]) / 2.0),
+    ][:dim]
 
 
 def fake_feature(blob: bytes, dim: int = 4) -> list[float]:
@@ -76,15 +112,28 @@ def fake_feature(blob: bytes, dim: int = 4) -> list[float]:
     ][:dim]
 
 
-def media_features(media_df: DataFrame) -> DataFrame:
+def media_features(media_df: DataFrame, use_real_decode: bool = False) -> DataFrame:
     """mapInPandas feature extraction over (doc_id, media, media_kind).
 
     Batch shape: one pandas DataFrame per Arrow batch; output schema is
-    MEDIA_FEATURES_SCHEMA. Swap ``fake_feature`` for a real decoder without
-    touching the Spark plumbing.
+    MEDIA_FEATURES_SCHEMA. Default features are the deterministic
+    ``fake_feature`` (the oracle contract — environment-independent);
+    ``use_real_decode=True`` opts image rows into ``image_feature`` (real
+    PIL decode on the executors when importable there), falling back to the
+    stub per row when decode is impossible, so a mixed/undecodable corpus
+    still yields a full result.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def feat(blob, kind):
+            b = bytes(blob) if blob is not None else b""
+            if use_real_decode and kind == "image":
+                try:
+                    return image_feature(b)
+                except Exception:
+                    return fake_feature(b)  # no decoder / corrupt bytes
+            return fake_feature(b)
+
         for pdf in batches:
             blobs = pdf["media"]
             yield pd.DataFrame(
@@ -93,7 +142,9 @@ def media_features(media_df: DataFrame) -> DataFrame:
                     "n_bytes": blobs.map(lambda b: len(b) if b is not None else None),
                     "head_byte": blobs.map(lambda b: int(b[0]) if b else None),
                     "media_kind": pdf["media_kind"],
-                    "feature": blobs.map(lambda b: fake_feature(bytes(b) if b is not None else b"")),
+                    "feature": [
+                        feat(b, k) for b, k in zip(blobs, pdf["media_kind"])
+                    ],
                 }
             )
 
