@@ -267,6 +267,42 @@ def q_crawl_disallow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_disallowed(frontier, disallow).select("url")
 
 
+def q_crawl_cuckoo_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuckoo-filter URL-seen prefilter (the second half of the north rule's
+    'bloom/cuckoo URL-seen set', operators/cuckoo.py): the seen set is every
+    corpus page url; candidates mix seen urls (every 3rd doc) with new
+    /new/ urls (every 4th doc). The distributed per-bucket cuckoo build is
+    merged driver-side, broadcast, and probed ahead of the exact anti-join —
+    definitely-new rows bypass the join, maybe-seen rows are exactly
+    confirmed, so the output equals a plain anti-join (the oracle), while
+    deletion support (unlike Bloom) is pinned in tests/test_cuckoo.py."""
+    from webcrawler_woc_spark.operators.cuckoo import (
+        PartitionedCuckoo,
+        build_bucket_tables,
+        cuckoo_prefiltered_anti_join,
+        merge_spark_tables,
+    )
+    from webcrawler_woc_spark.operators.fetch import with_url_hash
+
+    docs = _docs(spark, sf_dir)
+    h = (F.col("doc_id") % 10).cast("string")
+    page_url = F.concat(
+        F.lit("http://host"), h, F.lit(".example/page/"), F.col("doc_id").cast("string")
+    )
+    new_url = F.concat(
+        F.lit("http://host"), h, F.lit(".example/new/"), F.col("doc_id").cast("string")
+    )
+    seen = with_url_hash(docs.select(page_url.alias("url")))
+    cands = with_url_hash(
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(page_url.alias("url"))
+        .unionByName(docs.filter(F.col("doc_id") % 4 == 0).select(new_url.alias("url")))
+    )
+    cuckoo = PartitionedCuckoo(n_buckets=4, m=1 << 13)
+    merge_spark_tables(cuckoo, build_bucket_tables(seen, n_buckets=4, m=1 << 13))
+    return cuckoo_prefiltered_anti_join(spark, cands, seen, cuckoo).select("url")
+
+
 def q_crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The politeness scheduler itself (north-rule core): per-host slots under
     a robots-crawl-delay-derived budget; over-budget URLs deferred. Output is
@@ -1441,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- changed or added in round 4 ---
         "crawl_robots_delay": q_crawl_robots_delay,
         "dedup_substrings_verified": q_dedup_substrings_verified,
+        "crawl_cuckoo_seen": q_crawl_cuckoo_seen,
         # --- representative long-stable basics (also e2e-pinned) ---
         "crawl_bfs_depth3_seen": q_crawl_bfs_depth3_seen,
         "crawl_wave1_frontier": q_crawl_wave1_frontier,
@@ -1610,6 +1647,24 @@ def oracle_sql() -> dict[str, str]:
                 ('decoy5.example', 1),   -- specific group w/o delay suppresses '*'
                 ('decoy7.example', 11)   -- min(text) twin-body pick
             ) v(host, crawl_delay)
+        """,
+        # the cuckoo prefilter is exact by construction (no false negatives;
+        # maybe-seen rows are join-confirmed), so the oracle is the plain
+        # anti-join the operator must equal
+        "crawl_cuckoo_seen": """
+            WITH seen AS (
+                SELECT 'http://host' || (doc_id % 10) || '.example/page/' || doc_id AS url
+                FROM documents
+            ),
+            cand AS (
+                SELECT 'http://host' || (doc_id % 10) || '.example/page/' || doc_id AS url
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT 'http://host' || (doc_id % 10) || '.example/new/' || doc_id AS url
+                FROM documents WHERE doc_id % 4 = 0
+            )
+            SELECT url FROM cand
+            WHERE url NOT IN (SELECT url FROM seen)
         """,
         "crawl_disallow_filter": """
             WITH u AS (

@@ -1,0 +1,121 @@
+"""Partitioned cuckoo-filter seen-set (operators/cuckoo.py): no false
+negatives ever (including under saturation/stash overflow), deletion works,
+layout is deterministic, the distributed build merges losslessly, and the
+prefiltered anti-join is exactly the plain anti-join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawler_woc_spark.operators.cuckoo import (
+    CuckooTable,
+    PartitionedCuckoo,
+    build_bucket_tables,
+    cuckoo_prefiltered_anti_join,
+    merge_spark_tables,
+)
+
+
+def _hashes(seed: int, n: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(-(2**62), 2**62, size=n, dtype=np.int64)
+
+
+class TestCuckooTable:
+    def test_no_false_negatives(self):
+        t = CuckooTable(1 << 14)  # 65536 slots
+        hs = _hashes(1, 50_000)  # load ~0.76
+        t.add_hashes(hs)
+        assert t.might_contain(hs).all()
+
+    def test_false_positive_rate_bounded(self):
+        t = CuckooTable(1 << 14)
+        t.add_hashes(_hashes(1, 50_000))
+        probes = _hashes(2, 50_000)
+        fp = t.might_contain(probes).mean()
+        # 16-bit fingerprints, 2x4 slots examined: theory ~ 8/2^16 = 0.00012
+        assert fp < 0.01
+
+    def test_delete_then_absent(self):
+        t = CuckooTable(1 << 12)
+        hs = np.unique(_hashes(3, 5_000))
+        t.add_hashes(hs)
+        gone, kept = hs[: len(hs) // 2], hs[len(hs) // 2 :]
+        assert t.delete_hashes(gone).all()
+        assert t.might_contain(kept).all()  # survivors untouched
+        # deleted items may still collide with OTHER residents' fingerprints,
+        # but at fp-level rates only — never wholesale
+        assert t.might_contain(gone).mean() < 0.01
+
+    def test_saturation_overflows_to_stash_without_false_negatives(self):
+        t = CuckooTable(16)  # 64 slots
+        hs = np.unique(_hashes(4, 500))  # load ~8x capacity
+        t.add_hashes(hs)
+        assert len(t.stash) > 0  # genuinely saturated
+        assert t.might_contain(hs).all()  # stash keeps membership exact
+
+    def test_layout_deterministic_under_arrival_order(self):
+        hs = _hashes(5, 20_000)
+        rng = np.random.default_rng(0)
+        a, b = CuckooTable(1 << 13), CuckooTable(1 << 13)
+        a.add_hashes(hs)
+        b.add_hashes(rng.permutation(hs))
+        assert np.array_equal(a.table, b.table)
+        assert a.stash == b.stash
+
+    def test_merge_resident_preserves_membership(self):
+        m = 1 << 13
+        h1, h2 = _hashes(6, 10_000), _hashes(7, 10_000)
+        t1, t2 = CuckooTable(m), CuckooTable(m)
+        t1.add_hashes(h1)
+        t2.add_hashes(h2)
+        t1.merge_resident(t2.table, t2.stash)
+        assert t1.might_contain(h1).all()
+        assert t1.might_contain(h2).all()
+
+
+class TestPartitionedCuckoo:
+    def test_bucketing_routes_and_answers(self):
+        c = PartitionedCuckoo(n_buckets=8, m=1 << 12)
+        hs = _hashes(8, 30_000)
+        c.add_hashes(hs)
+        assert c.might_contain(hs).all()
+        assert c.might_contain(_hashes(9, 30_000)).mean() < 0.01
+
+    def test_distributed_build_matches_driver_build(self, spark):
+        hs = np.unique(_hashes(10, 20_000))
+        df = spark.createDataFrame([(int(h),) for h in hs], "url_hash bigint")
+        rows = build_bucket_tables(df, n_buckets=4, m=1 << 12)
+        merged = PartitionedCuckoo(4, 1 << 12)
+        merge_spark_tables(merged, rows)
+        assert merged.might_contain(hs).all()  # lossless merge
+        # fp behavior stays sketch-grade after the merge
+        assert merged.might_contain(_hashes(11, 20_000)).mean() < 0.01
+
+
+class TestPrefilteredAntiJoin:
+    def test_equals_plain_anti_join(self, spark):
+        seen_urls = [f"http://h{i % 7}.example/page/{i}" for i in range(0, 400, 2)]
+        cand_urls = [f"http://h{i % 7}.example/page/{i}" for i in range(100, 500)]
+        from webcrawler_woc_spark.operators.fetch import with_url_hash
+
+        seen = with_url_hash(spark.createDataFrame([(u,) for u in seen_urls], "url string"))
+        cands = with_url_hash(spark.createDataFrame([(u,) for u in cand_urls], "url string"))
+        c = PartitionedCuckoo(n_buckets=2, m=1 << 10)
+        merge_spark_tables(c, build_bucket_tables(seen, n_buckets=2, m=1 << 10))
+        got = sorted(
+            r.url
+            for r in cuckoo_prefiltered_anti_join(
+                spark, cands, seen, c, candidates_rows=len(cand_urls)
+            ).collect()
+        )
+        want = sorted(r.url for r in cands.join(seen, ["url"], "left_anti").collect())
+        assert got == want
+
+
+@pytest.mark.parametrize("m", [17, 100])
+def test_non_power_of_two_rejected(m):
+    with pytest.raises(ValueError):
+        CuckooTable(m)
