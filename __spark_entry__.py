@@ -483,6 +483,19 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(nodes, edges, iterations=3)
 
 
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer HITS hubs & authorities (2 rounds, ppm, L-inf normalization)
+    over the extracted doc link graph — the complement of PageRank for
+    crawl scheduling (authorities = fetch-worthy, hubs = parse-worthy).
+    Order-independent integer math => chained-CTE oracle value-exact."""
+    from webcrawler_woc_spark.operators.graph import doc_edges, hits_int
+
+    children = extract_child_links(_gated(spark, sf_dir)).select("parent_url", "url")
+    edges = doc_edges(children)
+    nodes = _docs(spark, sf_dir).select("doc_id")
+    return hits_int(nodes, edges, iterations=2)
+
+
 def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components by min-label propagation (5 fixed rounds) over
     the undirected link graph — site/cluster discovery."""
@@ -725,6 +738,45 @@ def q_dedup_substrings_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(-1, _COLLIDE_A), (-2, _COLLIDE_B)], "doc_id long, text string"
     )
     return verify_substring_dups(docs.unionByName(collide), k=8)
+
+
+def q_text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization gate: the (ASCII-clean) corpus is salted
+    with decomposed sequences — 'e' + combining acute (doc_id%3==0) and
+    Hangul jamo U+1100 U+1161 (doc_id%5==0) — which NFC must compose,
+    shrinking char counts and setting changed=true exactly there; untouched
+    docs must round-trip unchanged."""
+    from webcrawler_woc_spark.operators.textstats import normalize_nfc
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" Cafe\u0301")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" \u1100\u1161")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return normalize_nfc(docs)
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level cross-document boilerplate removal (CCNet/RefinedWeb): the
+    corpus is given a universal copyright footer plus a newsletter line on
+    every even doc — both cross the >=5-distinct-docs threshold and must
+    vanish from every document, while each doc's own lines survive."""
+    from webcrawler_woc_spark.operators.dedup import line_boilerplate_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nCopyright Example Corp"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("\nSubscribe to our newsletter")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return line_boilerplate_dedup(docs, min_docs=5)
 
 
 def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1478,6 +1530,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots_delay": q_crawl_robots_delay,
         "dedup_substrings_verified": q_dedup_substrings_verified,
         "crawl_cuckoo_seen": q_crawl_cuckoo_seen,
+        "dedup_lines": q_dedup_lines,
+        "text_normalize_nfc": q_text_normalize_nfc,
+        "graph_hits": q_graph_hits,
         # --- representative long-stable basics (also e2e-pinned) ---
         "crawl_bfs_depth3_seen": q_crawl_bfs_depth3_seen,
         "crawl_wave1_frontier": q_crawl_wave1_frontier,
@@ -1784,6 +1839,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_sql(3),
         "graph_components": _components_sql(5),
+        "graph_hits": _hits_sql(2),
         "rel_sessionize": """
             WITH gaps AS (
                 SELECT user_id, ts, event_id,
@@ -2154,6 +2210,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS first_doc
             FROM w GROUP BY whash, wtext
             HAVING count(DISTINCT doc_id) >= 2
+        """,
+        # decomposed salt rebuilt via chr() codepoints; DuckDB's native
+        # nfc_normalize is the independent twin of the python unicodedata
+        # kernel (same Unicode composition tables)
+        "text_normalize_nfc": """
+            WITH d AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0
+                          THEN ' Cafe' || chr(769) ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                          THEN ' ' || chr(4352) || chr(4449) ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   nfc_normalize(text) AS norm_text,
+                   text <> nfc_normalize(text) AS changed,
+                   CAST(length(text) AS INT) AS n_chars_raw,
+                   CAST(length(nfc_normalize(text)) AS INT) AS n_chars_norm
+            FROM d
+        """,
+        "dedup_lines": """
+            WITH d AS (
+                SELECT doc_id,
+                       text || chr(10) || 'Copyright Example Corp'
+                       || CASE WHEN doc_id % 2 = 0
+                          THEN chr(10) || 'Subscribe to our newsletter' ELSE '' END AS text
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx
+                FROM d
+            ),
+            b AS (
+                SELECT line FROM l GROUP BY line
+                HAVING count(DISTINCT doc_id) >= 5
+            )
+            SELECT l.doc_id,
+                   coalesce(array_to_string(
+                       list(l.line ORDER BY l.idx) FILTER (WHERE b.line IS NULL),
+                       chr(10)), '') AS clean_text,
+                   CAST(count(*) AS INT) AS n_lines,
+                   CAST(count(b.line) AS INT) AS n_removed
+            FROM l LEFT JOIN b ON l.line = b.line
+            GROUP BY l.doc_id
         """,
         "text_gopher_rules": f"""
             WITH t AS (
@@ -2917,6 +3020,50 @@ r{i + 1} AS (
     ) inflow ON inflow.dst = d.doc_id
 )""")
     return "WITH " + ",".join(ctes) + f"\nSELECT doc_id, rank_ppm FROM r{iters}"
+
+
+def _hits_sql(iters: int = 2) -> str:
+    """Chained-CTE integer HITS mirroring operators/graph.hits_int:
+    half-step sums then L-inf rescale ((x * 10^6) // max, max >= 1).
+    MATERIALIZED is load-bearing — plain CTEs re-inline per reference and
+    the chain references each level several times (incl. the scalar max
+    subqueries)."""
+    from webcrawler_woc_spark.sources.corpus import ORACLE_OUTLINKS_CTE
+
+    ctes = [
+        ORACLE_OUTLINKS_CTE,
+        _EDGES_CTE,
+        "h0 AS MATERIALIZED (SELECT doc_id, CAST(1000000 AS BIGINT) AS hub_ppm FROM documents)",
+    ]
+    for i in range(iters):
+        ctes.append(f"""
+ar{i + 1} AS MATERIALIZED (
+    SELECT d.doc_id, CAST(coalesce(x.s, 0) AS BIGINT) AS a
+    FROM documents d LEFT JOIN (
+        SELECT e.dst, sum(h.hub_ppm) AS s
+        FROM edges e JOIN h{i} h ON h.doc_id = e.src GROUP BY e.dst
+    ) x ON x.dst = d.doc_id
+)""")
+        ctes.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT doc_id, CAST((a * 1000000) // "
+            f"(SELECT greatest(max(a), 1) FROM ar{i + 1}) AS BIGINT) AS auth_ppm FROM ar{i + 1})"
+        )
+        ctes.append(f"""
+hr{i + 1} AS MATERIALIZED (
+    SELECT d.doc_id, CAST(coalesce(x.s, 0) AS BIGINT) AS h
+    FROM documents d LEFT JOIN (
+        SELECT e.src, sum(a.auth_ppm) AS s
+        FROM edges e JOIN a{i + 1} a ON a.doc_id = e.dst GROUP BY e.src
+    ) x ON x.src = d.doc_id
+)""")
+        ctes.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT doc_id, CAST((h * 1000000) // "
+            f"(SELECT greatest(max(h), 1) FROM hr{i + 1}) AS BIGINT) AS hub_ppm FROM hr{i + 1})"
+        )
+    return (
+        "WITH " + ",".join(ctes)
+        + f"\nSELECT h.doc_id, h.hub_ppm, a.auth_ppm FROM h{iters} h JOIN a{iters} a USING (doc_id)"
+    )
 
 
 def _components_sql(iters: int = 5) -> str:

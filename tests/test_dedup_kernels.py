@@ -54,3 +54,37 @@ def test_vectorized_kernel_matches_reference(spark):
     got = {r.doc_id: r.simhash for r in simhash62(df).collect()}
     for i, t in enumerate(TEXTS):
         assert got[i] == _ref_simhash(t), (i, t[:40])
+
+
+class TestLineBoilerplateDedup:
+    """line_boilerplate_dedup: frequency-threshold removal hits EVERY copy
+    (unlike paragraph_dedup's keep-first), unique lines survive, fully-
+    boilerplate docs become empty."""
+
+    def test_threshold_semantics(self, spark):
+        from webcrawler_woc_spark.operators.dedup import line_boilerplate_dedup
+
+        rows = [(i, f"unique line {i}\nshared footer") for i in range(4)]
+        rows.append((4, "shared footer"))  # doc that is ONLY boilerplate
+        rows.append((5, "below-threshold twin\nunique line 5"))
+        rows.append((6, "below-threshold twin\nunique line 6"))
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r.doc_id: r for r in line_boilerplate_dedup(df, min_docs=5).collect()}
+        # 'shared footer' is in 5 distinct docs -> removed everywhere
+        for i in range(4):
+            assert out[i].clean_text == f"unique line {i}"
+            assert (out[i].n_lines, out[i].n_removed) == (2, 1)
+        assert out[4].clean_text == ""  # all-boilerplate doc drops to empty
+        assert (out[4].n_lines, out[4].n_removed) == (1, 1)
+        # 2-doc twin is below min_docs=5 -> kept in both
+        assert out[5].clean_text == "below-threshold twin\nunique line 5"
+        assert out[6].n_removed == 0
+
+    def test_order_preserved_around_removals(self, spark):
+        from webcrawler_woc_spark.operators.dedup import line_boilerplate_dedup
+
+        boiler = "B"
+        docs = [(i, f"a{i}\n{boiler}\nz{i}") for i in range(5)]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        out = line_boilerplate_dedup(df, min_docs=5).collect()
+        assert all(r.clean_text == f"a{r.doc_id}\nz{r.doc_id}" for r in out)

@@ -118,3 +118,35 @@ class TestTriangles:
             if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= es
         )
         assert triangle_count(edges).head().n_triangles == truth
+
+
+class TestHitsInt:
+    """Integer HITS: on a directed star u0 -> {v1..v4}, u0 is the unique
+    max hub and every v is an equal max authority; corpus-scale parity is
+    the graph_hits chained-CTE oracle."""
+
+    def test_star_hub_and_authorities(self, spark):
+        from webcrawler_woc_spark.operators.graph import hits_int
+
+        nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+        edges = spark.createDataFrame(
+            [(0, v) for v in (1, 2, 3, 4)] + [(5, 1)], "src long, dst long"
+        )
+        out = {r.doc_id: r for r in hits_int(nodes, edges, iterations=2).collect()}
+        assert out[0].hub_ppm == 1_000_000  # the star center is THE hub
+        assert out[5].hub_ppm < out[0].hub_ppm  # single-edge hub is weaker
+        assert out[1].auth_ppm == 1_000_000  # doubly-cited: the max authority
+        for v in (2, 3, 4):
+            assert 0 < out[v].auth_ppm < 1_000_000
+            assert out[v].auth_ppm == out[2].auth_ppm  # symmetric authorities
+        assert out[0].auth_ppm == 0  # nothing links TO the center
+        for v in (1, 2, 3, 4):
+            assert out[v].hub_ppm == 0  # leaves link to nothing
+
+    def test_empty_graph_all_zero(self, spark):
+        from webcrawler_woc_spark.operators.graph import hits_int
+
+        nodes = spark.createDataFrame([(i,) for i in range(3)], "doc_id long")
+        edges = spark.createDataFrame([], "src long, dst long")
+        out = hits_int(nodes, edges, iterations=2).collect()
+        assert all(r.hub_ppm == 0 and r.auth_ppm == 0 for r in out)

@@ -32,6 +32,10 @@ SMJ_OK = {
     # semi-join on whash (report side is an unbounded aggregate) + span
     # positions ⋈ documents on doc_id: both sides corpus-scale, SMJ correct
     "dedup_substrings_verified",
+    "graph_hits",  # edges ⋈ scores per half-step: both corpus-sized (pagerank shape)
+    # line explode ⋈ boilerplate table: boilerplate size is data-dependent
+    # (AQE may broadcast when small; SMJ is the safe general plan)
+    "dedup_lines",
 }
 # BNLJ allowlist: the exact cosine baseline broadcasts the tiny query set
 # into a crossJoin by design; IVF broadcasts the tiny centroid table into
@@ -43,6 +47,7 @@ BNLJ_OK = {
     "crawl_adaptive_recrawl",  # per-host aggregate x 1-row total crossJoin
     "cluster_kmeans",  # corpus x broadcast(k centroids): the textbook k-means scan
     "dedup_semantic",  # inherits the k-means assignment scan
+    "graph_hits",  # per-normalization 1-row max broadcast crossJoin
 }
 # streaming queries execute a StreamingQuery, not a single batch plan
 SKIP = {

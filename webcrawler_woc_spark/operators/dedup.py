@@ -568,3 +568,56 @@ def paragraph_dedup(documents: DataFrame, chunk_tokens: int = 3) -> DataFrame:
         F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
         F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
     )
+
+
+def line_boilerplate_dedup(documents: DataFrame, min_docs: int = 5) -> DataFrame:
+    """Cross-document LINE-level boilerplate removal (the CCNet/RefinedWeb
+    line-dedup pass, distinct from paragraph_dedup's first-occurrence rule):
+    a line occurring in >= min_docs DISTINCT documents is boilerplate
+    (cookie banners, nav bars, copyright footers) and is dropped from EVERY
+    document — including the first; unique and low-frequency lines survive
+    everywhere.
+
+    Output (doc_id, clean_text, n_lines, n_removed) — clean_text rebuilt
+    from surviving lines in original order ('' when everything was
+    boilerplate).
+
+    Scale shape: one posexplode (bounded by line count), one partial-agg'd
+    groupBy(line) for the distinct-doc counts (the only corpus-sized
+    shuffle, keyed on the line itself — the same key the rebuild join
+    uses), a left join marking boilerplate rows, and one groupBy(doc_id)
+    reassembly via the deterministic struct array_sort used by
+    paragraph_dedup. The boilerplate table is NOT broadcast by hint: its
+    size is data-dependent (could be millions of lines at 100 TB), so AQE
+    picks broadcast only when it measures small."""
+    lines = documents.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), "\n")).alias("idx", "line")
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("line", F.lit(True).alias("_b"))
+    )
+    marked = lines.join(boiler, "line", "left")
+    return marked.groupBy("doc_id").agg(
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_b").isNull(),
+                                F.struct(F.col("idx"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+        F.count("*").cast("int").alias("n_lines"),
+        F.coalesce(F.sum(F.col("_b").cast("int")), F.lit(0)).cast("int").alias("n_removed"),
+    )

@@ -151,3 +151,58 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     e3 = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
     return tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+
+def hits_int(nodes: DataFrame, edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """Integer-arithmetic HITS (Kleinberg's hubs & authorities — the
+    complement of PageRank for crawl scheduling: authorities are pages worth
+    fetching, hubs are pages worth re-parsing for links). Fixed iterations,
+    ppm scale, L-infinity normalization each half-step (divide by the max —
+    exact integer and order-independent, where the textbook L2 norm's sqrt
+    has no cross-engine rounding contract). Output
+    (doc_id, hub_ppm, auth_ppm); the normalized maxima are 10^6.
+
+    Per round: auth(v) = Σ_{u→v} hub(u) then rescale to max=10^6;
+    hub(u) = Σ_{u→v} auth(v) then rescale. No in(out)-links => 0.
+
+    Scale shape: two edge ⋈ score joins + two partial-agg'd groupBys per
+    round (the pagerank_int Pregel shape) plus a 1-row max broadcast
+    crossJoin per normalization; localCheckpoint truncates lineage.
+    Overflow headroom: Σ hub <= N·10^6 and the rescale multiplies by 10^6,
+    so bigint holds to N ~ 9·10^6 edges-per-authority; beyond that drop the
+    ppm scale a few digits (the contract pins ppm for the gate corpus).
+    """
+    hubs = nodes.select("doc_id", F.lit(PPM).cast("bigint").alias("hub_ppm"))
+    auths = None
+    for _ in range(iterations):
+        a_in = (
+            edges.join(hubs, edges["src"] == hubs["doc_id"])
+            .groupBy("dst")
+            .agg(F.sum("hub_ppm").alias("s"))
+        )
+        a_raw = (
+            nodes.join(a_in, nodes["doc_id"] == a_in["dst"], "left")
+            .select("doc_id", F.coalesce(F.col("s"), F.lit(0).cast("bigint")).alias("a"))
+        )
+        amax = a_raw.agg(F.greatest(F.max("a"), F.lit(1).cast("bigint")).alias("mx"))
+        auths = (
+            a_raw.crossJoin(F.broadcast(amax))
+            .select("doc_id", F.expr(f"(a * {PPM}) div mx").alias("auth_ppm"))
+            .localCheckpoint()
+        )
+        h_in = (
+            edges.join(auths, edges["dst"] == auths["doc_id"])
+            .groupBy("src")
+            .agg(F.sum("auth_ppm").alias("s"))
+        )
+        h_raw = (
+            nodes.join(h_in, nodes["doc_id"] == h_in["src"], "left")
+            .select("doc_id", F.coalesce(F.col("s"), F.lit(0).cast("bigint")).alias("h"))
+        )
+        hmax = h_raw.agg(F.greatest(F.max("h"), F.lit(1).cast("bigint")).alias("mx"))
+        hubs = (
+            h_raw.crossJoin(F.broadcast(hmax))
+            .select("doc_id", F.expr(f"(h * {PPM}) div mx").alias("hub_ppm"))
+            .localCheckpoint()
+        )
+    return hubs.join(auths, "doc_id").select("doc_id", "hub_ppm", "auth_ppm")

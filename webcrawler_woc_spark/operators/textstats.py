@@ -1,12 +1,14 @@
 """Text-analysis operators for web-text pipelines over ``documents``.
 
 All pure Catalyst expressions (regexp/split/filter/aggregate) — zero Python
-in the hot path — and each has an exact DuckDB-SQL twin in
-``__spark_entry__.oracle_sql`` for the correctness gate.
+in the hot path (the one exception: normalize_nfc, whose Unicode tables
+Spark SQL lacks, runs as an Arrow-batched kernel) — and each has an exact
+DuckDB-SQL twin in ``__spark_entry__.oracle_sql`` for the correctness gate.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -329,3 +331,38 @@ def ranked_search(documents: DataFrame, terms: list[str], k: int = 10) -> DataFr
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def normalize_nfc(documents: DataFrame) -> DataFrame:
+    """Unicode NFC normalization (the first step of every text-cleaning
+    pipeline: compose decomposed diacritics/Hangul jamo so equal-looking
+    strings hash equal before any dedup/fingerprint pass).
+
+    Output (doc_id, norm_text, changed, n_chars_raw, n_chars_norm).
+
+    Shape: scan-only, no shuffle. Spark SQL has no normalization builtin,
+    so the kernel is an Arrow-batched pandas UDF over python unicodedata
+    (C-implemented; the one-string-column Arrow round trip is the cost — at
+    100 TB prefer a JVM java.text.Normalizer UDF shipped as a jar, same
+    semantics). The DuckDB oracle twin is its native nfc_normalize();
+    python unicodedata and DuckDB track the same Unicode normalization
+    tables, and the contract pins composition cases stable since Unicode
+    3.0 (combining diacritics, Hangul jamo)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(texts: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return texts.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    norm = documents.select("doc_id", F.col("text"), nfc(F.col("text")).alias("norm_text"))
+    return norm.select(
+        "doc_id",
+        "norm_text",
+        (F.col("text") != F.col("norm_text")).alias("changed"),
+        F.length("text").cast("int").alias("n_chars_raw"),
+        F.length("norm_text").cast("int").alias("n_chars_norm"),
+    )
