@@ -759,6 +759,53 @@ def q_text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_nfc(docs)
 
 
+def q_crawl_xml_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sitemap + sitemapindex parsing (sitemaps.org) over synthesized
+    per-host bodies that exercise whitespace-padded <loc>, entity-escaped
+    query strings (&amp;), and index-vs-urlset detection. All-arithmetic
+    construction, so the oracle predicts every row without a parser."""
+    from webcrawler_woc_spark.operators.sitemaps import parse_xml_sitemap
+
+    h = F.col("id").cast("string")
+    base = F.concat(F.lit("http://host"), h, F.lit(".example"))
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> '),
+        base, F.lit("/page/"), h,
+        F.lit(" </loc></url><url><loc>"),
+        base, F.lit("/page/1"), h, F.lit("?a=1&amp;b=2"),
+        F.lit("</loc></url><url><loc>"),
+        base, F.lit("/page/2"), h,
+        F.lit("</loc></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>"),
+        base, F.lit("/sitemap1.xml"),
+        F.lit("</loc></sitemap><sitemap><loc>"),
+        base, F.lit("/sitemap2.xml"),
+        F.lit("</loc></sitemap></sitemapindex>"),
+    )
+    hosts = spark.range(10)
+    frames = hosts.select(
+        F.concat(base, F.lit("/sitemap.xml")).alias("sitemap_url"), urlset.alias("body")
+    ).unionByName(
+        hosts.select(
+            F.concat(base, F.lit("/sitemap_index.xml")).alias("sitemap_url"),
+            index.alias("body"),
+        )
+    )
+    return parse_xml_sitemap(frames)
+
+
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index, consulted the way an index is: posting
+    rows (term, doc_id, positions, tf) for a probe term set — position
+    lists enable the phrase/proximity queries bag-of-words tf-idf can't."""
+    from webcrawler_woc_spark.operators.textstats import inverted_index
+
+    probes = ["scan", "merge", "window"]
+    return inverted_index(_docs(spark, sf_dir)).filter(F.col("term").isin(probes))
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level cross-document boilerplate removal (CCNet/RefinedWeb): the
     corpus is given a universal copyright footer plus a newsletter line on
@@ -1533,6 +1580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "text_normalize_nfc": q_text_normalize_nfc,
         "graph_hits": q_graph_hits,
+        "text_inverted_index": q_text_inverted_index,
+        "crawl_xml_sitemap": q_crawl_xml_sitemap,
         # --- representative long-stable basics (also e2e-pinned) ---
         "crawl_bfs_depth3_seen": q_crawl_bfs_depth3_seen,
         "crawl_wave1_frontier": q_crawl_wave1_frontier,
@@ -2230,6 +2279,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS INT) AS n_chars_raw,
                    CAST(length(nfc_normalize(text)) AS INT) AS n_chars_norm
             FROM d
+        """,
+        # every row predicted arithmetically: whitespace is trimmed, &amp;
+        # decodes to &, index bodies flag is_index — no XML parser here
+        "crawl_xml_sitemap": """
+            SELECT 'http://host' || h || '.example/sitemap.xml' AS sitemap_url,
+                   CAST(0 AS INT) AS idx,
+                   'http://host' || h || '.example/page/' || h AS url,
+                   false AS is_index
+            FROM range(10) t(h)
+            UNION ALL
+            SELECT 'http://host' || h || '.example/sitemap.xml',
+                   CAST(1 AS INT),
+                   'http://host' || h || '.example/page/1' || h || '?a=1&b=2',
+                   false
+            FROM range(10) t(h)
+            UNION ALL
+            SELECT 'http://host' || h || '.example/sitemap.xml',
+                   CAST(2 AS INT),
+                   'http://host' || h || '.example/page/2' || h,
+                   false
+            FROM range(10) t(h)
+            UNION ALL
+            SELECT 'http://host' || h || '.example/sitemap_index.xml',
+                   CAST(0 AS INT),
+                   'http://host' || h || '.example/sitemap1.xml',
+                   true
+            FROM range(10) t(h)
+            UNION ALL
+            SELECT 'http://host' || h || '.example/sitemap_index.xml',
+                   CAST(1 AS INT),
+                   'http://host' || h || '.example/sitemap2.xml',
+                   true
+            FROM range(10) t(h)
+        """,
+        "text_inverted_index": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       unnest({TOKENS_SQL}) AS term,
+                       unnest(range(1, len({TOKENS_SQL}) + 1)) AS pos
+                FROM documents
+            )
+            SELECT term, doc_id,
+                   list(CAST(pos AS INT) ORDER BY pos) AS positions,
+                   CAST(count(*) AS INT) AS tf
+            FROM t
+            WHERE term IN ('scan', 'merge', 'window')
+            GROUP BY term, doc_id
         """,
         "dedup_lines": """
             WITH d AS (

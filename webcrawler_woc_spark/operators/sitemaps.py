@@ -76,3 +76,45 @@ def sitemap_children(
         )
         .withColumn("link_type", link_type_col(F.col("url")))
     )
+
+
+def parse_xml_sitemap(sitemaps: DataFrame) -> DataFrame:
+    """XML sitemap / sitemapindex parsing (sitemaps.org protocol) — the
+    real-web format the reference never handles (its sitemap path is
+    text/plain only, src/crawler.rs sitemap branch; Common Crawl sitemaps
+    are XML). Input (sitemap_url, body); output one row per <loc> entry:
+    (sitemap_url, idx, url, is_index) where idx preserves document order
+    and is_index marks <sitemapindex> bodies (entries are then SUB-SITEMAP
+    urls to fetch, not pages — the one-level nesting signal a crawler's
+    sitemap loop consumes).
+
+    Pure Catalyst: regexp_extract_all over <loc> with surrounding
+    whitespace trimmed, then the five predefined XML entities unescaped
+    (sitemaps.org requires entity-escaped URLs) — &amp; LAST so sequences
+    like &amp;lt; decode once, not twice. No XML library: <loc> extraction
+    is regular, the full-document grammar is irrelevant to it, and the
+    regex stays inside whole-stage codegen at 100 TB."""
+    locs = F.expr(r"regexp_extract_all(body, '<loc>\\s*([^<]+?)\\s*</loc>', 1)")
+
+    def unescape(col):
+        out = col
+        for ent, ch in (
+            ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+            ("&amp;", "&"),  # last: &amp;lt; must become &lt;, not <
+        ):
+            out = F.replace(out, F.lit(ent), F.lit(ch))
+        return out
+
+    return (
+        sitemaps.select(
+            "sitemap_url",
+            F.col("body").contains("<sitemapindex").alias("is_index"),
+            F.posexplode(locs).alias("idx", "loc"),
+        )
+        .select(
+            "sitemap_url",
+            F.col("idx").cast("int").alias("idx"),
+            unescape(F.col("loc")).alias("url"),
+            "is_index",
+        )
+    )

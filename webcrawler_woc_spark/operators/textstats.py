@@ -366,3 +366,28 @@ def normalize_nfc(documents: DataFrame) -> DataFrame:
         F.length("text").cast("int").alias("n_chars_raw"),
         F.length("norm_text").cast("int").alias("n_chars_norm"),
     )
+
+
+def inverted_index(documents: DataFrame) -> DataFrame:
+    """Positional inverted index — the build step for phrase search and
+    proximity ranking that doc_frequency/ranked_search (bag-of-words) skip.
+
+    Output (term, doc_id, positions array<int> 1-based sorted, tf) — the
+    flat posting-row form (one row per (term, doc); readers regroup by term
+    at query time). Tokenization shares _tokens with every other text op.
+
+    Scale shape: one posexplode (bounded by corpus token count) + one
+    partial-agg'd groupBy(term, doc_id) — map-side combine collapses
+    repeated terms within a doc before the shuffle, so shuffle rows =
+    distinct (term, doc) pairs, the index's own cardinality. At rest the
+    index wants bucketing BY TERM so query-time term lookups prune files;
+    array_sort makes the position list deterministic under any shuffle
+    order."""
+    return (
+        documents.select("doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "term"))
+        .groupBy("term", "doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.col("pos") + 1)).alias("positions"),
+            F.count("*").cast("int").alias("tf"),
+        )
+    )
