@@ -759,6 +759,56 @@ def q_text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_nfc(docs)
 
 
+def q_crawl_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) rollup — domain-level politeness /
+    ownership accounting that host-level grouping gets wrong (www./cdn./m.
+    subdomains of one site must pool into ONE budget). Hosts are synthesized
+    to exercise every suffix rule: plain .com with deep subdomains, bare
+    2-label hosts, and listed 2-level public suffixes (co.uk, com.au).
+    Output (domain, n_hosts, n_pages)."""
+    from webcrawler_woc_spark.functions.domains import registrable_domain
+
+    d = F.col("doc_id")
+    site = (d % 7).cast("string")
+    host = (
+        F.when(d % 4 == 0, F.concat(F.lit("www.site"), site, F.lit(".co.uk")))
+        .when(d % 4 == 1, F.concat(F.lit("a.b.site"), site, F.lit(".com")))
+        .when(d % 4 == 2, F.concat(F.lit("site"), site, F.lit(".org")))
+        .otherwise(F.concat(F.lit("cdn.site"), site, F.lit(".com.au")))
+    )
+    pages = _docs(spark, sf_dir).select(host.alias("host"))
+    return (
+        pages.withColumn("domain", registrable_domain(F.col("host")))
+        .groupBy("domain")
+        .agg(
+            F.countDistinct("host").cast("int").alias("n_hosts"),
+            F.count("*").cast("int").alias("n_pages"),
+        )
+    )
+
+
+def q_text_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality binning: docs ranked by the composite quality
+    score and split into head/middle/tail terciles with ntile(3) over
+    (quality DESC, doc_id) — the full tiebreak makes both engines' ntile
+    identical. The downstream training mix samples by bucket. (The global
+    ntile is a one-task sort at the gate; at 100 TB the binning runs per
+    language/shard partition — same expression, partitionBy added.)"""
+    from pyspark.sql import Window
+
+    from webcrawler_woc_spark.operators.textstats import quality_scores
+
+    q = quality_scores(_docs(spark, sf_dir)).select("doc_id", "quality_ppm")
+    w = Window.orderBy(F.desc("quality_ppm"), F.asc("doc_id"))
+    bucket = F.ntile(3).over(w)
+    name = (
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return q.select("doc_id", "quality_ppm", bucket.cast("int").alias("tercile"), name.alias("bucket"))
+
+
 def q_crawl_xml_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML sitemap + sitemapindex parsing (sitemaps.org) over synthesized
     per-host bodies that exercise whitespace-padded <loc>, entity-escaped
@@ -1582,6 +1632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "text_inverted_index": q_text_inverted_index,
         "crawl_xml_sitemap": q_crawl_xml_sitemap,
+        "crawl_domain_rollup": q_crawl_domain_rollup,
+        "text_quality_bins": q_text_quality_bins,
         # --- representative long-stable basics (also e2e-pinned) ---
         "crawl_bfs_depth3_seen": q_crawl_bfs_depth3_seen,
         "crawl_wave1_frontier": q_crawl_wave1_frontier,
@@ -2279,6 +2331,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS INT) AS n_chars_raw,
                    CAST(length(nfc_normalize(text)) AS INT) AS n_chars_norm
             FROM d
+        """,
+        # the expected registrable domain is predicted ARITHMETICALLY from
+        # the same doc-id synthesis — no suffix parsing on the oracle side
+        "crawl_domain_rollup": """
+            WITH h AS (
+                SELECT CASE
+                           WHEN doc_id % 4 = 0 THEN 'www.site' || (doc_id % 7) || '.co.uk'
+                           WHEN doc_id % 4 = 1 THEN 'a.b.site' || (doc_id % 7) || '.com'
+                           WHEN doc_id % 4 = 2 THEN 'site' || (doc_id % 7) || '.org'
+                           ELSE 'cdn.site' || (doc_id % 7) || '.com.au'
+                       END AS host,
+                       CASE
+                           WHEN doc_id % 4 = 0 THEN 'site' || (doc_id % 7) || '.co.uk'
+                           WHEN doc_id % 4 = 1 THEN 'site' || (doc_id % 7) || '.com'
+                           WHEN doc_id % 4 = 2 THEN 'site' || (doc_id % 7) || '.org'
+                           ELSE 'site' || (doc_id % 7) || '.com.au'
+                       END AS domain
+                FROM documents
+            )
+            SELECT domain,
+                   CAST(count(DISTINCT host) AS INT) AS n_hosts,
+                   CAST(count(*) AS INT) AS n_pages
+            FROM h GROUP BY domain
+        """,
+        "text_quality_bins": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len({TOKENS_SQL}) AS INT) AS n_tokens,
+                       CAST(length(text) AS INT) AS text_len,
+                       CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INT)
+                           AS punct_chars,
+                       CAST(len(list_filter({TOKENS_SQL}, x -> x IN {EN})) AS INT) AS stop_hits
+                FROM documents
+            ),
+            q AS (
+                SELECT doc_id,
+                       CAST(floor(((least(n_tokens / 100.0, 1.0) * 0.5)
+                            + ((1.0 - least(punct_chars * 10.0 / greatest(text_len, 1), 1.0)) * 0.25)
+                            + (least(stop_hits * 5.0 / greatest(n_tokens, 1), 1.0) * 0.25))
+                            * 1000000.0) AS BIGINT) AS quality_ppm
+                FROM t
+            )
+            SELECT doc_id, quality_ppm,
+                   CAST(ntile(3) OVER (ORDER BY quality_ppm DESC, doc_id) AS INT) AS tercile,
+                   CASE ntile(3) OVER (ORDER BY quality_ppm DESC, doc_id)
+                        WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+            FROM q
         """,
         # every row predicted arithmetically: whitespace is trimmed, &amp;
         # decodes to &, index bodies flag is_index — no XML parser here

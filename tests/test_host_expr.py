@@ -24,3 +24,20 @@ def test_host_expr_matches_host_of(spark):
     rows = df.select("url", host_expr(F.col("url")).alias("host")).collect()
     for r in rows:
         assert r["host"] == host_of(r["url"]), r["url"]
+
+
+class TestRegistrableDomain:
+    def test_suffix_rules(self, spark):
+        from webcrawler_woc_spark.functions.domains import registrable_domain
+
+        cases = {
+            "www.example.co.uk": "example.co.uk",   # listed 2-level suffix
+            "a.b.example.com": "example.com",       # deep subdomain
+            "example.org": "example.org",           # already registrable
+            "cdn.shop.com.au": "shop.com.au",       # listed 2-level suffix
+            "co.uk": "co.uk",                       # bare suffix passes through
+            "localhost": "localhost",               # single label
+        }
+        df = spark.createDataFrame([(h,) for h in cases], "host string")
+        got = {r.host: r.d for r in df.select("host", registrable_domain(df.host).alias("d")).collect()}
+        assert got == cases
