@@ -88,3 +88,13 @@ class TestLineBoilerplateDedup:
         df = spark.createDataFrame(docs, "doc_id bigint, text string")
         out = line_boilerplate_dedup(df, min_docs=5).collect()
         assert all(r.clean_text == f"a{r.doc_id}\nz{r.doc_id}" for r in out)
+
+    def test_null_text_doc_survives_as_empty(self, spark):
+        from webcrawler_woc_spark.operators.dedup import line_boilerplate_dedup
+
+        rows = [(i, "shared") for i in range(5)] + [(9, None)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r.doc_id: r for r in line_boilerplate_dedup(df, min_docs=5).collect()}
+        assert 9 in out  # NULL-text doc must not vanish from the corpus
+        assert (out[9].clean_text, out[9].n_lines, out[9].n_removed) == ("", 0, 0)
+        assert out[0].clean_text == ""  # 'shared' crossed the threshold

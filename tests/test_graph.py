@@ -150,3 +150,13 @@ class TestHitsInt:
         edges = spark.createDataFrame([], "src long, dst long")
         out = hits_int(nodes, edges, iterations=2).collect()
         assert all(r.hub_ppm == 0 and r.auth_ppm == 0 for r in out)
+
+    def test_zero_iterations_rejected(self, spark):
+        import pytest
+
+        from webcrawler_woc_spark.operators.graph import hits_int
+
+        nodes = spark.createDataFrame([(0,)], "doc_id long")
+        edges = spark.createDataFrame([], "src long, dst long")
+        with pytest.raises(ValueError):
+            hits_int(nodes, edges, iterations=0)

@@ -263,17 +263,25 @@ def make_might_contain_udf(spark: SparkSession, cuckoo: PartitionedCuckoo):
         }
     )
 
+    # memoized per python worker: the filter is read-only in the probe, so
+    # rebuild it once per executor process, not once per Arrow batch (and
+    # frombuffer WITHOUT .copy() — might_contain never writes the table;
+    # the bloom twin uses the same zero-copy pattern)
+    holder: list[PartitionedCuckoo] = []
+
     @pandas_udf(BooleanType())
     def might_contain(url_hash: pd.Series) -> pd.Series:
-        state = bc.value
-        local = PartitionedCuckoo(state["n"], state["m"])
-        for b, blob in state["tables"].items():
-            local.tables[b].table = np.frombuffer(blob, dtype=np.uint16).reshape(
-                state["m"], SLOTS
-            ).copy()
-            local.tables[b].stash = set(state["stash"][b])
-            local.tables[b].stash_fp = {tuple(p) for p in state["stash_fp"][b]}
-        return pd.Series(local.might_contain(url_hash.to_numpy(np.int64)))
+        if not holder:
+            state = bc.value
+            local = PartitionedCuckoo(state["n"], state["m"])
+            for b, blob in state["tables"].items():
+                local.tables[b].table = np.frombuffer(blob, dtype=np.uint16).reshape(
+                    state["m"], SLOTS
+                )
+                local.tables[b].stash = set(state["stash"][b])
+                local.tables[b].stash_fp = {tuple(p) for p in state["stash_fp"][b]}
+            holder.append(local)
+        return pd.Series(holder[0].might_contain(url_hash.to_numpy(np.int64)))
 
     return might_contain
 

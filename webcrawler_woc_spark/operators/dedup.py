@@ -206,11 +206,22 @@ def verify_substring_dups(
     empties filtered matches the kernel's python ``str.split()`` for ASCII
     whitespace (the corpus contract; non-ASCII unicode spaces would differ).
     """
-    if dups is None:
-        dups = exact_substring_dups(documents, k=k)
     positions = documents.select(
         "doc_id", F.posexplode(_window_hash_udf(k)(F.col("text"))).alias("pos", "whash")
-    ).join(dups.select("whash"), "whash", "left_semi")
+    )
+    if dups is None:
+        # derive the hash report from a PINNED positions frame so the Arrow
+        # window-hash kernel (the corpus's dominant Python cost) runs ONCE —
+        # calling exact_substring_dups here would run it a second time. At
+        # 100 TB the pin trades explode-sized storage for a kernel re-run;
+        # pass a precomputed ``dups`` report to skip the pin entirely.
+        positions = positions.localCheckpoint()
+        dups = (
+            positions.groupBy("whash")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2)
+        )
+    positions = positions.join(dups.select("whash"), "whash", "left_semi")
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
     spans = positions.join(documents.select("doc_id", toks.alias("toks")), "doc_id").select(
         "whash",
@@ -590,11 +601,15 @@ def line_boilerplate_dedup(documents: DataFrame, min_docs: int = 5) -> DataFrame
     paragraph_dedup. The boilerplate table is NOT broadcast by hint: its
     size is data-dependent (could be millions of lines at 100 TB), so AQE
     picks broadcast only when it measures small."""
+    # posexplode_OUTER: a NULL-text doc keeps one (null, null) row so it
+    # survives to the output as (doc_id, '', 0, 0) — an inner explode would
+    # silently drop the document from the cleaned corpus
     lines = documents.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), "\n")).alias("idx", "line")
+        "doc_id", F.posexplode_outer(F.split(F.col("text"), "\n")).alias("idx", "line")
     )
     boiler = (
-        lines.groupBy("line")
+        lines.filter(F.col("line").isNotNull())
+        .groupBy("line")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= min_docs)
         .select("line", F.lit(True).alias("_b"))
@@ -607,7 +622,7 @@ def line_boilerplate_dedup(documents: DataFrame, min_docs: int = 5) -> DataFrame
                     F.array_sort(
                         F.collect_list(
                             F.when(
-                                F.col("_b").isNull(),
+                                F.col("_b").isNull() & F.col("line").isNotNull(),
                                 F.struct(F.col("idx"), F.col("line")),
                             )
                         )
@@ -618,6 +633,6 @@ def line_boilerplate_dedup(documents: DataFrame, min_docs: int = 5) -> DataFrame
             ),
             F.lit(""),
         ).alias("clean_text"),
-        F.count("*").cast("int").alias("n_lines"),
+        F.count("line").cast("int").alias("n_lines"),
         F.coalesce(F.sum(F.col("_b").cast("int")), F.lit(0)).cast("int").alias("n_removed"),
     )

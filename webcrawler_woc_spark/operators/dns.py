@@ -15,12 +15,13 @@ exactly the anti-pattern this operator exists to avoid at scale.
 
 Failure contract mirrors the reference (links.rs:318-320: lookup errors =>
 no enrichment): any resolver error or timeout yields NULL columns, never a
-task failure. ``getaddrinfo`` has no timeout parameter of its own, so the
-pool collects results against ONE batch-wide deadline and then abandons the
-pool without joining (``shutdown(wait=False, cancel_futures=True)``): hung
-lookups yield NULL rows immediately and the stuck thread is leaked to die
-with the python worker, rather than blocking the task. Per-host timeouts
-therefore never compound — the batch is bounded by timeout_s per wave of
+task failure. ``getaddrinfo`` has no timeout parameter of its own, so
+lookups run on DAEMON threads joined against ONE batch-wide deadline: a
+hung lookup yields NULL rows at the deadline and the stuck thread is truly
+abandoned — daemon threads are joined by no one, including the interpreter
+at exit (a ThreadPoolExecutor would re-join them via concurrent.futures'
+atexit hook and wedge the python worker's graceful shutdown). Per-host
+timeouts never compound — the batch is bounded by timeout_s per wave of
 ``max_workers`` concurrent lookups, not ``len(batch) * timeout_s``.
 """
 
@@ -58,37 +59,47 @@ def resolve_hosts(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
+        import queue
+        import threading
         import time
-        from concurrent.futures import ThreadPoolExecutor, wait
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             batch = list(pdf["host"])
             workers = min(max_workers, len(batch))
-            pool = ThreadPoolExecutor(max_workers=workers)
-            futs = {pool.submit(_resolve_one, h): h for h in batch}
+            # DAEMON threads, not ThreadPoolExecutor: concurrent.futures
+            # registers an atexit hook that JOINS non-daemon pool threads, so
+            # one getaddrinfo stuck on a blackholed resolver would wedge the
+            # python worker's eventual graceful exit. Daemon threads are
+            # truly abandoned: the batch yields NULLs at the deadline and the
+            # stuck thread dies with the process, joined by no one.
+            todo: queue.Queue[str] = queue.Queue()
+            for h in batch:
+                todo.put(h)
+            results: dict[str, tuple[str | None, str | None]] = {}
+
+            def work() -> None:
+                while True:
+                    try:
+                        h = todo.get_nowait()
+                    except queue.Empty:
+                        return
+                    results[h] = _resolve_one(h)  # dict store: atomic under GIL
+
+            threads = [
+                threading.Thread(target=work, daemon=True) for _ in range(workers)
+            ]
+            for t in threads:
+                t.start()
             # One deadline for the whole batch: timeout_s per wave of
-            # ``workers`` concurrent lookups (not per host — sequential
-            # fut.result(timeout) calls would compound to len*timeout).
+            # ``workers`` concurrent lookups (not per host — per-host joins
+            # would compound to len(batch) * timeout).
             deadline = time.monotonic() + timeout_s * max(
                 1, math.ceil(len(batch) / workers)
             )
-            results: dict[str, tuple[str | None, str | None]] = {}
-            pending = set(futs)
-            while pending:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
-                done, pending = wait(pending, timeout=remaining)
-                for fut in done:
-                    try:
-                        results[futs[fut]] = fut.result()
-                    except Exception:
-                        results[futs[fut]] = (None, None)
-            # Abandon hung lookups: don't join stuck getaddrinfo threads
-            # (they leak and die with the worker); unstarted futures cancel.
-            pool.shutdown(wait=False, cancel_futures=True)
+            for t in threads:
+                t.join(max(0.0, deadline - time.monotonic()))
             out = [(h, *results.get(h, (None, None))) for h in batch]
             yield pd.DataFrame(out, columns=["host", "ipv4", "ipv6"])
 

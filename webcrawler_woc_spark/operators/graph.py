@@ -172,6 +172,8 @@ def hits_int(nodes: DataFrame, edges: DataFrame, iterations: int = 2) -> DataFra
     so bigint holds to N ~ 9·10^6 edges-per-authority; beyond that drop the
     ppm scale a few digits (the contract pins ppm for the gate corpus).
     """
+    if iterations < 1:
+        raise ValueError("hits_int needs iterations >= 1 (auth scores are undefined before the first half-step)")
     hubs = nodes.select("doc_id", F.lit(PPM).cast("bigint").alias("hub_ppm"))
     auths = None
     for _ in range(iterations):

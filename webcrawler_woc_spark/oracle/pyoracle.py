@@ -48,10 +48,12 @@ def _should_crawl(host, whitelist, blacklist) -> bool:
 def _robots_bodies(pages: dict[str, bytes]) -> dict[str, str]:
     """host -> robots body; when a host contributes several bodies (http +
     https twins, duplicate rows) pick min(text) — the same deterministic
-    one-body-per-host reduce as politeness._tag_robots_lines."""
+    one-body-per-host reduce as politeness._tag_robots_lines. Anchored to
+    the HOST ROOT exactly like the engine's _robots_frame regex: a nested
+    /blog/robots.txt is not a robots file and must not join the reduce."""
     bodies: dict[str, str] = {}
     for url, body in pages.items():
-        if url.endswith("/robots.txt"):
+        if re.match(r"^https?://[^/]+/robots\.txt$", url):
             host = host_of(url)
             if host:
                 text = body.decode("utf-8", "replace")
@@ -129,20 +131,16 @@ def _disallow_rules(pages: dict[str, bytes], user_agent: str = "*") -> dict[str,
     specificity (groups naming our agent suppress the '*' fallback),
     the same walk as politeness.parse_robots_rules."""
     rules: dict[str, list[str]] = {}
-    for url, body in pages.items():
-        if url.endswith("/robots.txt"):
-            host = host_of(url)
-            if host:
-                groups = _robots_groups(body.decode("utf-8", "replace"))
-                specific = [
-                    g for g in groups
-                    if any(a.lower() == user_agent.lower() for a in g[0])
-                ]
-                chosen = specific if specific else [g for g in groups if "*" in g[0]]
-                for _agents, grules in chosen:
-                    for rtype, prefix in grules:
-                        if rtype == "disallow":
-                            rules.setdefault(host, []).append(prefix)
+    for host, text in _robots_bodies(pages).items():
+        groups = _robots_groups(text)
+        specific = [
+            g for g in groups if any(a.lower() == user_agent.lower() for a in g[0])
+        ]
+        chosen = specific if specific else [g for g in groups if "*" in g[0]]
+        for _agents, grules in chosen:
+            for rtype, prefix in grules:
+                if rtype == "disallow":
+                    rules.setdefault(host, []).append(prefix)
     return rules
 
 

@@ -423,9 +423,29 @@ def run_wave(
     except OSError:
         pass
     scheduled.unpersist()
-    matched.unpersist()
+    if cfg.fetch_mode == "http":
+        # matched is localCheckpoint()ed (not cached): DataFrame.unpersist
+        # only clears CacheManager entries, so the checkpoint blocks (full
+        # fetch output, html included) would otherwise pile up across waves
+        # until the driver GC happens to collect the RDD reference
+        _release_local_checkpoint(matched)
+    else:
+        matched.unpersist()
     fetched.unpersist()
     children.unpersist()
     deduped.unpersist()
     newly_rejected.unpersist()
     return counts
+
+
+def _release_local_checkpoint(df) -> None:
+    """Free the storage behind a localCheckpoint()ed frame NOW instead of at
+    driver GC: the blocks belong to the LogicalRDD under the analyzed plan,
+    which plain unpersist() never touches. Best-effort by design — a plan
+    shape we don't recognize just falls back to the GC path."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
