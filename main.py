@@ -120,6 +120,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--no-bloom", action="store_true")
     ap.add_argument(
+        "--seen-filter", choices=("bloom", "cuckoo"), default="bloom",
+        help="seen-set prefilter sketch ahead of the exact anti-join: bloom "
+             "(default) or cuckoo (deletable fingerprints; recrawl expiry). "
+             "--no-bloom disables the prefilter regardless",
+    )
+    ap.add_argument(
         "--fetch-mode", choices=("join", "http"), default="join",
         help="join = corpus equi-join fetch simulation (default); http = "
              "real HTTP GET via the mapInPandas fetcher pool (the corpus is "
@@ -179,6 +185,7 @@ def main(argv: list[str] | None = None) -> int:
         respect_disallow=args.respect_disallow,
         n_buckets=args.n_buckets,
         use_bloom=not args.no_bloom,
+        seen_filter=args.seen_filter,
         fetch_mode=args.fetch_mode,
         http_base=args.http_base,
         http_max_per_host=args.http_max_per_host,

@@ -119,3 +119,49 @@ class TestPrefilteredAntiJoin:
 def test_non_power_of_two_rejected(m):
     with pytest.raises(ValueError):
         CuckooTable(m)
+
+
+class TestCuckooSeenFilterInCrawl:
+    """seen_filter='cuckoo' drives the REAL crawl loop: results must be
+    identical to the bloom run (both prefilters are exact by construction),
+    the sidecar must persist/reload as a cuckoo, and a completed warehouse
+    must no-op on rerun."""
+
+    def test_crawl_parity_and_sidecar_roundtrip(self, spark, sf_dir):
+        import tempfile
+
+        from webcrawler_woc_spark.config import CrawlConfig
+        from webcrawler_woc_spark.operators.cuckoo import PartitionedCuckoo
+        from webcrawler_woc_spark.plans.crawl import crawl, read_crawl_order
+        from webcrawler_woc_spark.plans.state import Warehouse
+        from webcrawler_woc_spark.sources.corpus import pages_from_documents
+
+        pages = pages_from_documents(spark, sf_dir).cache()
+        pages.count()
+        seeds = [("http://host0.example/page/0", 1.0)]
+        wl = [f"host{i}.example" for i in range(5)]
+
+        def run(seen_filter, tmp):
+            cfg = CrawlConfig(whitelist=wl, depth=2, n_buckets=8, seen_filter=seen_filter)
+            wh = Warehouse(spark, tmp, n_buckets=8)
+            summary = crawl(spark, wh, pages, seeds, cfg)
+            order = sorted(
+                (r["wave"], r["host"], r["slot"], r["url"])
+                for r in read_crawl_order(wh).collect()
+            )
+            return wh, cfg, summary, order
+
+        with tempfile.TemporaryDirectory() as t1, tempfile.TemporaryDirectory() as t2:
+            _, _, s_bloom, order_bloom = run("bloom", t1)
+            wh, cfg, s_cuckoo, order_cuckoo = run("cuckoo", t2)
+            assert order_cuckoo == order_bloom  # exact-prefilter parity
+            assert s_cuckoo["waves"] == s_bloom["waves"]
+            # sidecar persisted as a cuckoo and reloads as one
+            side = wh.load_seen_filter()
+            assert isinstance(side, PartitionedCuckoo)
+            info = wh.manifest["waves"][str(wh.last_wave)]
+            assert info["sidecar_kind"] == "cuckoo"
+            # rerun on the completed warehouse: clean no-op
+            rerun = crawl(spark, wh, pages, seeds, cfg)
+            assert rerun["waves"] == 0
+        pages.unpersist()

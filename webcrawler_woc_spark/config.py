@@ -54,6 +54,11 @@ class CrawlConfig:
     host_budget: int | None = None
     n_buckets: int = 32
     use_bloom: bool = True
+    # which sketch prefilters the seen anti-join: "bloom" (default) or
+    # "cuckoo" (deletable fingerprints — the recrawl/TTL-expiry story,
+    # operators/cuckoo.py); use_bloom=False disables the prefilter entirely
+    # regardless (legacy switch, kept for the --no-bloom CLI surface)
+    seen_filter: str = "bloom"
     timeout_ms: int | None = None
     # enforce robots.txt Disallow rules: frontier URLs whose path starts with
     # a disallowed prefix for their host are never scheduled (north-rule
@@ -71,3 +76,11 @@ class CrawlConfig:
     # in-flight connection cap enforced within each host's partition
     http_base: str | None = None
     http_max_per_host: int = 4
+
+    def seen_filter_kind(self) -> str | None:
+        """Effective seen-set prefilter: None (disabled), 'bloom', 'cuckoo'."""
+        if not self.use_bloom or self.seen_filter == "none":
+            return None
+        if self.seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"unknown seen_filter: {self.seen_filter!r}")
+        return self.seen_filter

@@ -217,6 +217,36 @@ class PartitionedCuckoo:
             out[mask] = self.tables[b].delete_hashes(hs)
         return out
 
+    # --- persistence (checkpoint sidecar, the PartitionedBloom contract) ---
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            meta=np.array([self.n_buckets, self.m], dtype=np.int64),
+            **{f"t{b}": t.table for b, t in self.tables.items()},
+            **{
+                f"s{b}": np.array(sorted(t.stash), dtype=np.int64)
+                for b, t in self.tables.items()
+            },
+            **{
+                f"f{b}": np.array(sorted(t.stash_fp), dtype=np.int64).reshape(-1, 2)
+                for b, t in self.tables.items()
+            },
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "PartitionedCuckoo":
+        with np.load(path) as z:
+            n_buckets, m = (int(x) for x in z["meta"])
+            cuckoo = cls(n_buckets, m)
+            for b in range(n_buckets):
+                cuckoo.tables[b].table = z[f"t{b}"].copy()
+                cuckoo.tables[b].stash = {int(h) for h in z[f"s{b}"]}
+                cuckoo.tables[b].stash_fp = {
+                    (int(f), int(i)) for f, i in z[f"f{b}"]
+                }
+        return cuckoo
+
 
 def build_bucket_tables(df: DataFrame, n_buckets: int, m: int) -> list:
     """Distributed per-bucket cuckoo build over df(url_hash): groupBy(bucket)

@@ -67,7 +67,7 @@ def crawl(
 
         disallow = parse_robots_disallow(pages).cache()
 
-    bloom = wh.load_bloom() if cfg.use_bloom else None
+    bloom = wh.load_seen_filter() if cfg.seen_filter_kind() else None
     seed_urls = [u for u, _ in seeds]
 
     # Mid-wave-resume identity: cfg alone doesn't pin a wave's outputs — the
@@ -92,7 +92,7 @@ def crawl(
                 spark, wh, pages, wave, cfg, bloom, robots, None, content_type_expr,
                 disallow, input_fp=input_fp,
             )
-            bloom = wh.load_bloom() if cfg.use_bloom else None
+            bloom = wh.load_seen_filter() if cfg.seen_filter_kind() else None
             summary["waves"] += 1
             summary["scheduled_total"] += counts["scheduled"]
             last = wave
@@ -113,7 +113,7 @@ def crawl(
                 spark, wh, pages, wave, cfg, bloom, robots, extra, content_type_expr,
                 disallow, input_fp=input_fp,
             )
-            bloom = wh.load_bloom() if cfg.use_bloom else None
+            bloom = wh.load_seen_filter() if cfg.seen_filter_kind() else None
             summary["waves"] += 1
             summary["scheduled_total"] += counts["scheduled"]
             wave += 1
@@ -143,7 +143,11 @@ def _flush_residual(wh: Warehouse, residual: DataFrame, final_wave: int) -> None
         "counts": {"residual_flush": n},
         "host_lineage": [],
         "wall_sec": 0.0,
+        # the flush adds no new URLs: carry the previous wave's seen-filter
+        # sidecar forward, kind included (a cuckoo path loaded as a bloom
+        # would fail on the meta shape)
         "bloom": wh.manifest["waves"].get(str(final_wave - 1), {}).get("bloom"),
+        "sidecar_kind": wh.manifest["waves"].get(str(final_wave - 1), {}).get("sidecar_kind"),
     }
     wh.manifest["last_wave"] = final_wave
     wh._commit_manifest()

@@ -100,10 +100,16 @@ class Warehouse:
         bloom: PartitionedBloom | None,
         timings: dict | None = None,
     ) -> None:
-        """Atomically record a completed wave (the Spark 'action barrier')."""
+        """Atomically record a completed wave (the Spark 'action barrier').
+
+        ``bloom`` is the seen-set prefilter sidecar and accepts EITHER
+        PartitionedBloom or PartitionedCuckoo (the manifest key keeps its
+        legacy name; ``sidecar_kind`` records which filter wrote it)."""
         bloom_path = None
+        kind = None
         if bloom is not None:
-            bloom_path = os.path.join(self.path, f"bloom_wave_{wave}.npz")
+            kind = "cuckoo" if bloom.__class__.__name__ == "PartitionedCuckoo" else "bloom"
+            bloom_path = os.path.join(self.path, f"{kind}_wave_{wave}.npz")
             bloom.save(bloom_path)
         self.manifest["waves"][str(wave)] = {
             "tables": table_paths,
@@ -111,19 +117,29 @@ class Warehouse:
             "host_lineage": host_lineage or [],
             "wall_sec": wall_sec,
             "bloom": bloom_path,
+            "sidecar_kind": kind,
             "timings": timings or {},
             "committed_at": time.time(),
         }
         self.manifest["last_wave"] = wave
         self._commit_manifest()
 
-    def load_bloom(self, wave: int | None = None) -> PartitionedBloom | None:
-        """Bloom sidecar of the latest (or given) committed wave."""
+    def load_seen_filter(self, wave: int | None = None):
+        """Seen-filter sidecar (bloom or cuckoo) of the latest (or given)
+        committed wave; None when the wave carried none."""
         last = self.manifest["last_wave"] if wave is None else wave
         info = self.manifest["waves"].get(str(last))
         if info and info.get("bloom") and os.path.exists(info["bloom"]):
+            if info.get("sidecar_kind") == "cuckoo":
+                from ..operators.cuckoo import PartitionedCuckoo
+
+                return PartitionedCuckoo.load(info["bloom"])
             return PartitionedBloom.load(info["bloom"])
         return None
+
+    def load_bloom(self, wave: int | None = None) -> PartitionedBloom | None:
+        """Legacy alias: the sidecar loader, whatever kind it holds."""
+        return self.load_seen_filter(wave)
 
     def destroy(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

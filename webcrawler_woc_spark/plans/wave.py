@@ -208,11 +208,19 @@ def run_wave(
         cfg.blacklist,
         children_rows=extracted,
     )
-    # seen anti-join with Bloom fast path (bloom covers waves < wave);
+    # seen anti-join with the sketch fast path (the sidecar covers waves <
+    # wave; bloom and cuckoo share the no-false-negative prefilter contract);
     # then subtract THIS wave's scheduled urls (batch seen semantics).
-    sc_frontier = bloom_prefiltered_anti_join(
-        spark, sc_frontier, seen_prev, bloom, candidates_rows=extracted
-    )
+    if bloom is not None and bloom.__class__.__name__ == "PartitionedCuckoo":
+        from ..operators.cuckoo import cuckoo_prefiltered_anti_join
+
+        sc_frontier = cuckoo_prefiltered_anti_join(
+            spark, sc_frontier, seen_prev, bloom, candidates_rows=extracted
+        )
+    else:
+        sc_frontier = bloom_prefiltered_anti_join(
+            spark, sc_frontier, seen_prev, bloom, candidates_rows=extracted
+        )
     from ..config import small_enough_to_broadcast
 
     sched_keys = scheduled.select("url_hash", "url")
@@ -394,10 +402,11 @@ def run_wave(
         ],
     )
 
-    # -- bloom update (transactional with the manifest commit). Bitmaps are
-    # built distributed (one small bitmap per bucket reaches the driver,
-    # never the URLs) and OR-merged into the running filter. ----------------
-    if cfg.use_bloom:
+    # -- seen-filter update (transactional with the manifest commit). Both
+    # kinds build distributed (one small table/bitmap per bucket reaches the
+    # driver, never the URLs) and merge into the running filter. ------------
+    kind = cfg.seen_filter_kind()
+    if kind == "bloom":
         if bloom is None:
             bloom = PartitionedBloom(cfg.n_buckets)
         from ..operators.bloom import build_bucket_bitmaps
@@ -407,6 +416,18 @@ def run_wave(
             bloom.merge_spark_bitmaps(rows)
 
         _timed("bloom_update", _bloom_update)
+    elif kind == "cuckoo":
+        if bloom is None:
+            from ..operators.cuckoo import PartitionedCuckoo
+
+            bloom = PartitionedCuckoo(cfg.n_buckets)
+        from ..operators.cuckoo import build_bucket_tables, merge_spark_tables
+
+        def _cuckoo_update():
+            rows = build_bucket_tables(new_seen, bloom.n_buckets, bloom.m)
+            merge_spark_tables(bloom, rows)
+
+        _timed("bloom_update", _cuckoo_update)  # same timing key: the sidecar slot
 
     counts = {
         "frontier_in": frontier_in,
