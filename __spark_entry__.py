@@ -759,6 +759,15 @@ def q_text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_nfc(docs)
 
 
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit char-bigram surprisal per document (the CCNet perplexity
+    signal, integer bits) — rare character transitions score high. Oracle
+    rebuilds the identical count table and ilog2 arithmetic in SQL."""
+    from webcrawler_woc_spark.operators.textstats import char_lm_scores
+
+    return char_lm_scores(_docs(spark, sf_dir))
+
+
 def q_crawl_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registrable-domain (eTLD+1) rollup — domain-level politeness /
     ownership accounting that host-level grouping gets wrong (www./cdn./m.
@@ -1634,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_xml_sitemap": q_crawl_xml_sitemap,
         "crawl_domain_rollup": q_crawl_domain_rollup,
         "text_quality_bins": q_text_quality_bins,
+        "text_lm_score": q_text_lm_score,
         # --- representative long-stable basics (also e2e-pinned) ---
         "crawl_bfs_depth3_seen": q_crawl_bfs_depth3_seen,
         "crawl_wave1_frontier": q_crawl_wave1_frontier,
@@ -2331,6 +2341,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS INT) AS n_chars_raw,
                    CAST(length(nfc_normalize(text)) AS INT) AS n_chars_norm
             FROM d
+        """,
+        # ilog2 via length(bin(x)) - 1, the same no-float-log trick as
+        # sketch_quantile_log2; C(a) derived from the bigram table on both
+        # engines so the counts can never disagree
+        "text_lm_score": """
+            WITH bg AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN length(text) >= 2
+                           THEN list_transform(range(1, length(text)),
+                                i -> substring(text, CAST(i AS INT), 2))
+                           ELSE CAST([] AS VARCHAR[]) END) AS bg
+                FROM documents
+            ),
+            counts AS (SELECT bg, count(*) AS c_ab FROM bg GROUP BY bg),
+            lead AS (
+                SELECT substring(bg, 1, 1) AS a, sum(c_ab) AS c_a
+                FROM counts GROUP BY substring(bg, 1, 1)
+            ),
+            cost AS (
+                SELECT counts.bg,
+                       CAST((length(bin(c_a)) - 1) - (length(bin(c_ab)) - 1) AS BIGINT) AS bits
+                FROM counts JOIN lead ON substring(counts.bg, 1, 1) = lead.a
+            ),
+            per_doc AS (
+                SELECT bg.doc_id,
+                       CAST(count(*) AS INT) AS n_bigrams,
+                       CAST(sum(bits) AS BIGINT) AS bits_total
+                FROM bg JOIN cost ON bg.bg = cost.bg
+                GROUP BY bg.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_bigrams, 0) AS n_bigrams,
+                   coalesce(p.bits_total, CAST(0 AS BIGINT)) AS bits_total,
+                   CAST(coalesce(p.bits_total, 0) * 100
+                        // greatest(coalesce(p.n_bigrams, 0), 1) AS BIGINT)
+                       AS centibits_per_bigram
+            FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
         """,
         # the expected registrable domain is predicted ARITHMETICALLY from
         # the same doc-id synthesis — no suffix parsing on the oracle side

@@ -98,3 +98,28 @@ class TestLineBoilerplateDedup:
         assert 9 in out  # NULL-text doc must not vanish from the corpus
         assert (out[9].clean_text, out[9].n_lines, out[9].n_removed) == ("", 0, 0)
         assert out[0].clean_text == ""  # 'shared' crossed the threshold
+
+
+class TestCharLmScores:
+    def test_rare_transitions_score_higher(self, spark):
+        from webcrawler_woc_spark.operators.textstats import char_lm_scores
+
+        fluent = "the cat sat on the mat and the cat sat again"
+        docs = [(i, fluent) for i in range(9)]
+        docs.append((9, "zq xj qz jx zq xj"))  # transitions seen nowhere else
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        out = {r.doc_id: r for r in char_lm_scores(df).collect()}
+        assert out[9].centibits_per_bigram > out[0].centibits_per_bigram
+        assert all(out[i].centibits_per_bigram == out[0].centibits_per_bigram for i in range(9))
+
+    def test_degenerate_docs_zeroed(self, spark):
+        from webcrawler_woc_spark.operators.textstats import char_lm_scores
+
+        df = spark.createDataFrame(
+            [(0, "normal text here"), (1, "x"), (2, ""), (3, None)],
+            "doc_id bigint, text string",
+        )
+        out = {r.doc_id: r for r in char_lm_scores(df).collect()}
+        assert len(out) == 4  # nothing dropped
+        for i in (1, 2, 3):
+            assert (out[i].n_bigrams, out[i].bits_total, out[i].centibits_per_bigram) == (0, 0, 0)

@@ -391,3 +391,55 @@ def inverted_index(documents: DataFrame) -> DataFrame:
             F.count("*").cast("int").alias("tf"),
         )
     )
+
+
+def char_lm_scores(documents: DataFrame) -> DataFrame:
+    """CCNet-class language-model quality signal without an external LM: a
+    character-BIGRAM model is fit on the corpus itself and every document is
+    scored by its total surprisal under it — spammy/garbled text (rare
+    character transitions) scores high, fluent text low. CCNet buckets on
+    exactly this kind of score; the real pipeline swaps in a KenLM, the
+    operator shape (count table -> broadcast -> scan-side scoring) is
+    identical.
+
+    All-integer surprisal so the oracle is value-exact: cost(ab) =
+    ilog2(C(a)) - ilog2(C(ab)) where ilog2(x) = length(bin(x)) - 1 =
+    floor(log2 x) (the sketch_quantile_log2 trick — no float log anywhere)
+    and C(a) = sum_b C(ab) is derived FROM the bigram table so the two
+    counts can never disagree. Output (doc_id, n_bigrams, bits_total,
+    centibits_per_bigram), rate = bits_total * 100 div n_bigrams.
+
+    Scale shape: one bigram explode feeds a partial-agg'd groupBy whose
+    result is bounded by the CHARSET squared (~10k for ASCII web text, still
+    broadcastable for unicode), then the scoring pass joins the explode
+    against the broadcast cost table and aggregates per doc — the corpus
+    shuffles nothing but its own doc_id grouping. At 100 TB the count table
+    is fit once (or on a sample) and persisted, not re-derived per query."""
+    bigrams = F.when(
+        F.length("text") >= 2,
+        F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    bg = documents.select("doc_id", F.explode(bigrams).alias("bg"))
+    counts = bg.groupBy("bg").agg(F.count("*").alias("c_ab"))
+    lead = counts.groupBy(F.substring("bg", 1, 1).alias("a")).agg(
+        F.sum("c_ab").alias("c_a")
+    )
+    ilog2 = lambda c: F.length(F.bin(c)) - 1  # noqa: E731 — floor(log2 x), integer-exact
+    cost = (
+        counts.join(lead, F.substring(counts["bg"], 1, 1) == lead["a"])
+        .select("bg", (ilog2(F.col("c_a")) - ilog2(F.col("c_ab"))).cast("bigint").alias("bits"))
+    )
+    scored = bg.join(F.broadcast(cost), "bg")
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        F.sum("bits").alias("bits_total"),
+    )
+    # left join restores bigram-less docs (empty/NULL/1-char text) as zeros
+    return documents.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.col("bits_total"), F.lit(0).cast("bigint")).alias("bits_total"),
+        F.expr(
+            "CAST(coalesce(bits_total, 0) * 100 div greatest(coalesce(n_bigrams, 0), 1) AS BIGINT)"
+        ).alias("centibits_per_bigram"),
+    )
