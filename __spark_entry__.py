@@ -303,6 +303,38 @@ def q_crawl_cuckoo_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuckoo_prefiltered_anti_join(spark, cands, seen, cuckoo).select("url")
 
 
+def q_crawl_cuckoo_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl expiry via distributed cuckoo DELETION (the capability the
+    Bloom sidecar lacks): every 5th page expires — deleted from the filter
+    per bucket (the expired set never collects to the driver) and dropped
+    from the active seen table. A full re-probe of all page urls must then
+    schedule exactly the expired ones: output = the anti-join against the
+    ACTIVE seen set, which is the oracle."""
+    from webcrawler_woc_spark.operators.cuckoo import (
+        PartitionedCuckoo,
+        build_bucket_tables,
+        cuckoo_prefiltered_anti_join,
+        delete_bucket_hashes,
+        merge_spark_tables,
+    )
+    from webcrawler_woc_spark.operators.fetch import with_url_hash
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("http://host"), (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example/page/"), F.col("doc_id").cast("string"),
+    )
+    all_urls = with_url_hash(docs.select("doc_id", url.alias("url")))
+    expired = all_urls.filter(F.col("doc_id") % 5 == 0)
+    active = all_urls.filter(F.col("doc_id") % 5 != 0).select("url", "url_hash")
+    cuckoo = PartitionedCuckoo(n_buckets=4, m=1 << 13)
+    merge_spark_tables(cuckoo, build_bucket_tables(all_urls, n_buckets=4, m=1 << 13))
+    delete_bucket_hashes(spark, cuckoo, expired.select("url_hash"))
+    return cuckoo_prefiltered_anti_join(
+        spark, all_urls.select("url", "url_hash"), active, cuckoo
+    ).select("url")
+
+
 def q_crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The politeness scheduler itself (north-rule core): per-host slots under
     a robots-crawl-delay-derived budget; over-budget URLs deferred. Output is
@@ -1644,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_domain_rollup": q_crawl_domain_rollup,
         "text_quality_bins": q_text_quality_bins,
         "text_lm_score": q_text_lm_score,
+        "crawl_cuckoo_expire": q_crawl_cuckoo_expire,
         # --- representative long-stable basics (also e2e-pinned) ---
         "crawl_bfs_depth3_seen": q_crawl_bfs_depth3_seen,
         "crawl_wave1_frontier": q_crawl_wave1_frontier,
@@ -1813,6 +1846,14 @@ def oracle_sql() -> dict[str, str]:
                 ('decoy5.example', 1),   -- specific group w/o delay suppresses '*'
                 ('decoy7.example', 11)   -- min(text) twin-body pick
             ) v(host, crawl_delay)
+        """,
+        # post-deletion the filter still has no false negatives for ACTIVE
+        # urls (copies are per-insert), and expired urls re-qualify as new —
+        # the exact semantics is the anti-join against the active seen set
+        "crawl_cuckoo_expire": """
+            SELECT 'http://host' || (doc_id % 10) || '.example/page/' || doc_id AS url
+            FROM documents
+            WHERE doc_id % 5 = 0
         """,
         # the cuckoo prefilter is exact by construction (no false negatives;
         # maybe-seen rows are join-confirmed), so the oracle is the plain

@@ -165,3 +165,18 @@ class TestCuckooSeenFilterInCrawl:
             rerun = crawl(spark, wh, pages, seeds, cfg)
             assert rerun["waves"] == 0
         pages.unpersist()
+
+
+class TestDistributedDeletion:
+    def test_delete_bucket_hashes_matches_driver_delete(self, spark):
+        hs = np.unique(_hashes(12, 20_000))
+        df = spark.createDataFrame([(int(h),) for h in hs], "url_hash bigint")
+        dist = PartitionedCuckoo(4, 1 << 12)
+        merge_spark_tables(dist, build_bucket_tables(df, n_buckets=4, m=1 << 12))
+        gone, kept = hs[::3], np.array([h for i, h in enumerate(hs) if i % 3], dtype=np.int64)
+        from webcrawler_woc_spark.operators.cuckoo import delete_bucket_hashes
+
+        gone_df = spark.createDataFrame([(int(h),) for h in gone], "url_hash bigint")
+        delete_bucket_hashes(spark, dist, gone_df)
+        assert dist.might_contain(kept).all()  # survivors keep membership
+        assert dist.might_contain(gone).mean() < 0.01  # expired gone (fp-level)

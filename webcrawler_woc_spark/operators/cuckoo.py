@@ -281,6 +281,71 @@ def merge_spark_tables(cuckoo: PartitionedCuckoo, rows: list) -> None:
         cuckoo.tables[int(bucket)].merge_resident(other, set(stash))
 
 
+def delete_bucket_hashes(
+    spark: SparkSession, cuckoo: PartitionedCuckoo, df: DataFrame
+) -> None:
+    """Distributed DELETION over df(url_hash) — the recrawl/TTL-expiry path
+    (the capability Bloom fundamentally lacks): expired hashes are grouped
+    by their url_hash bucket, each task deletes from ITS bucket's broadcast
+    table and ships the updated table back (one small row per bucket, the
+    same wire shape as the build); the driver swaps tables in place. The
+    expired set itself never collects to the driver.
+
+    Deleting a hash removes ONE resident copy of its fingerprint from its
+    bucket pair; distinct urls colliding to the same (fingerprint, pair)
+    each inserted their own copy, so survivors keep theirs — no false
+    negatives for still-active urls (property-tested)."""
+    bc = spark.sparkContext.broadcast(
+        {
+            "m": cuckoo.m,
+            "tables": {b: t.table.tobytes() for b, t in cuckoo.tables.items()},
+            "stash": {b: sorted(t.stash) for b, t in cuckoo.tables.items()},
+            "stash_fp": {b: sorted(t.stash_fp) for b, t in cuckoo.tables.items()},
+        }
+    )
+
+    def drop(pdf: pd.DataFrame) -> pd.DataFrame:
+        state = bc.value
+        b = int(pdf["bucket"].iloc[0])
+        t = CuckooTable(state["m"])
+        t.table = np.frombuffer(state["tables"][b], dtype=np.uint16).reshape(
+            state["m"], SLOTS
+        ).copy()  # copy: deletion writes
+        t.stash = set(state["stash"][b])
+        t.stash_fp = {tuple(p) for p in state["stash_fp"][b]}
+        t.delete_hashes(np.unique(pdf["url_hash"].to_numpy(np.int64)))
+        return pd.DataFrame(
+            {
+                "bucket": [b],
+                "table": [t.table.tobytes()],
+                "stash": [sorted(t.stash)],
+                "stash_fp": [[list(p) for p in sorted(t.stash_fp)]],
+            }
+        )
+
+    rows = (
+        df.select(
+            F.col("url_hash"),
+            F.pmod(F.col("url_hash"), F.lit(cuckoo.n_buckets)).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .applyInPandas(
+            drop,
+            schema="bucket int, table binary, stash array<bigint>, "
+            "stash_fp array<array<bigint>>",
+        )
+        .collect()
+    )
+    for r in rows:
+        t = cuckoo.tables[int(r["bucket"])]
+        t.table = np.frombuffer(r["table"], dtype=np.uint16).reshape(
+            cuckoo.m, SLOTS
+        ).copy()
+        t.stash = {int(h) for h in r["stash"]}
+        t.stash_fp = {(int(p[0]), int(p[1])) for p in r["stash_fp"]}
+    bc.unpersist()
+
+
 def make_might_contain_udf(spark: SparkSession, cuckoo: PartitionedCuckoo):
     """Broadcast the tables; return an Arrow-batched membership UDF."""
     bc = spark.sparkContext.broadcast(
