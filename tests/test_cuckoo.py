@@ -180,3 +180,50 @@ class TestDistributedDeletion:
         delete_bucket_hashes(spark, dist, gone_df)
         assert dist.might_contain(kept).all()  # survivors keep membership
         assert dist.might_contain(gone).mean() < 0.01  # expired gone (fp-level)
+
+
+class TestReviewHardening:
+    def test_resume_with_mismatched_seen_filter_fails_fast(self, spark, sf_dir):
+        import tempfile
+
+        from webcrawler_woc_spark.config import CrawlConfig
+        from webcrawler_woc_spark.plans.crawl import crawl
+        from webcrawler_woc_spark.plans.state import Warehouse
+        from webcrawler_woc_spark.sources.corpus import pages_from_documents
+
+        pages = pages_from_documents(spark, sf_dir)
+        seeds = [("http://host0.example/page/0", 1.0)]
+        wl = [f"host{i}.example" for i in range(5)]
+        with tempfile.TemporaryDirectory() as tmp:
+            wh = Warehouse(spark, tmp, n_buckets=8)
+            crawl(spark, wh, pages, seeds,
+                  CrawlConfig(whitelist=wl, depth=1, n_buckets=8, seen_filter="cuckoo"))
+            # deeper rerun with the default bloom filter must refuse EARLY
+            with pytest.raises(ValueError, match="seen filter"):
+                crawl(spark, wh, pages, seeds,
+                      CrawlConfig(whitelist=wl, depth=2, n_buckets=8, seen_filter="bloom"))
+
+    def test_seen_filter_typo_rejected_even_with_use_bloom_false(self):
+        from webcrawler_woc_spark.config import CrawlConfig
+
+        cfg = CrawlConfig(seen_filter="cuckoos", use_bloom=False)
+        with pytest.raises(ValueError, match="cuckoos"):
+            cfg.seen_filter_kind()
+
+    def test_stash_fp_multiset_deletion_keeps_survivor(self):
+        """Two distinct hashes sharing a (fingerprint, pair) key both
+        overflow to stash_fp; deleting one must keep the other's
+        membership (a set instead of counts would drop both)."""
+        import webcrawler_woc_spark.operators.cuckoo as cu
+
+        t = CuckooTable(16)
+        hs = np.array([0x1234_5678_9ABC_DEF0], dtype=np.int64)
+        f = int(cu._fingerprints(hs)[0])
+        i1 = int(cu._index_pair(hs, np.array([f], dtype=np.uint16), t.m)[0][0])
+        pk = cu._pair_key(f, i1, t.m)
+        t.stash_fp[pk] = 2  # two overflow copies of the same canonical key
+        assert t.might_contain(hs).all()
+        assert t.delete_hashes(hs).all()  # first delete: decrement 2 -> 1
+        assert t.might_contain(hs).all()  # survivor copy still answers
+        assert t.delete_hashes(hs).all()  # second delete: remove
+        assert not t.might_contain(hs).any()

@@ -78,9 +78,11 @@ class CrawlConfig:
     http_max_per_host: int = 4
 
     def seen_filter_kind(self) -> str | None:
-        """Effective seen-set prefilter: None (disabled), 'bloom', 'cuckoo'."""
+        """Effective seen-set prefilter: None (disabled), 'bloom', 'cuckoo'.
+        Validates seen_filter in EVERY mode — a typo must raise, not
+        silently run unprefiltered behind a use_bloom=False short-circuit."""
+        if self.seen_filter not in ("bloom", "cuckoo", "none"):
+            raise ValueError(f"unknown seen_filter: {self.seen_filter!r}")
         if not self.use_bloom or self.seen_filter == "none":
             return None
-        if self.seen_filter not in ("bloom", "cuckoo"):
-            raise ValueError(f"unknown seen_filter: {self.seen_filter!r}")
         return self.seen_filter

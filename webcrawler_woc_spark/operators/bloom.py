@@ -54,6 +54,8 @@ def _test_bits(bitmap: np.ndarray, positions: np.ndarray) -> np.ndarray:
 class PartitionedBloom:
     """n_buckets Bloom bitmaps keyed by pmod(url_hash, n_buckets)."""
 
+    kind = "bloom"  # sidecar/dispatch tag (PartitionedCuckoo.kind = "cuckoo")
+
     def __init__(self, n_buckets: int, m_bits: int = DEFAULT_BITS_PER_BUCKET, k: int = DEFAULT_K):
         self.n_buckets = n_buckets
         self.m_bits = m_bits

@@ -80,11 +80,14 @@ class CuckooTable:
     """One (m x SLOTS) uint16 fingerprint table + exact overflow stashes.
 
     ``stash`` holds full 64-bit hashes (insert_one overflow — exact, no
-    false positives); ``stash_fp`` holds canonical (fp, pair-min) keys
-    (merge-path overflow, where only the fingerprint survives). Both are
-    probed by might_contain, so overflow can NEVER yield a false negative.
-    An insertion whose eviction chain fails is fully UNDONE before
-    stashing, so the table never holds a half-applied chain."""
+    false positives); ``stash_fp`` is a MULTISET (key -> count) of canonical
+    (fp, pair-min) keys (merge-path overflow, where only the fingerprint
+    survives): counts matter because two distinct hashes can share a key,
+    and a set would let deleting one expire both — a false negative for the
+    survivor. Both stashes are probed by might_contain, so overflow can
+    NEVER yield a false negative. An insertion whose eviction chain fails is
+    fully UNDONE before stashing, so the table never holds a half-applied
+    chain."""
 
     def __init__(self, m: int = DEFAULT_M_BUCKETS):
         if m & (m - 1):
@@ -92,7 +95,26 @@ class CuckooTable:
         self.m = m
         self.table = np.zeros((m, SLOTS), dtype=np.uint16)
         self.stash: set[int] = set()
-        self.stash_fp: set[tuple[int, int]] = set()
+        self.stash_fp: dict[tuple[int, int], int] = {}
+
+    # one (de)serialization contract for save/load, the probe UDF broadcast,
+    # and distributed deletion — field drift between four hand-rolled copies
+    # was the alternative
+    def to_state(self) -> dict:
+        return {
+            "table": self.table.tobytes(),
+            "stash": sorted(self.stash),
+            "stash_fp": [[f, i, c] for (f, i), c in sorted(self.stash_fp.items())],
+        }
+
+    @classmethod
+    def from_state(cls, m: int, state: dict, writable: bool = False) -> "CuckooTable":
+        t = cls(m)
+        arr = np.frombuffer(state["table"], dtype=np.uint16).reshape(m, SLOTS)
+        t.table = arr.copy() if writable else arr  # probes never write
+        t.stash = {int(h) for h in state["stash"]}
+        t.stash_fp = {(int(x[0]), int(x[1])): int(x[2]) for x in state["stash_fp"]}
+        return t
 
     def add_hashes(self, hashes: np.ndarray) -> None:
         """Insert (sorted first: a deterministic layout regardless of the
@@ -170,8 +192,13 @@ class CuckooTable:
                     break
             else:
                 pk = _pair_key(f, int(i1[j]), self.m)
-                if pk in self.stash_fp:
-                    self.stash_fp.discard(pk)
+                n = self.stash_fp.get(pk, 0)
+                if n:
+                    # decrement, never drop below other holders' copies
+                    if n == 1:
+                        del self.stash_fp[pk]
+                    else:
+                        self.stash_fp[pk] = n - 1
                     out[j] = True
         return out
 
@@ -183,13 +210,16 @@ class CuckooTable:
         for i, s in zip(idx.tolist(), slots.tolist()):
             f = int(other_table[i, s])
             if not self._insert_fp(f, int(i)):
-                self.stash_fp.add(_pair_key(f, int(i), self.m))
+                pk = _pair_key(f, int(i), self.m)
+                self.stash_fp[pk] = self.stash_fp.get(pk, 0) + 1
         self.stash |= set(other_stash)
 
 
 class PartitionedCuckoo:
     """n_buckets cuckoo tables keyed by pmod(url_hash, n_buckets) — the
     same partitioning contract as PartitionedBloom."""
+
+    kind = "cuckoo"  # sidecar/dispatch tag (PartitionedBloom.kind = "bloom")
 
     def __init__(self, n_buckets: int, m: int = DEFAULT_M_BUCKETS):
         self.n_buckets = n_buckets
@@ -229,7 +259,10 @@ class PartitionedCuckoo:
                 for b, t in self.tables.items()
             },
             **{
-                f"f{b}": np.array(sorted(t.stash_fp), dtype=np.int64).reshape(-1, 2)
+                f"f{b}": np.array(
+                    [[f, i, c] for (f, i), c in sorted(t.stash_fp.items())],
+                    dtype=np.int64,
+                ).reshape(-1, 3)
                 for b, t in self.tables.items()
             },
         )
@@ -240,11 +273,15 @@ class PartitionedCuckoo:
             n_buckets, m = (int(x) for x in z["meta"])
             cuckoo = cls(n_buckets, m)
             for b in range(n_buckets):
-                cuckoo.tables[b].table = z[f"t{b}"].copy()
-                cuckoo.tables[b].stash = {int(h) for h in z[f"s{b}"]}
-                cuckoo.tables[b].stash_fp = {
-                    (int(f), int(i)) for f, i in z[f"f{b}"]
-                }
+                cuckoo.tables[b] = CuckooTable.from_state(
+                    m,
+                    {
+                        "table": z[f"t{b}"].tobytes(),
+                        "stash": z[f"s{b}"],
+                        "stash_fp": z[f"f{b}"],
+                    },
+                    writable=True,
+                )
         return cuckoo
 
 
@@ -293,42 +330,39 @@ def delete_bucket_hashes(
 
     Deleting a hash removes ONE resident copy of its fingerprint from its
     bucket pair; distinct urls colliding to the same (fingerprint, pair)
-    each inserted their own copy, so survivors keep theirs — no false
-    negatives for still-active urls (property-tested)."""
+    each inserted their own copy (table slots or stash_fp counts), so
+    survivors keep theirs — no false negatives for still-active urls
+    (property-tested)."""
+    keyed = df.select(
+        F.col("url_hash"),
+        F.pmod(F.col("url_hash"), F.lit(cuckoo.n_buckets)).alias("bucket"),
+    )
+    # broadcast only the buckets the expired set actually touches (the
+    # distinct-bucket list is <= n_buckets rows — driver-trivial); each
+    # grouped task reads exactly one bucket's state, so shipping all of
+    # them would cost ~n_buckets x the bytes any task needs
+    touched = [int(r["bucket"]) for r in keyed.select("bucket").distinct().collect()]
     bc = spark.sparkContext.broadcast(
-        {
-            "m": cuckoo.m,
-            "tables": {b: t.table.tobytes() for b, t in cuckoo.tables.items()},
-            "stash": {b: sorted(t.stash) for b, t in cuckoo.tables.items()},
-            "stash_fp": {b: sorted(t.stash_fp) for b, t in cuckoo.tables.items()},
-        }
+        {"m": cuckoo.m, "states": {b: cuckoo.tables[b].to_state() for b in touched}}
     )
 
     def drop(pdf: pd.DataFrame) -> pd.DataFrame:
         state = bc.value
         b = int(pdf["bucket"].iloc[0])
-        t = CuckooTable(state["m"])
-        t.table = np.frombuffer(state["tables"][b], dtype=np.uint16).reshape(
-            state["m"], SLOTS
-        ).copy()  # copy: deletion writes
-        t.stash = set(state["stash"][b])
-        t.stash_fp = {tuple(p) for p in state["stash_fp"][b]}
+        t = CuckooTable.from_state(state["m"], state["states"][b], writable=True)
         t.delete_hashes(np.unique(pdf["url_hash"].to_numpy(np.int64)))
+        out = t.to_state()
         return pd.DataFrame(
             {
                 "bucket": [b],
-                "table": [t.table.tobytes()],
-                "stash": [sorted(t.stash)],
-                "stash_fp": [[list(p) for p in sorted(t.stash_fp)]],
+                "table": [out["table"]],
+                "stash": [out["stash"]],
+                "stash_fp": [out["stash_fp"]],
             }
         )
 
     rows = (
-        df.select(
-            F.col("url_hash"),
-            F.pmod(F.col("url_hash"), F.lit(cuckoo.n_buckets)).alias("bucket"),
-        )
-        .groupBy("bucket")
+        keyed.groupBy("bucket")
         .applyInPandas(
             drop,
             schema="bucket int, table binary, stash array<bigint>, "
@@ -337,12 +371,11 @@ def delete_bucket_hashes(
         .collect()
     )
     for r in rows:
-        t = cuckoo.tables[int(r["bucket"])]
-        t.table = np.frombuffer(r["table"], dtype=np.uint16).reshape(
-            cuckoo.m, SLOTS
-        ).copy()
-        t.stash = {int(h) for h in r["stash"]}
-        t.stash_fp = {(int(p[0]), int(p[1])) for p in r["stash_fp"]}
+        cuckoo.tables[int(r["bucket"])] = CuckooTable.from_state(
+            cuckoo.m,
+            {"table": r["table"], "stash": r["stash"], "stash_fp": r["stash_fp"]},
+            writable=True,
+        )
     bc.unpersist()
 
 
@@ -352,15 +385,13 @@ def make_might_contain_udf(spark: SparkSession, cuckoo: PartitionedCuckoo):
         {
             "n": cuckoo.n_buckets,
             "m": cuckoo.m,
-            "tables": {b: t.table.tobytes() for b, t in cuckoo.tables.items()},
-            "stash": {b: sorted(t.stash) for b, t in cuckoo.tables.items()},
-            "stash_fp": {b: sorted(t.stash_fp) for b, t in cuckoo.tables.items()},
+            "states": {b: t.to_state() for b, t in cuckoo.tables.items()},
         }
     )
 
     # memoized per python worker: the filter is read-only in the probe, so
     # rebuild it once per executor process, not once per Arrow batch (and
-    # frombuffer WITHOUT .copy() — might_contain never writes the table;
+    # from_state without writable — might_contain never writes the table;
     # the bloom twin uses the same zero-copy pattern)
     holder: list[PartitionedCuckoo] = []
 
@@ -369,12 +400,8 @@ def make_might_contain_udf(spark: SparkSession, cuckoo: PartitionedCuckoo):
         if not holder:
             state = bc.value
             local = PartitionedCuckoo(state["n"], state["m"])
-            for b, blob in state["tables"].items():
-                local.tables[b].table = np.frombuffer(blob, dtype=np.uint16).reshape(
-                    state["m"], SLOTS
-                )
-                local.tables[b].stash = set(state["stash"][b])
-                local.tables[b].stash_fp = {tuple(p) for p in state["stash_fp"][b]}
+            for b, st in state["states"].items():
+                local.tables[b] = CuckooTable.from_state(state["m"], st)
             holder.append(local)
         return pd.Series(holder[0].might_contain(url_hash.to_numpy(np.int64)))
 

@@ -26,6 +26,28 @@ from .state import Warehouse
 from .wave import run_wave
 
 
+
+def _load_seen_filter(wh: Warehouse, cfg: CrawlConfig):
+    """Load the seen-filter sidecar, REFUSING a kind mismatch: resuming a
+    cuckoo-written warehouse with --seen-filter bloom (or vice versa) would
+    feed the wrong object into the wave's update path and crash mid-wave
+    AFTER the table writes — fail fast with an actionable message instead.
+    A fresh warehouse (no sidecar yet) loads None and the requested kind is
+    built on the first wave."""
+    kind = cfg.seen_filter_kind()
+    if kind is None:
+        return None
+    side = wh.load_seen_filter()
+    side_kind = getattr(side, "kind", "bloom") if side is not None else None
+    if side is not None and side_kind != kind:
+        raise ValueError(
+            f"warehouse sidecar was written by the {side_kind!r} seen filter but "
+            f"this run requests {kind!r}; resume with the matching --seen-filter "
+            "(switching kinds mid-crawl requires rebuilding the sidecar)"
+        )
+    return side
+
+
 def seed_frontier(
     spark: SparkSession, wh: Warehouse, seeds: list[tuple[str, float]]
 ) -> DataFrame:
@@ -67,7 +89,7 @@ def crawl(
 
         disallow = parse_robots_disallow(pages).cache()
 
-    bloom = wh.load_seen_filter() if cfg.seen_filter_kind() else None
+    bloom = _load_seen_filter(wh, cfg)
     seed_urls = [u for u, _ in seeds]
 
     # Mid-wave-resume identity: cfg alone doesn't pin a wave's outputs — the
@@ -92,7 +114,7 @@ def crawl(
                 spark, wh, pages, wave, cfg, bloom, robots, None, content_type_expr,
                 disallow, input_fp=input_fp,
             )
-            bloom = wh.load_seen_filter() if cfg.seen_filter_kind() else None
+            bloom = _load_seen_filter(wh, cfg)
             summary["waves"] += 1
             summary["scheduled_total"] += counts["scheduled"]
             last = wave
@@ -113,7 +135,7 @@ def crawl(
                 spark, wh, pages, wave, cfg, bloom, robots, extra, content_type_expr,
                 disallow, input_fp=input_fp,
             )
-            bloom = wh.load_seen_filter() if cfg.seen_filter_kind() else None
+            bloom = _load_seen_filter(wh, cfg)
             summary["waves"] += 1
             summary["scheduled_total"] += counts["scheduled"]
             wave += 1

@@ -108,7 +108,7 @@ class Warehouse:
         bloom_path = None
         kind = None
         if bloom is not None:
-            kind = "cuckoo" if bloom.__class__.__name__ == "PartitionedCuckoo" else "bloom"
+            kind = getattr(bloom, "kind", "bloom")
             bloom_path = os.path.join(self.path, f"{kind}_wave_{wave}.npz")
             bloom.save(bloom_path)
         self.manifest["waves"][str(wave)] = {

@@ -211,7 +211,7 @@ def run_wave(
     # seen anti-join with the sketch fast path (the sidecar covers waves <
     # wave; bloom and cuckoo share the no-false-negative prefilter contract);
     # then subtract THIS wave's scheduled urls (batch seen semantics).
-    if bloom is not None and bloom.__class__.__name__ == "PartitionedCuckoo":
+    if bloom is not None and getattr(bloom, "kind", "bloom") == "cuckoo":
         from ..operators.cuckoo import cuckoo_prefiltered_anti_join
 
         sc_frontier = cuckoo_prefiltered_anti_join(
