@@ -850,6 +850,31 @@ def q_text_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select("doc_id", "quality_ppm", bucket.cast("int").alias("tercile"), name.alias("bucket"))
 
 
+def q_crawl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse MERGE INTO over the latest-capture table (the Iceberg
+    operation the parquet warehouse mirrors): v2 captures merge into v1 —
+    docs only in v2 insert (doc_id%11==3), docs only in v1 keep
+    (doc_id%11==0), newer recaptures update (doc_id%7==0 gets ts+1000),
+    identical-ts recaptures keep (ties favor current). Every op and the
+    surviving timestamp are predicted arithmetically by the oracle."""
+    from webcrawler_woc_spark.operators.recrawl import merge_upsert
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("http://host"), (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example/page/"), F.col("doc_id").cast("string"),
+    )
+    base_ts = (F.lit(1000) + F.col("doc_id")).cast("bigint")
+    current = docs.filter(F.col("doc_id") % 11 != 3).select(
+        url.alias("url"), base_ts.alias("ts")
+    )
+    bump = F.when(F.col("doc_id") % 7 == 0, F.lit(1000)).otherwise(F.lit(0))
+    updates = docs.filter(F.col("doc_id") % 11 != 0).select(
+        url.alias("url"), (base_ts + bump).cast("bigint").alias("ts")
+    )
+    return merge_upsert(current, updates)
+
+
 def q_crawl_xml_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML sitemap + sitemapindex parsing (sitemaps.org) over synthesized
     per-host bodies that exercise whitespace-padded <loc>, entity-escaped
@@ -1677,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_bins": q_text_quality_bins,
         "text_lm_score": q_text_lm_score,
         "crawl_cuckoo_expire": q_crawl_cuckoo_expire,
+        "crawl_merge_upsert": q_crawl_merge_upsert,
         # --- representative long-stable basics (also e2e-pinned) ---
         "crawl_bfs_depth3_seen": q_crawl_bfs_depth3_seen,
         "crawl_wave1_frontier": q_crawl_wave1_frontier,
@@ -1846,6 +1872,20 @@ def oracle_sql() -> dict[str, str]:
                 ('decoy5.example', 1),   -- specific group w/o delay suppresses '*'
                 ('decoy7.example', 11)   -- min(text) twin-body pick
             ) v(host, crawl_delay)
+        """,
+        # every MERGE op and surviving ts predicted from doc-id arithmetic:
+        # only-in-v2 inserts, only-in-v1 keeps, ts-bumped recaptures update,
+        # identical-ts recaptures keep (tie favors current)
+        "crawl_merge_upsert": """
+            SELECT 'http://host' || (doc_id % 10) || '.example/page/' || doc_id AS url,
+                   CASE WHEN doc_id % 11 = 3 THEN 'insert'
+                        WHEN doc_id % 11 = 0 THEN 'keep'
+                        WHEN doc_id % 7 = 0 THEN 'update'
+                        ELSE 'keep' END AS op,
+                   CAST(1000 + doc_id
+                        + CASE WHEN doc_id % 7 = 0 AND doc_id % 11 <> 0
+                          THEN 1000 ELSE 0 END AS BIGINT) AS ts
+            FROM documents
         """,
         # post-deletion the filter still has no false negatives for ACTIVE
         # urls (copies are per-insert), and expired urls re-qualify as new —

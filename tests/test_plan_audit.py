@@ -20,6 +20,7 @@ SMJ_OK = {
     "dedup_minhash_lsh",
     "dedup_cluster_keepmin",  # minhash pair graph + iterative label joins
     "crawl_snapshot_diff",  # full outer over two corpus-sized snapshots: SMJ is the right plan
+    "crawl_merge_upsert",  # MERGE INTO full outer: same two-snapshot shape as snapshot_diff
     "crawl_adaptive_recrawl",  # consumes the snapshot-diff full outer
     "dedup_ngram_jaccard",
     "dedup_simhash",

@@ -251,3 +251,22 @@ class TestAdaptiveRecrawl:
         host = F.regexp_extract(F.col("url"), r"^http://([^/]+)/", 1)
         r = adaptive_recrawl_budgets(diff, host, budget_total=100).head()
         assert (r.n_changed, r.change_ppm, r.host_budget) == (3000, 1000000, 100)
+
+
+class TestMergeUpsert:
+    def test_merge_into_semantics(self, spark):
+        from webcrawler_woc_spark.operators.recrawl import merge_upsert
+
+        current = spark.createDataFrame(
+            [("u1", 10), ("u2", 10), ("u3", 10)], "url string, ts bigint"
+        )
+        updates = spark.createDataFrame(
+            [("u2", 20), ("u3", 10), ("u4", 5)], "url string, ts bigint"
+        )
+        out = {r.url: (r.op, r.ts) for r in merge_upsert(current, updates).collect()}
+        assert out == {
+            "u1": ("keep", 10),    # no update row
+            "u2": ("update", 20),  # strictly newer
+            "u3": ("keep", 10),    # tie: current wins
+            "u4": ("insert", 5),   # no current row
+        }

@@ -173,3 +173,37 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "url") -> DataFrame
         .otherwise("unchanged")
     )
     return j.select(key, status.alias("status"))
+
+
+def merge_upsert(current: DataFrame, updates: DataFrame, key: str = "url") -> DataFrame:
+    """Warehouse MERGE INTO semantics over a latest-capture table — the
+    exact operation the engine would issue against a real Iceberg table
+    (``MERGE INTO current USING updates ON key WHEN MATCHED AND newer THEN
+    UPDATE WHEN NOT MATCHED THEN INSERT``), expressed engine-neutrally as
+    one FULL OUTER join so the parquet warehouse and an Iceberg deployment
+    share the semantics:
+
+    * update row with no current row            -> op 'insert';
+    * update strictly newer than current (ts)   -> op 'update';
+    * update present but not newer              -> op 'keep' (current wins);
+    * current row with no update                -> op 'keep'.
+
+    Input frames carry (key, ts); output (key, op, ts) where ts is the
+    SURVIVING timestamp. One hash shuffle on the merge key (co-partitioned
+    with the url_hash bucketing at rest); ties favor current — re-observing
+    an identical capture is not an update."""
+    c = current.select(F.col(key).alias("k"), F.col("ts").alias("c_ts"))
+    u = updates.select(F.col(key).alias("uk"), F.col("ts").alias("u_ts"))
+    j = c.join(u, c["k"] == u["uk"], "full_outer")
+    op = (
+        F.when(F.col("k").isNull(), F.lit("insert"))
+        .when(F.col("uk").isNull(), F.lit("keep"))
+        .when(F.col("u_ts") > F.col("c_ts"), F.lit("update"))
+        .otherwise(F.lit("keep"))
+    )
+    surviving = F.when(op.isin("insert", "update"), F.col("u_ts")).otherwise(F.col("c_ts"))
+    return j.select(
+        F.coalesce(F.col("k"), F.col("uk")).alias(key),
+        op.alias("op"),
+        surviving.alias("ts"),
+    )
