@@ -915,11 +915,25 @@ def q_crawl_xml_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional inverted index, consulted the way an index is: posting
     rows (term, doc_id, positions, tf) for a probe term set — position
-    lists enable the phrase/proximity queries bag-of-words tf-idf can't."""
+    lists enable the phrase/proximity queries bag-of-words tf-idf can't.
+
+    The gate projects the position list as a CSV string: the driver's row
+    canonicalizer sorts rows via pandas Categorical, which cannot hash a raw
+    ``array<int>`` cell (the one red row in CORRECTNESS_r04). The operator
+    itself keeps its ``array<int>`` output for real consumers."""
     from webcrawler_woc_spark.operators.textstats import inverted_index
 
     probes = ["scan", "merge", "window"]
-    return inverted_index(_docs(spark, sf_dir)).filter(F.col("term").isin(probes))
+    return (
+        inverted_index(_docs(spark, sf_dir))
+        .filter(F.col("term").isin(probes))
+        .select(
+            "term",
+            "doc_id",
+            F.concat_ws(",", F.col("positions")).alias("positions_csv"),
+            "tf",
+        )
+    )
 
 
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2548,7 +2562,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT term, doc_id,
-                   list(CAST(pos AS INT) ORDER BY pos) AS positions,
+                   string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions_csv,
                    CAST(count(*) AS INT) AS tf
             FROM t
             WHERE term IN ('scan', 'merge', 'window')
