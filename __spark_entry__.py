@@ -2577,8 +2577,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ),
             l AS (
+                -- coalesce to [NULL] mirrors the engine's posexplode_OUTER:
+                -- a NULL-text doc keeps one (NULL line, NULL idx) row (the
+                -- zipped unnest pads idx with NULL) instead of vanishing
                 SELECT doc_id,
-                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(coalesce(string_split(text, chr(10)), [NULL])) AS line,
                        unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx
                 FROM d
             ),
@@ -2590,7 +2593,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(array_to_string(
                        list(l.line ORDER BY l.idx) FILTER (WHERE b.line IS NULL),
                        chr(10)), '') AS clean_text,
-                   CAST(count(*) AS INT) AS n_lines,
+                   CAST(count(l.line) AS INT) AS n_lines,
                    CAST(count(b.line) AS INT) AS n_removed
             FROM l LEFT JOIN b ON l.line = b.line
             GROUP BY l.doc_id

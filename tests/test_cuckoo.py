@@ -71,9 +71,30 @@ class TestCuckooTable:
         t1, t2 = CuckooTable(m), CuckooTable(m)
         t1.add_hashes(h1)
         t2.add_hashes(h2)
-        t1.merge_resident(t2.table, t2.stash)
+        t1.merge_resident(t2.table, t2._stash_list())
         assert t1.might_contain(h1).all()
         assert t1.might_contain(h2).all()
+
+    def test_stash_counts_survive_double_merge_then_single_delete(self):
+        # ADVICE r4: the same hash stash-overflowed in two separately merged
+        # builds is two logical insertions — one delete must not expire both
+        src = CuckooTable(16)
+        src.add_hashes(np.unique(_hashes(12, 500)))  # saturate -> stash fills
+        assert src.stash
+        h = next(iter(src.stash))
+        merged = CuckooTable(16)
+        merged.merge_resident(src.table, src._stash_list())
+        merged.merge_resident(src.table, src._stash_list())
+        assert merged.stash[h] == 2
+        one = np.array([h], dtype=np.int64)
+        assert merged.delete_hashes(one).all()  # first copy out
+        assert merged.might_contain(one).all()  # second copy keeps membership
+        assert merged.stash[h] == 1
+        assert merged.delete_hashes(one).all()
+        assert h not in merged.stash
+        # round-trip of the multiset wire form preserves counts
+        t3 = CuckooTable.from_state(16, merged.to_state())
+        assert t3.stash == merged.stash
 
 
 class TestPartitionedCuckoo:

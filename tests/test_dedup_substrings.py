@@ -130,3 +130,22 @@ class TestVerifySubstringDups:
         assert len(out) == 1
         r = out[0]
         assert (r.wtext, r.n_docs, r.n_occurrences, r.first_doc) == (shared, 2, 2, 1)
+
+    def test_unicode_whitespace_tokenizer_parity(self, spark):
+        # ADVICE r4: Java \s is ASCII-only while the window-hash kernel uses
+        # str.split() (Unicode whitespace). A NBSP / EN-QUAD prefix before the
+        # shared window would shift JVM token positions and slice the wrong
+        # window text if the Catalyst split pattern diverged from the kernel.
+        from webcrawler_woc_spark.operators.dedup import verify_substring_dups
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        nbsp, enquad = chr(0xA0), chr(0x2000)
+        docs = spark.createDataFrame(
+            [
+                (1, f"lead{nbsp}words{enquad}here {shared} tail"),
+                (2, f"{nbsp}{shared}{enquad}coda"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = verify_substring_dups(docs, k=8).collect()
+        assert (len(out), out[0].wtext, out[0].n_docs) == (1, shared, 2)

@@ -23,3 +23,42 @@ def test_duplicate_hosts_resolve_once(spark):
     )
     rows = resolve_hosts(hosts).collect()
     assert len(rows) == 1  # distinct-host contract: one output row per host
+
+
+def test_pool_thread_count_bounded_under_blackholed_resolver(monkeypatch):
+    """ADVICE r4: a persistently hanging getaddrinfo must not leak one
+    abandoned thread per hung host per batch — the shared pool is the bound.
+    Drives the module-level pool primitives directly (no Spark: in local
+    mode a driver monkeypatch never reaches executor worker processes)."""
+    import threading
+    import time
+
+    from webcrawler_woc_spark.operators import dns
+
+    hang = threading.Event()
+
+    def black_hole(host):
+        hang.wait(30)  # released at teardown; simulates a wedged getaddrinfo
+        return (None, None)
+
+    monkeypatch.setattr(dns, "_resolve_one", black_hole)
+    before = threading.active_count()
+    try:
+        for batch in range(4):  # 4 batches x 3 hung hosts, pool of 2
+            dns._ensure_workers(2)
+            state = {"cancelled": False, "results": {}, "sem": threading.Semaphore(0)}
+            for h in (f"b{batch}-h{i}.invalid" for i in range(3)):
+                dns._task_q.put((state, h))
+            deadline = time.monotonic() + 0.3
+            done = 0
+            while done < 3:
+                if not state["sem"].acquire(timeout=max(0.0, deadline - time.monotonic())):
+                    break
+                done += 1
+            state["cancelled"] = True
+            assert state["results"] == {}  # every lookup hung -> NULL batch
+        # old design: 4 batches x up-to-3 leaked threads; pool design: <= 2 new
+        assert threading.active_count() - before <= 2
+    finally:
+        hang.set()
+        time.sleep(0.1)  # let workers drain the cancelled backlog

@@ -79,12 +79,15 @@ def _pair_key(f: int, i: int, m: int) -> tuple[int, int]:
 class CuckooTable:
     """One (m x SLOTS) uint16 fingerprint table + exact overflow stashes.
 
-    ``stash`` holds full 64-bit hashes (insert_one overflow — exact, no
-    false positives); ``stash_fp`` is a MULTISET (key -> count) of canonical
+    ``stash`` is a MULTISET (full 64-bit hash -> count) of insert-path
+    overflow (exact, no false positives): counts matter because the same
+    hash can be inserted in two separately-built-and-merged rounds, and a
+    set would collapse both logical insertions into one entry — a single
+    delete would then expire membership for the surviving insert, a false
+    negative. ``stash_fp`` is the same multiset shape over canonical
     (fp, pair-min) keys (merge-path overflow, where only the fingerprint
-    survives): counts matter because two distinct hashes can share a key,
-    and a set would let deleting one expire both — a false negative for the
-    survivor. Both stashes are probed by might_contain, so overflow can
+    survives): there the colliders are two DISTINCT hashes sharing a key.
+    Both stashes are probed by might_contain, so overflow can
     NEVER yield a false negative. An insertion whose eviction chain fails is
     fully UNDONE before stashing, so the table never holds a half-applied
     chain."""
@@ -94,8 +97,14 @@ class CuckooTable:
             raise ValueError("m must be a power of two")
         self.m = m
         self.table = np.zeros((m, SLOTS), dtype=np.uint16)
-        self.stash: set[int] = set()
+        self.stash: dict[int, int] = {}
         self.stash_fp: dict[tuple[int, int], int] = {}
+
+    def _stash_list(self) -> list[int]:
+        """The full-hash stash as a sorted flat list, one entry per held
+        copy — the wire/persistence format (a multiset serialized with
+        repetition keeps every array<bigint> schema and npz layout intact)."""
+        return sorted(h for h, c in self.stash.items() for _ in range(c))
 
     # one (de)serialization contract for save/load, the probe UDF broadcast,
     # and distributed deletion — field drift between four hand-rolled copies
@@ -103,7 +112,7 @@ class CuckooTable:
     def to_state(self) -> dict:
         return {
             "table": self.table.tobytes(),
-            "stash": sorted(self.stash),
+            "stash": self._stash_list(),
             "stash_fp": [[f, i, c] for (f, i), c in sorted(self.stash_fp.items())],
         }
 
@@ -112,7 +121,9 @@ class CuckooTable:
         t = cls(m)
         arr = np.frombuffer(state["table"], dtype=np.uint16).reshape(m, SLOTS)
         t.table = arr.copy() if writable else arr  # probes never write
-        t.stash = {int(h) for h in state["stash"]}
+        t.stash = {}
+        for h in state["stash"]:
+            t.stash[int(h)] = t.stash.get(int(h), 0) + 1
         t.stash_fp = {(int(x[0]), int(x[1])): int(x[2]) for x in state["stash_fp"]}
         return t
 
@@ -124,7 +135,7 @@ class CuckooTable:
             f = int(_fingerprints(hs)[0])
             i1 = int(_index_pair(hs, np.array([f], dtype=np.uint16), self.m)[0][0])
             if not self._insert_fp(f, i1):
-                self.stash.add(int(h))
+                self.stash[int(h)] = self.stash.get(int(h), 0) + 1
 
     def _insert_fp(self, f: int, i1: int) -> bool:
         """Place fingerprint f with first candidate bucket i1; False when the
@@ -179,8 +190,12 @@ class CuckooTable:
         i1, i2 = _index_pair(hashes, fps, self.m)
         for j in range(len(hashes)):
             h = int(hashes[j])
-            if h in self.stash:
-                self.stash.discard(h)
+            n_h = self.stash.get(h, 0)
+            if n_h:
+                if n_h == 1:
+                    del self.stash[h]
+                else:
+                    self.stash[h] = n_h - 1
                 out[j] = True
                 continue
             f = int(fps[j])
@@ -202,17 +217,20 @@ class CuckooTable:
                     out[j] = True
         return out
 
-    def merge_resident(self, other_table: np.ndarray, other_stash: set) -> None:
+    def merge_resident(self, other_table: np.ndarray, other_stash) -> None:
         """Merge another table built with the SAME m: residents re-insert by
         (fingerprint, bucket) — the pair is recoverable from either member —
-        and stash entries union exactly."""
+        and stash copies ADD per element (other_stash is the flat
+        list-with-repetition wire form; summing counts preserves the
+        one-deletable-copy-per-insert invariant across merge rounds)."""
         idx, slots = np.nonzero(other_table)
         for i, s in zip(idx.tolist(), slots.tolist()):
             f = int(other_table[i, s])
             if not self._insert_fp(f, int(i)):
                 pk = _pair_key(f, int(i), self.m)
                 self.stash_fp[pk] = self.stash_fp.get(pk, 0) + 1
-        self.stash |= set(other_stash)
+        for h in other_stash:
+            self.stash[int(h)] = self.stash.get(int(h), 0) + 1
 
 
 class PartitionedCuckoo:
@@ -255,7 +273,7 @@ class PartitionedCuckoo:
             meta=np.array([self.n_buckets, self.m], dtype=np.int64),
             **{f"t{b}": t.table for b, t in self.tables.items()},
             **{
-                f"s{b}": np.array(sorted(t.stash), dtype=np.int64)
+                f"s{b}": np.array(t._stash_list(), dtype=np.int64)
                 for b, t in self.tables.items()
             },
             **{
@@ -293,7 +311,7 @@ def build_bucket_tables(df: DataFrame, n_buckets: int, m: int) -> list:
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         t = CuckooTable(m)
         t.add_hashes(pdf["url_hash"].to_numpy(np.int64))
-        stash = sorted(t.stash)  # add_hashes overflow is always full hashes
+        stash = t._stash_list()  # add_hashes overflow is always full hashes
         return pd.DataFrame(
             {
                 "bucket": [int(pdf["bucket"].iloc[0])],
@@ -315,7 +333,7 @@ def merge_spark_tables(cuckoo: PartitionedCuckoo, rows: list) -> None:
     """Fold distributed per-bucket tables into the driver-held filter."""
     for bucket, blob, stash in rows:
         other = np.frombuffer(blob, dtype=np.uint16).reshape(cuckoo.m, SLOTS)
-        cuckoo.tables[int(bucket)].merge_resident(other, set(stash))
+        cuckoo.tables[int(bucket)].merge_resident(other, stash)
 
 
 def delete_bucket_hashes(

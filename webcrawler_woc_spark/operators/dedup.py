@@ -26,6 +26,19 @@ from pyspark.sql import functions as F
 MERSENNE31 = (1 << 31) - 1
 POLY_MOD = 10**15 - 11  # same field as textstats.FINGERPRINT_MOD / fetch.FETCH_MS_MOD
 
+# Java regex \s is ASCII-only; Python str.split() splits on every Unicode
+# whitespace codepoint. This class is their union, so JVM-side tokenization
+# stays position-parallel with the Python window-hash kernel on text carrying
+# U+00A0 / U+2000-200A etc. Built with chr() (not literals): editors/NFC
+# passes can silently normalize raw codepoints in source.
+PY_WS_REGEX = (
+    "[\\s"
+    + "".join(chr(c) for c in (0x1C, 0x1D, 0x1E, 0x1F, 0x85, 0xA0, 0x1680))
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "".join(chr(c) for c in (0x2028, 0x2029, 0x202F, 0x205F, 0x3000))
+    + "]+"
+)
+
 
 def _sql_str_hash31(col, mult: int = 31):
     """SQL-expressible string hash into the Mersenne-31 field: rolling
@@ -202,9 +215,10 @@ def verify_substring_dups(
     hash shuffle co-partitioned with the corpus) and slice the window text
     JVM-side (split + slice + concat_ws, no second Python pass). Window
     text is materialized ONLY for reported spans — never for the full
-    explode. Tokenization parity: Catalyst ``split(text, '\\s+')`` with
-    empties filtered matches the kernel's python ``str.split()`` for ASCII
-    whitespace (the corpus contract; non-ASCII unicode spaces would differ).
+    explode. Tokenization parity: the Catalyst split pattern is the FULL
+    Unicode-whitespace class Python's ``str.split()`` uses (Java ``\\s`` is
+    ASCII-only; NFC-normalized corpora carry U+00A0/U+2000-200A, which would
+    shift token positions relative to the kernel and slice the wrong window).
     """
     positions = documents.select(
         "doc_id", F.posexplode(_window_hash_udf(k)(F.col("text"))).alias("pos", "whash")
@@ -222,7 +236,7 @@ def verify_substring_dups(
             .filter(F.col("nd") >= 2)
         )
     positions = positions.join(dups.select("whash"), "whash", "left_semi")
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    toks = F.filter(F.split(F.col("text"), PY_WS_REGEX), lambda x: x != "")
     spans = positions.join(documents.select("doc_id", toks.alias("toks")), "doc_id").select(
         "whash",
         "doc_id",

@@ -16,23 +16,58 @@ exactly the anti-pattern this operator exists to avoid at scale.
 Failure contract mirrors the reference (links.rs:318-320: lookup errors =>
 no enrichment): any resolver error or timeout yields NULL columns, never a
 task failure. ``getaddrinfo`` has no timeout parameter of its own, so
-lookups run on DAEMON threads joined against ONE batch-wide deadline: a
-hung lookup yields NULL rows at the deadline and the stuck thread is truly
-abandoned — daemon threads are joined by no one, including the interpreter
-at exit (a ThreadPoolExecutor would re-join them via concurrent.futures'
-atexit hook and wedge the python worker's graceful shutdown). Per-host
-timeouts never compound — the batch is bounded by timeout_s per wave of
-``max_workers`` concurrent lookups, not ``len(batch) * timeout_s``.
+lookups run on ONE module-level pool of forever-looping DAEMON threads
+shared by every batch the python worker processes, waited on against ONE
+batch-wide deadline: a hung lookup yields NULL rows at the deadline and the
+wedged thread simply stays in the pool, so the TOTAL thread count is
+bounded by the pool size for the life of the worker (the previous
+per-batch-abandonment design leaked one thread per hung host per batch,
+unbounded against a persistently blackholed resolver; a ThreadPoolExecutor
+is still out — concurrent.futures' atexit hook would re-join non-daemon
+threads and wedge the worker's graceful shutdown). Wedged threads shrink
+effective concurrency; if every pool thread is stuck, later batches time
+out to all-NULLs — degraded, never unbounded. Per-host timeouts never
+compound — the batch is bounded by timeout_s per wave of ``max_workers``
+concurrent lookups, not ``len(batch) * timeout_s``.
 """
 
 from __future__ import annotations
 
+import queue
+import threading
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 
 RESOLVE_SCHEMA = "host string, ipv4 string, ipv6 string"
+
+# one process-wide resolver pool: tasks are (batch_state, host); batch_state
+# carries that batch's results dict + completion semaphore + cancel flag so
+# a timed-out batch's still-queued tasks are skipped, not resolved into the
+# void. All mutation is GIL-atomic (dict store, bool flip, semaphore).
+_pool_lock = threading.Lock()
+_task_q: queue.Queue = queue.Queue()
+_pool_threads: list[threading.Thread] = []
+
+
+def _pool_worker() -> None:
+    while True:
+        state, host = _task_q.get()
+        if not state["cancelled"]:
+            state["results"][host] = _resolve_one(host)
+        state["sem"].release()
+
+
+def _ensure_workers(n: int) -> None:
+    """Grow the shared pool to >= n live threads (never shrink, never exceed
+    the high-water max_workers across batches — the bounded-leak guarantee)."""
+    with _pool_lock:
+        _pool_threads[:] = [t for t in _pool_threads if t.is_alive()]
+        for _ in range(n - len(_pool_threads)):
+            t = threading.Thread(target=_pool_worker, daemon=True)
+            t.start()
+            _pool_threads.append(t)
 
 
 def _resolve_one(host: str) -> tuple[str | None, str | None]:
@@ -59,48 +94,46 @@ def resolve_hosts(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
-        import queue
         import threading
         import time
+
+        # resolve the pool through the module AT RUN TIME: cloudpickle
+        # serializes a nested function's referenced globals BY VALUE, and the
+        # task queue holds unpicklable locks (plus each worker must use its
+        # OWN process's pool, not a copy of the driver's)
+        from webcrawler_woc_spark.operators import dns as _dns
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             batch = list(pdf["host"])
             workers = min(max_workers, len(batch))
-            # DAEMON threads, not ThreadPoolExecutor: concurrent.futures
-            # registers an atexit hook that JOINS non-daemon pool threads, so
-            # one getaddrinfo stuck on a blackholed resolver would wedge the
-            # python worker's eventual graceful exit. Daemon threads are
-            # truly abandoned: the batch yields NULLs at the deadline and the
-            # stuck thread dies with the process, joined by no one.
-            todo: queue.Queue[str] = queue.Queue()
+            _dns._ensure_workers(workers)
+            state = {
+                "cancelled": False,
+                "results": {},
+                "sem": threading.Semaphore(0),
+            }
             for h in batch:
-                todo.put(h)
-            results: dict[str, tuple[str | None, str | None]] = {}
-
-            def work() -> None:
-                while True:
-                    try:
-                        h = todo.get_nowait()
-                    except queue.Empty:
-                        return
-                    results[h] = _resolve_one(h)  # dict store: atomic under GIL
-
-            threads = [
-                threading.Thread(target=work, daemon=True) for _ in range(workers)
-            ]
-            for t in threads:
-                t.start()
+                _dns._task_q.put((state, h))
             # One deadline for the whole batch: timeout_s per wave of
-            # ``workers`` concurrent lookups (not per host — per-host joins
+            # ``workers`` concurrent lookups (not per host — per-host waits
             # would compound to len(batch) * timeout).
             deadline = time.monotonic() + timeout_s * max(
                 1, math.ceil(len(batch) / workers)
             )
-            for t in threads:
-                t.join(max(0.0, deadline - time.monotonic()))
-            out = [(h, *results.get(h, (None, None))) for h in batch]
+            done = 0
+            while done < len(batch):
+                if not state["sem"].acquire(
+                    timeout=max(0.0, deadline - time.monotonic())
+                ):
+                    break  # deadline: unresolved hosts yield NULLs
+                done += 1
+            # cancel: queued leftovers are skipped by the workers; a late
+            # completion from a wedged thread lands in this batch's own
+            # results dict after we've read it (harmless)
+            state["cancelled"] = True
+            out = [(h, *state["results"].get(h, (None, None))) for h in batch]
             yield pd.DataFrame(out, columns=["host", "ipv4", "ipv6"])
 
     return (
