@@ -126,6 +126,14 @@ def main(argv: list[str] | None = None) -> int:
              "--no-bloom disables the prefilter regardless",
     )
     ap.add_argument(
+        "--seen-probe", choices=("broadcast", "sharded"), default="broadcast",
+        help="how waves probe the seen filter: broadcast ships the whole "
+             "merged filter to every executor (default; cheap at small "
+             "scale); sharded keeps one sidecar file per hash bucket and "
+             "each probe task loads only its own bucket (the 10^10-URL "
+             "form, where the merged filter is too big to broadcast)",
+    )
+    ap.add_argument(
         "--fetch-mode", choices=("join", "http"), default="join",
         help="join = corpus equi-join fetch simulation (default); http = "
              "real HTTP GET via the mapInPandas fetcher pool (the corpus is "
@@ -186,6 +194,7 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.n_buckets,
         use_bloom=not args.no_bloom,
         seen_filter=args.seen_filter,
+        seen_probe=args.seen_probe,
         fetch_mode=args.fetch_mode,
         http_base=args.http_base,
         http_max_per_host=args.http_max_per_host,

@@ -59,6 +59,13 @@ class CrawlConfig:
     # operators/cuckoo.py); use_bloom=False disables the prefilter entirely
     # regardless (legacy switch, kept for the --no-bloom CLI surface)
     seen_filter: str = "bloom"
+    # how the wave PROBES the seen filter: "broadcast" ships the whole merged
+    # filter to every executor (cheap at sandbox scale); "sharded" writes the
+    # sidecar as one file per pmod(url_hash, n_buckets) bucket and each probe
+    # task loads only its own bucket's file (operators/sharded_probe.py) —
+    # the 10^10-URL form, where the merged filter (~20 GB at 16-bit cuckoo
+    # fingerprints) is too big to broadcast or hold per executor
+    seen_probe: str = "broadcast"
     timeout_ms: int | None = None
     # enforce robots.txt Disallow rules: frontier URLs whose path starts with
     # a disallowed prefix for their host are never scheduled (north-rule
@@ -86,3 +93,10 @@ class CrawlConfig:
         if not self.use_bloom or self.seen_filter == "none":
             return None
         return self.seen_filter
+
+    def seen_probe_mode(self) -> str:
+        """Validated probe mode; 'sharded' only matters with a live filter
+        (seen_filter_kind() not None) but a typo must raise regardless."""
+        if self.seen_probe not in ("broadcast", "sharded"):
+            raise ValueError(f"unknown seen_probe: {self.seen_probe!r}")
+        return self.seen_probe

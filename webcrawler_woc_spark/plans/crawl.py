@@ -170,6 +170,7 @@ def _flush_residual(wh: Warehouse, residual: DataFrame, final_wave: int) -> None
         # would fail on the meta shape)
         "bloom": wh.manifest["waves"].get(str(final_wave - 1), {}).get("bloom"),
         "sidecar_kind": wh.manifest["waves"].get(str(final_wave - 1), {}).get("sidecar_kind"),
+        "sharded_dir": wh.manifest["waves"].get(str(final_wave - 1), {}).get("sharded_dir"),
     }
     wh.manifest["last_wave"] = final_wave
     wh._commit_manifest()

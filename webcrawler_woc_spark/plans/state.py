@@ -99,18 +99,28 @@ class Warehouse:
         wall_sec: float,
         bloom: PartitionedBloom | None,
         timings: dict | None = None,
+        sharded: bool = False,
     ) -> None:
         """Atomically record a completed wave (the Spark 'action barrier').
 
         ``bloom`` is the seen-set prefilter sidecar and accepts EITHER
         PartitionedBloom or PartitionedCuckoo (the manifest key keeps its
-        legacy name; ``sidecar_kind`` records which filter wrote it)."""
+        legacy name; ``sidecar_kind`` records which filter wrote it).
+        ``sharded=True`` additionally writes the file-per-bucket layout
+        (operators/sharded_probe.py) so the next wave can probe without
+        broadcasting the merged filter."""
         bloom_path = None
         kind = None
+        sharded_dir = None
         if bloom is not None:
             kind = getattr(bloom, "kind", "bloom")
             bloom_path = os.path.join(self.path, f"{kind}_wave_{wave}.npz")
             bloom.save(bloom_path)
+            if sharded:
+                from ..operators.sharded_probe import save_sharded
+
+                sharded_dir = os.path.join(self.path, f"{kind}_sharded_wave_{wave}")
+                save_sharded(bloom, sharded_dir)
         self.manifest["waves"][str(wave)] = {
             "tables": table_paths,
             "counts": counts,
@@ -118,6 +128,7 @@ class Warehouse:
             "wall_sec": wall_sec,
             "bloom": bloom_path,
             "sidecar_kind": kind,
+            "sharded_dir": sharded_dir,
             "timings": timings or {},
             "committed_at": time.time(),
         }
@@ -136,6 +147,14 @@ class Warehouse:
                 return PartitionedCuckoo.load(info["bloom"])
             return PartitionedBloom.load(info["bloom"])
         return None
+
+    def sharded_dir(self, wave: int | None = None) -> str | None:
+        """Latest (or given) committed wave's file-per-bucket sidecar dir,
+        None when that wave wasn't committed with sharded=True."""
+        last = self.manifest["last_wave"] if wave is None else wave
+        info = self.manifest["waves"].get(str(last))
+        d = info.get("sharded_dir") if info else None
+        return d if d and os.path.isdir(d) else None
 
     def load_bloom(self, wave: int | None = None) -> PartitionedBloom | None:
         """Legacy alias: the sidecar loader, whatever kind it holds."""

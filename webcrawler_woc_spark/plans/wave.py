@@ -211,7 +211,20 @@ def run_wave(
     # seen anti-join with the sketch fast path (the sidecar covers waves <
     # wave; bloom and cuckoo share the no-false-negative prefilter contract);
     # then subtract THIS wave's scheduled urls (batch seen semantics).
-    if bloom is not None and getattr(bloom, "kind", "bloom") == "cuckoo":
+    # seen_probe="sharded" swaps the whole-filter broadcast for the
+    # file-per-bucket probe (each task loads only its own bucket — the
+    # 10^10-URL form); falls back to broadcast when no sharded sidecar is
+    # committed yet (wave 0, or a warehouse written in broadcast mode).
+    _sharded_dir = (
+        wh.sharded_dir() if cfg.seen_probe_mode() == "sharded" and bloom is not None else None
+    )
+    if _sharded_dir is not None:
+        from ..operators.sharded_probe import sharded_prefiltered_anti_join
+
+        sc_frontier = sharded_prefiltered_anti_join(
+            spark, sc_frontier, seen_prev, _sharded_dir, candidates_rows=extracted
+        )
+    elif bloom is not None and getattr(bloom, "kind", "bloom") == "cuckoo":
         from ..operators.cuckoo import cuckoo_prefiltered_anti_join
 
         sc_frontier = cuckoo_prefiltered_anti_join(
@@ -438,7 +451,10 @@ def run_wave(
         "new_frontier": new_frontier_n,
         "new_rejected": new_rejected_n,
     }
-    wh.commit_wave(wave, table_paths, counts, host_lineage, time.time() - t0, bloom, timings)
+    wh.commit_wave(
+        wave, table_paths, counts, host_lineage, time.time() - t0, bloom, timings,
+        sharded=cfg.seen_probe_mode() == "sharded",
+    )
     try:
         _os.remove(staging_path)  # the wave is committed; the sidecar is spent
     except OSError:
