@@ -160,3 +160,38 @@ class TestHitsInt:
         edges = spark.createDataFrame([], "src long, dst long")
         with pytest.raises(ValueError):
             hits_int(nodes, edges, iterations=0)
+
+    def test_overflow_scale_graph_fails_loudly(self, spark):
+        """VERDICT r4 item 7: a node whose in-degree exceeds the bigint ppm
+        headroom (~9.22e6: sum <= deg*10^6, rescale *10^6) must raise a
+        ValueError at entry — not wrap (non-ANSI) or die mid-iteration
+        (ANSI). Real overflow-scale star graph, no mocked degrees."""
+        import pytest
+        from pyspark.sql import functions as F
+
+        from webcrawler_woc_spark.operators.graph import hits_int
+
+        n = 9_300_000  # > (2^63-1) // 10^12
+        edges = spark.range(n).select(
+            (F.col("id") + 1).alias("src"), F.lit(0).cast("long").alias("dst")
+        )
+        nodes = spark.range(2).select(F.col("id").alias("doc_id"))  # unused past the guard
+        with pytest.raises(ValueError, match="headroom"):
+            hits_int(nodes, edges, iterations=1)
+
+    def test_max_degree_graph_under_headroom_runs(self, spark):
+        """The guard measures per-side degree, not combined: a node with
+        5e6 in-links AND out-links (combined 10e6 > headroom) is fine."""
+        from pyspark.sql import functions as F
+
+        from webcrawler_woc_spark.operators.graph import hits_int
+
+        half = 5_000_000
+        e_in = spark.range(half).select((F.col("id") + 1).alias("src"), F.lit(0).alias("dst"))
+        e_out = spark.range(half).select(
+            F.lit(0).alias("src"), (F.col("id") + 1 + half).alias("dst")
+        )
+        nodes = spark.range(3).select(F.col("id").alias("doc_id"))
+        # guard passes; the iterations themselves run on the 3 gate nodes
+        out = hits_int(nodes, e_in.unionAll(e_out), iterations=1).collect()
+        assert len(out) == 3

@@ -171,9 +171,31 @@ def hits_int(nodes: DataFrame, edges: DataFrame, iterations: int = 2) -> DataFra
     Overflow headroom: Σ hub <= N·10^6 and the rescale multiplies by 10^6,
     so bigint holds to N ~ 9·10^6 edges-per-authority; beyond that drop the
     ppm scale a few digits (the contract pins ppm for the gate corpus).
+    The headroom is ENFORCED at entry: one degree aggregation over the
+    edges (the same shuffle shape as each half-step) raises loudly when any
+    node's in/out-degree exceeds it, instead of letting the sum·PPM product
+    wrap (non-ANSI) or die mid-iteration with a bare ArithmeticException
+    (ANSI) after the expensive rounds already ran.
     """
     if iterations < 1:
         raise ValueError("hits_int needs iterations >= 1 (auth scores are undefined before the first half-step)")
+    # ppm half-step bound: score_sum <= deg·10^6, rescale multiplies by 10^6,
+    # so deg·10^12 must stay under 2^63-1 => deg <= 9.22·10^6
+    _DEG_HEADROOM = (2**63 - 1) // (PPM * PPM)
+    max_deg = (
+        edges.select(F.col("src").alias("v"), F.lit("out").alias("side"))
+        .unionAll(edges.select(F.col("dst").alias("v"), F.lit("in").alias("side")))
+        .groupBy("side", "v")
+        .agg(F.count("*").alias("d"))
+        .agg(F.max("d").alias("mx"))
+        .first()["mx"]
+    )
+    if max_deg is not None and max_deg > _DEG_HEADROOM:
+        raise ValueError(
+            f"hits_int ppm scale overflows bigint: max in/out-degree {max_deg:,} "
+            f"exceeds the {_DEG_HEADROOM:,} headroom (sum*10^6 rescale); shard "
+            "the hot node's edges or lower the score scale"
+        )
     hubs = nodes.select("doc_id", F.lit(PPM).cast("bigint").alias("hub_ppm"))
     auths = None
     for _ in range(iterations):
