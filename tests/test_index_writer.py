@@ -1,0 +1,127 @@
+"""Bucketed-at-rest inverted index writer (VERDICT r4 item 8).
+
+Contract: write_inverted_index lays the positional index out as one
+term_bucket=N partition directory per crc32(term) % n_buckets, and
+read_postings answers a term query touching ONLY the queried terms'
+bucket directories (file pruning) while returning exactly the rows a
+full-scan filter would.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawler_woc_spark.operators.textstats import (
+    INDEX_META,
+    _term_bucket_py,
+    inverted_index,
+    read_postings,
+    write_inverted_index,
+)
+
+N_BUCKETS = 16
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "merge vector merge stream"),
+        (2, "vector stream stream crawl"),
+        (3, "crawl merge index"),
+        (4, "solo unique tokens here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.fixture(scope="module")
+def layout(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("invidx") / "index")
+    idx = inverted_index(docs)
+    write_inverted_index(idx, path, n_buckets=N_BUCKETS)
+    return path, idx
+
+
+def test_layout_shape_and_meta(layout):
+    path, _ = layout
+    meta = json.load(open(os.path.join(path, INDEX_META)))
+    assert meta["n_buckets"] == N_BUCKETS
+    dirs = {d for d in os.listdir(path) if d.startswith("term_bucket=")}
+    assert dirs  # partitioned at rest
+    assert all(0 <= int(d.split("=")[1]) < N_BUCKETS for d in dirs)
+
+
+def test_bucket_hash_parity_python_vs_spark(spark):
+    """zlib.crc32 % n must equal the Spark-side pmod(crc32(term), n) the
+    writer used — the reader's static pruning depends on it."""
+    terms = ["merge", "vector", "stream", "crawl", "index", "solo", "ünïcode"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        r["term"]: r["b"]
+        for r in df.select(
+            "term",
+            F.pmod(F.crc32(F.encode(F.col("term"), "utf-8")), F.lit(N_BUCKETS))
+            .cast("int")
+            .alias("b"),
+        ).collect()
+    }
+    want = {t: zlib.crc32(t.encode()) % N_BUCKETS for t in terms}
+    assert got == want
+
+
+def test_read_postings_matches_full_scan(spark, layout):
+    path, idx = layout
+    terms = ["merge", "stream"]
+    got = sorted(
+        (r["term"], r["doc_id"], r["positions"], r["tf"])
+        for r in read_postings(spark, path, terms).collect()
+    )
+    want = sorted(
+        (r["term"], r["doc_id"], r["positions"], r["tf"])
+        for r in idx.filter(F.col("term").isin(terms)).collect()
+    )
+    assert got == want and len(got) == 4  # merge in 3 docs, stream in 2... (1,2),(3)+(1),(2)
+
+
+def _partition_filter_of(df) -> str:
+    """The FileScan node's PartitionFilters clause from the physical plan.
+    (inputFiles() reflects the UNPRUNED file index, so the plan text is the
+    pruning evidence — PartitionFilters are applied at file listing time.)"""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    return m.group(1)
+
+
+def test_query_prunes_to_queried_buckets_only(spark, layout):
+    """The pruning pin: the scan plans a static term_bucket partition filter
+    for exactly the queried terms' buckets, plus a pushed term filter."""
+    path, _ = layout
+    terms = ["merge"]
+    (want_bucket,) = {_term_bucket_py(t, N_BUCKETS) for t in terms}
+    df = read_postings(spark, path, terms)
+    pf = _partition_filter_of(df)
+    assert f"term_bucket#" in pf and f"= {want_bucket})" in pf
+    # all other buckets exist on disk — the filter is what skips them
+    all_buckets = {
+        int(d.split("=")[1]) for d in os.listdir(path) if d.startswith("term_bucket=")
+    }
+    assert len(all_buckets) > 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(term), EqualTo(term,merge)]" in plan
+
+
+def test_multi_term_query_plans_bucket_in_list(spark, layout):
+    path, _ = layout
+    terms = ["merge", "solo", "stream"]
+    want = {_term_bucket_py(t, N_BUCKETS) for t in terms}
+    pf = _partition_filter_of(read_postings(spark, path, terms))
+    got = {int(b) for b in re.findall(r"(\d+)", pf.split("IN")[-1])} if "IN" in pf else {
+        int(b) for b in re.findall(r"= (\d+)\)", pf)
+    }
+    assert got == want

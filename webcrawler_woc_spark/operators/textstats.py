@@ -393,6 +393,72 @@ def inverted_index(documents: DataFrame) -> DataFrame:
     )
 
 
+INDEX_META = "_index_meta.json"
+
+
+def _term_bucket_col(term_col, n_buckets: int):
+    """crc32-based term bucket — crc32 is the one hash Spark (F.crc32) and
+    plain Python (zlib.crc32) compute identically, so the READER can turn a
+    term list into bucket ids driver-side with no Spark job and push them
+    as static partition filters."""
+    return F.pmod(F.crc32(F.encode(term_col, "utf-8")), F.lit(n_buckets)).cast("int")
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def write_inverted_index(index: DataFrame, path: str, n_buckets: int = 64) -> None:
+    """Persist the positional index bucketed BY TERM at rest (the layout
+    inverted_index's docstring promises): one ``term_bucket=N`` partition
+    directory per crc32(term) % n_buckets, postings sorted by (term, doc_id)
+    within each file so a term's rows are contiguous (row-group stats then
+    prune within the file too). A query for k terms opens at most k bucket
+    directories out of n_buckets — file pruning, not a full scan.
+
+    Scale shape: one repartition on the bucket key (the write's natural
+    shuffle; n_buckets tasks each sort-write their own directory). Size
+    n_buckets to the cluster at 100 TB (e.g. 4096) so bucket files stay
+    executor-memory-sized. A tiny meta JSON records n_buckets for readers;
+    it is written last, as the commit marker."""
+    import json
+    import os
+
+    (
+        index.withColumn("term_bucket", _term_bucket_col(F.col("term"), n_buckets))
+        .repartition(n_buckets, "term_bucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(path)
+    )
+    with open(os.path.join(path, INDEX_META), "w") as fh:
+        json.dump({"n_buckets": n_buckets, "bucket_hash": "crc32"}, fh)
+
+
+def read_postings(spark, path: str, terms: list[str]) -> DataFrame:
+    """Posting rows for ``terms`` from a write_inverted_index layout.
+
+    Bucket ids are computed driver-side from the meta (zlib.crc32 == Spark
+    F.crc32), so the ``term_bucket IN (...)`` predicate is a STATIC
+    partition filter — Catalyst prunes every other bucket's directory at
+    planning time (pinned by the file-pruning test), and the residual
+    ``term IN (...)`` filter is pushed into the scan."""
+    import json
+    import os
+
+    with open(os.path.join(path, INDEX_META)) as fh:
+        meta = json.load(fh)
+    buckets = sorted({_term_bucket_py(t, int(meta["n_buckets"])) for t in terms})
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(list(terms)))
+        .drop("term_bucket")
+    )
+
+
 def char_lm_scores(documents: DataFrame) -> DataFrame:
     """CCNet-class language-model quality signal without an external LM: a
     character-BIGRAM model is fit on the corpus itself and every document is
