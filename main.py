@@ -134,6 +134,12 @@ def main(argv: list[str] | None = None) -> int:
              "form, where the merged filter is too big to broadcast)",
     )
     ap.add_argument(
+        "--sitemap-xml", action="store_true",
+        help="no-depth mode: also parse XML sitemaps (urlset + one-level "
+             "sitemapindex recursion) during wave-0 sitemap discovery; "
+             "default off = reference parity (text/plain sitemaps only)",
+    )
+    ap.add_argument(
         "--fetch-mode", choices=("join", "http"), default="join",
         help="join = corpus equi-join fetch simulation (default); http = "
              "real HTTP GET via the mapInPandas fetcher pool (the corpus is "
@@ -195,6 +201,7 @@ def main(argv: list[str] | None = None) -> int:
         use_bloom=not args.no_bloom,
         seen_filter=args.seen_filter,
         seen_probe=args.seen_probe,
+        sitemap_xml=args.sitemap_xml,
         fetch_mode=args.fetch_mode,
         http_base=args.http_base,
         http_max_per_host=args.http_max_per_host,

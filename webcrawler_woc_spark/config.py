@@ -71,6 +71,11 @@ class CrawlConfig:
     # a disallowed prefix for their host are never scheduled (north-rule
     # politeness extension; the reference ignores Disallow entirely)
     respect_disallow: bool = False
+    # opt-in: no-depth mode's wave-0 sitemap discovery also parses XML
+    # sitemaps (urlset + one-level sitemapindex recursion) — the real-web
+    # format; default off preserves reference parity (text/plain only,
+    # crawler.rs:294-300) so default-path goldens never move
+    sitemap_xml: bool = False
     max_waves: int = 50  # safety bound for no-depth mode
     seed_priority: float = 1.0
     child_priority: float = 0.0

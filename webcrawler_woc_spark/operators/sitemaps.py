@@ -45,10 +45,44 @@ def robots_url_of(seed_url: str) -> str:
     return authority + "/robots.txt" + qf
 
 
+def _xml_loc_blob():
+    """The <loc> entries of the ``body`` column as one newline-joined,
+    entity-unescaped text blob — the EXACT input shape of the text/plain
+    sitemap parser, so XML-discovered links flow through the same
+    links_from_text normalization as text-sitemap lines (one canonical
+    form, not two). Unescaping the joined blob equals unescaping per-loc:
+    entities never contain newlines. &amp; last — single decode."""
+    blob = F.array_join(
+        F.expr(r"regexp_extract_all(body, '<loc>\\s*([^<]+?)\\s*</loc>', 1)"), "\n"
+    )
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        blob = F.replace(blob, F.lit(ent), F.lit(ch))
+    return blob
+
+
 def sitemap_children(
-    spark: SparkSession, pages: DataFrame, seed_urls: list[str]
+    spark: SparkSession,
+    pages: DataFrame,
+    seed_urls: list[str],
+    xml: bool = False,
+    content_type_expr=None,
 ) -> DataFrame:
-    """Child links contributed by the seeds' sitemaps (url, link_type)."""
+    """Child links contributed by the seeds' sitemaps (url, link_type).
+
+    ``xml=False`` (default) preserves reference parity: only text/plain
+    sitemaps parse, XML silently ignored (crawler.rs:294-300). ``xml=True``
+    additionally consumes text/xml and application/xml bodies via
+    parse_xml_sitemap semantics — <urlset> entries become child links, and
+    <sitemapindex> entries are fetched ONE level deep (their <urlset>
+    children join the link stream; nested indexes are dropped) — the
+    real-web behavior (Common Crawl sitemaps are XML) behind an opt-in so
+    default-path goldens never move."""
+    if content_type_expr is None:
+        from ..sources.corpus import default_content_type_expr as content_type_expr
+
     seeds_df = spark.createDataFrame(
         [(u, robots_url_of(u)) for u in seed_urls], "seed_url string, robots_url string"
     )
@@ -63,19 +97,41 @@ def sitemap_children(
     sitemap_pages = pages.select(
         F.col("url").alias("sitemap_url"), F.col("html").alias("sitemap_html")
     )
-    # text/plain gate on type/subtype only (params ignored, crawler.rs:294-300)
-    from ..sources.corpus import default_content_type_expr
 
-    fetched = sitemap_urls.join(sitemap_pages, "sitemap_url", "inner").withColumn(
-        "ct", default_content_type_expr(F.col("sitemap_url"))
-    )
-    plain = fetched.filter(F.trim(F.split(F.col("ct"), ";").getItem(0)) == "text/plain")
-    return (
-        plain.select(
-            F.explode(links_from_text_udf(F.col("sitemap_html"), F.col("sitemap_url"))).alias("url")
+    def fetch(urls: DataFrame) -> DataFrame:
+        return urls.join(sitemap_pages, "sitemap_url", "inner").withColumn(
+            "ct", content_type_expr(F.col("sitemap_url"))
         )
-        .withColumn("link_type", link_type_col(F.col("url")))
-    )
+
+    def links_of(sm: DataFrame, body_col) -> DataFrame:
+        return sm.select(
+            F.explode(links_from_text_udf(body_col, F.col("sitemap_url"))).alias("url")
+        )
+
+    mime = F.trim(F.split(F.col("ct"), ";").getItem(0))
+    fetched = fetch(sitemap_urls)
+    # text/plain gate on type/subtype only (params ignored, crawler.rs:294-300)
+    links = links_of(fetched.filter(mime == "text/plain"), F.col("sitemap_html"))
+
+    if xml:
+        xml_sm = fetched.filter(mime.isin("text/xml", "application/xml")).withColumn(
+            "body", F.decode(F.col("sitemap_html"), "UTF-8")
+        )
+        is_index = F.col("body").contains("<sitemapindex")
+        links = links.unionByName(links_of(xml_sm.filter(~is_index), _xml_loc_blob()))
+        # one-level recursion: index entries are SUB-SITEMAP urls — run them
+        # through the same normalize -> fetch -> gate path, keep urlsets only
+        sub_urls = links_of(xml_sm.filter(is_index), _xml_loc_blob()).select(
+            F.col("url").alias("sitemap_url")
+        ).distinct()
+        sub = fetch(sub_urls).filter(mime.isin("text/xml", "application/xml")).withColumn(
+            "body", F.decode(F.col("sitemap_html"), "UTF-8")
+        )
+        links = links.unionByName(
+            links_of(sub.filter(~F.col("body").contains("<sitemapindex")), _xml_loc_blob())
+        )
+
+    return links.withColumn("link_type", link_type_col(F.col("url")))
 
 
 def parse_xml_sitemap(sitemaps: DataFrame) -> DataFrame:

@@ -130,7 +130,14 @@ def crawl(
             frontier = wh.read_frontier(wave)
             if frontier is None or frontier.limit(1).count() == 0:
                 break
-            extra = sitemap_children(spark, pages, seed_urls) if wave == 0 else None
+            extra = (
+                sitemap_children(
+                    spark, pages, seed_urls,
+                    xml=cfg.sitemap_xml, content_type_expr=content_type_expr,
+                )
+                if wave == 0
+                else None
+            )
             counts = run_wave(
                 spark, wh, pages, wave, cfg, bloom, robots, extra, content_type_expr,
                 disallow, input_fp=input_fp,
