@@ -347,3 +347,58 @@ def host_of(url: str) -> str | None:
     if authority.startswith("["):
         return authority[: authority.find("]") + 1]
     return authority.split(":", 1)[0] or None
+
+
+# Tracking parameters stripped by strip_tracking_params — the ad-/analytics-
+# attribution params that fragment one logical page into thousands of
+# distinct URLs in crawl frontiers and WARC indexes (the standard
+# link-cleaning list: UTM family by prefix, plus click-id params)
+TRACKING_PARAM_PREFIXES = ("utm_",)
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "mc_eid", "igshid")
+
+
+def strip_tracking_params_col(url):
+    """Catalyst expression: ``url`` with tracking query params removed —
+    the URL-canonicalization pass upstream of frontier dedup / index keys
+    (SURT handles case/host form; this handles query noise). Non-tracking
+    params keep their original order; a query left empty drops its '?'.
+    Fragments are assumed already stripped by normalize_url (the engine's
+    canonical form never carries one).
+
+    Pure higher-order Catalyst (split/filter/array_join) — whole-stage
+    codegen, no Python, scan-side at 100 TB. DuckDB twin uses the same
+    split/list_filter shape."""
+    from pyspark.sql import functions as F
+
+    def is_tracking(p):
+        cond = F.lit(False)
+        for pfx in TRACKING_PARAM_PREFIXES:
+            cond = cond | p.startswith(pfx)
+        for name in TRACKING_PARAMS:
+            cond = cond | p.startswith(name + "=")
+        return cond
+
+    path = F.substring_index(url, "?", 1)
+    q = F.substring_index(url, "?", -1)
+    kept = F.array_join(F.filter(F.split(q, "&"), lambda p: ~is_tracking(p)), "&")
+    return (
+        F.when(~url.contains("?"), url)
+        .when(kept == "", path)
+        .otherwise(F.concat(path, F.lit("?"), kept))
+    )
+
+
+def strip_tracking_params(url: str) -> str:
+    """Python twin of strip_tracking_params_col (oracle/tests)."""
+    if "?" not in url:
+        return url
+    path, q = url.split("?", 1)
+    kept = [
+        p
+        for p in q.split("&")
+        if not (
+            any(p.startswith(pfx) for pfx in TRACKING_PARAM_PREFIXES)
+            or any(p.startswith(name + "=") for name in TRACKING_PARAMS)
+        )
+    ]
+    return path + ("?" + "&".join(kept) if kept else "")

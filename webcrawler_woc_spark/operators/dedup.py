@@ -650,3 +650,47 @@ def line_boilerplate_dedup(documents: DataFrame, min_docs: int = 5) -> DataFrame
         F.count("line").cast("int").alias("n_lines"),
         F.coalesce(F.sum(F.col("_b").cast("int")), F.lit(0)).cast("int").alias("n_removed"),
     )
+
+
+def editdistance_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    prefix_len: int = 16,
+    max_dist: int = 6,
+) -> DataFrame:
+    """Edit-distance-verified near-duplicate pairs WITHOUT all-pairs: the
+    trailing verify stage of a fuzzy-dedup pass (OCR noise, template fills,
+    truncated mirrors — byte-level edits that shingle/minhash families
+    blur over but Levenshtein measures exactly).
+
+    Inputs are (doc_id, text); output one row per cross pair within
+    Levenshtein <= max_dist: (doc_id_a, doc_id_b, dist).
+
+    Scale shape: candidate generation is a PREFIX-BUCKETED equi-join —
+    both sides shuffle once on substring(text, 1, prefix_len) and the
+    quadratic Levenshtein DP runs only inside a bucket, never across the
+    corpus (the plan is a plain shuffled hash/sort-merge join, no
+    cartesian; pinned by the plan audit). The prefix bucket is the classic
+    blocking key for edit distance: any pair differing in the first
+    prefix_len bytes already has distance > 0 there, and near-dup families
+    in web data overwhelmingly share long prefixes (mirrors, template
+    fills mutate tails). Pairs whose edits fall INSIDE the prefix are
+    missed by construction — callers widen recall by unioning a
+    suffix-bucketed pass, exactly like LSH adds bands. levenshtein() runs
+    JVM-side (whole-stage codegen), no Python in the loop."""
+    a = left.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("text").alias("text_a"),
+        F.substring("text", 1, prefix_len).alias("_pfx"),
+    )
+    b = right.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("text").alias("text_b"),
+        F.substring("text", 1, prefix_len).alias("_pfx"),
+    )
+    return (
+        a.join(b, "_pfx")
+        .withColumn("dist", F.levenshtein("text_a", "text_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("doc_id_a", "doc_id_b", F.col("dist").cast("int").alias("dist"))
+    )

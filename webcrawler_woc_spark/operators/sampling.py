@@ -123,3 +123,39 @@ def exact_percentiles(
             F.max(F.when(F.col("rn") == target, F.col("v"))).alias(f"p{q}")
         )
     return base.groupBy(group).agg(*aggs)
+
+
+def mixture_weights(
+    documents: DataFrame, group_col: str = "lang", total_target: int = 100_000
+) -> DataFrame:
+    """Alpha-temperature mixture re-weighting (alpha = 0.5) over a corpus
+    facet — the multilingual-LM sampling rule (sample p_i ^ alpha, then
+    renormalize) that up-weights tail languages/domains against the head,
+    as used by the CCNet/mC4 lineage. weight = floor(sqrt(n_docs)): IEEE
+    sqrt is correctly rounded, so floor(sqrt) over counts < 2^52 is
+    bit-identical across engines; everything after is integer div.
+
+    Output per group: (group, n_docs, weight_ppm, target_n) where
+    weight_ppm = w * 10^6 div sum(w) and target_n = min(n_docs,
+    total_target * w div sum(w)) — the actual per-group draw size, capped
+    at availability (a tail group can't supply more than it has).
+
+    Scale shape: one partial-agg'd groupBy to counts (rows = number of
+    groups, tiny), then a 1-row sum broadcast crossJoin — the same shape
+    as the LM-score normalizer. Nothing corpus-sized after the first agg."""
+    counts = documents.groupBy(F.col(group_col).alias("group")).agg(
+        F.count("*").alias("n_docs")
+    )
+    w = counts.withColumn("w", F.floor(F.sqrt(F.col("n_docs"))).cast("bigint"))
+    tot = w.agg(F.sum("w").alias("w_total"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "group",
+            "n_docs",
+            F.expr("(w * 1000000) div w_total").alias("weight_ppm"),
+            F.least(
+                F.col("n_docs"), F.expr(f"({total_target} * w) div w_total")
+            ).alias("target_n"),
+        )
+    )

@@ -509,3 +509,75 @@ def char_lm_scores(documents: DataFrame) -> DataFrame:
             "CAST(coalesce(bits_total, 0) * 100 div greatest(coalesce(n_bigrams, 0), 1) AS BIGINT)"
         ).alias("centibits_per_bigram"),
     )
+
+
+def word_ngrams(documents: DataFrame, n: int = 3, top_k: int | None = None) -> DataFrame:
+    """Corpus word n-gram counts — the collection pass behind contamination
+    screens (n-gram overlap vs eval sets), memorization probes and n-gram
+    LM fitting. Tokenization shares _tokens with every other text op.
+
+    Output (ngram, n_occurrences); with top_k, the top-k by
+    (count desc, ngram asc) — the full tiebreak keeps the cut
+    deterministic under any shuffle order.
+
+    Scale shape: n-gram assembly is pure Catalyst higher-order transforms
+    (no Python), the explode is bounded by corpus token count, and the
+    count is one partial-agg'd groupBy(ngram) — map-side combine collapses
+    within-partition repeats so shuffle rows = distinct n-grams per
+    partition. The top-k is a TakeOrderedAndProject, never a full sort."""
+    toks = _tokens(F.col("text"))
+    # element_at is 1-based; sequence() is arithmetic (no boundary guard:
+    # sequence(1,0) DESCENDS in Spark), so gate short docs with `when`
+    parts = " , ".join(f"element_at(_t, i + {j})" for j in range(n))
+    grams = F.when(
+        F.size(F.col("_t")) >= n,
+        F.expr(f"transform(sequence(1, size(_t) - {n - 1}), i -> concat_ws(' ', {parts}))"),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        documents.select(toks.alias("_t"))
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    if top_k is not None:
+        counts = counts.orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc()).limit(top_k)
+    return counts
+
+
+def length_band_drift(old: DataFrame, new: DataFrame, band: int = 500, n_bins: int = 10) -> DataFrame:
+    """Distribution drift between two corpus snapshots, binned by text
+    length — the cheap canary a recurring-crawl pipeline watches to catch
+    template rollouts, truncation bugs or boilerplate shifts before they
+    poison a training mix. Integer chi-square-per-bin: drift_ppm =
+    (n_old - n_new)^2 * 10^6 div (n_old + n_new) (0 for an empty bin) —
+    all-integer, hash-stable across engines; callers threshold the sum.
+
+    Output one row per bin 0..n_bins-1: (bin, n_old, n_new, drift_ppm).
+
+    Scale shape: each snapshot reduces to n_bins partial-agg'd counts (a
+    scan + a tiny shuffle); the join is n_bins rows a side. Nothing here
+    grows with corpus size except the scans."""
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        b = F.least(F.floor(F.length(F.coalesce(F.col("text"), F.lit(""))) / band), F.lit(n_bins - 1))
+        return df.groupBy(b.cast("int").alias("bin")).agg(F.count("*").alias(out))
+
+    from pyspark.sql import SparkSession
+
+    spark = old.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    out = (
+        bins.join(binned(old, "n_old"), "bin", "left")
+        .join(binned(new, "n_new"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    return out.withColumn(
+        "drift_ppm",
+        F.when(
+            F.col("n_old") + F.col("n_new") > 0,
+            F.expr("((n_old - n_new) * (n_old - n_new) * 1000000) div (n_old + n_new)"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
