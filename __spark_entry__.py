@@ -1655,6 +1655,126 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitter_check(_docs(spark, sf_dir), SKETCH_PROBES, depth=4, width=256)
 
 
+# ---------------------------------------------------------------------------
+# round-5 queries
+# ---------------------------------------------------------------------------
+
+
+def q_crawl_sharded_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-sharded seen-filter probe (operators/sharded_probe.py — the
+    10^10-URL form where the merged filter is too big to broadcast): the
+    cuckoo filter over every page url is persisted as one sidecar FILE PER
+    BUCKET; candidates (every 2nd page + every 7th /new/ url) shuffle to
+    their pmod(url_hash, n_buckets) bucket and each task deserializes only
+    its own bucket's file. Exactness inherited from the filter contract, so
+    the output equals a plain anti-join (the oracle); per-task bucket
+    isolation pinned in tests/test_sharded_probe.py."""
+    from webcrawler_woc_spark.operators.cuckoo import (
+        PartitionedCuckoo,
+        build_bucket_tables,
+        merge_spark_tables,
+    )
+    from webcrawler_woc_spark.operators.fetch import with_url_hash
+    from webcrawler_woc_spark.operators.sharded_probe import (
+        save_sharded,
+        sharded_prefiltered_anti_join,
+    )
+
+    docs = _docs(spark, sf_dir)
+    h = (F.col("doc_id") % 10).cast("string")
+    page_url = F.concat(
+        F.lit("http://host"), h, F.lit(".example/page/"), F.col("doc_id").cast("string")
+    )
+    new_url = F.concat(
+        F.lit("http://host"), h, F.lit(".example/new/"), F.col("doc_id").cast("string")
+    )
+    seen = with_url_hash(docs.select(page_url.alias("url")))
+    cands = with_url_hash(
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(page_url.alias("url"))
+        .unionByName(docs.filter(F.col("doc_id") % 7 == 0).select(new_url.alias("url")))
+    )
+    cuckoo = PartitionedCuckoo(n_buckets=4, m=1 << 13)
+    merge_spark_tables(cuckoo, build_bucket_tables(seen, n_buckets=4, m=1 << 13))
+    sdir = tempfile.mkdtemp(prefix="wcw_sharded_seen_")
+    save_sharded(cuckoo, sdir)
+    return sharded_prefiltered_anti_join(spark, cands, seen, sdir).select("url")
+
+
+def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-verified near-dup pairs (operators/dedup.py
+    editdistance_pairs): right side carries a tail-mutated copy of every
+    3rd doc's 80-char head (last 4 chars replaced by '~mut'), left the
+    originals; the prefix-16 bucketed join + Levenshtein <= 6 must recover
+    exactly the pairs the oracle's identical join computes — including any
+    cross-doc pairs that genuinely share a 16-char prefix."""
+    from webcrawler_woc_spark.operators.dedup import editdistance_pairs
+
+    docs = _docs(spark, sf_dir)
+    left = docs.select("doc_id", F.substring("text", 1, 80).alias("text"))
+    right = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.substring("text", 1, 76), F.lit("~mut")).alias("text"),
+    )
+    return editdistance_pairs(left, right, prefix_len=16, max_dist=6)
+
+
+def q_text_ngrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word trigram counts, deterministic top-25 (operators/
+    textstats.word_ngrams) — the contamination-screen collection pass."""
+    from webcrawler_woc_spark.operators.textstats import word_ngrams
+
+    return word_ngrams(_docs(spark, sf_dir), n=3, top_k=25)
+
+
+def q_pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha-temperature (0.5) mixture re-weighting over the corpus lang
+    facet (operators/sampling.mixture_weights): floor(sqrt(count)) weights
+    (IEEE sqrt is correctly rounded => bit-stable), ppm shares and
+    availability-capped per-group draw sizes, all integer past the sqrt."""
+    from webcrawler_woc_spark.operators.sampling import mixture_weights
+
+    return mixture_weights(_docs(spark, sf_dir), group_col="lang", total_target=100_000)
+
+
+def q_crawl_url_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracking-param URL canonicalization (functions/urlnorm.
+    strip_tracking_params_col): synthetic frontier urls carrying id/utm_*/
+    fbclid/ref params in mixed order (every 7th url has no query at all);
+    the canonical form keeps non-tracking params in original order and
+    drops an emptied query's '?'."""
+    from webcrawler_woc_spark.functions.urlnorm import strip_tracking_params_col
+
+    docs = _docs(spark, sf_dir)
+    h = (F.col("doc_id") % 10).cast("string")
+    d = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("http://host"), h, F.lit(".example/a/"), d)
+    q = F.concat(
+        F.lit("?utm_source=s"), (F.col("doc_id") % 4).cast("string"),
+        F.lit("&id="), d,
+        F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("&fbclid=f"), d)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("&ref=r"), (F.col("doc_id") % 5).cast("string"))).otherwise(F.lit("")),
+    )
+    url = F.when(F.col("doc_id") % 7 == 0, base).otherwise(F.concat(base, q))
+    u = docs.select(url.alias("url"))
+    return u.select("url", strip_tracking_params_col(F.col("url")).alias("canonical_url"))
+
+
+def q_text_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift canary (operators/textstats.length_band_drift):
+    even-doc_id docs as the 'old' snapshot vs odd as 'new', text length
+    binned at 100 chars into 8 bands, integer chi-square drift per bin."""
+    from webcrawler_woc_spark.operators.textstats import length_band_drift
+
+    docs = _docs(spark, sf_dir)
+    return length_band_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        band=100,
+        n_bins=8,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -1662,12 +1782,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness snapshot covers the FIRST 50
-    # entries.  Rounds 2-3 landed 35 operators that never got hard driver
-    # signal, so those occupy the front of the dict; queries changed or added
-    # this round come next; the long-stable crawl/rel basics (driver-green in
-    # r1-r3 and e2e/test-pinned) rotate to the back.
+    # entries, and the window ROTATES each round (VERDICT r4 item 4) so every
+    # key keeps getting hard driver signal. Round 5: the six new queries +
+    # text_inverted_index (red-in-driver last round, must be seen green)
+    # lead; then the longest-unchecked surface — the round-1 crawl basics,
+    # rel_* and dedup/ANN block, outside the window since r3 and judge-rerun
+    # in r4 — fills the rest; the r2/r3/r4 blocks (driver-green in r4's
+    # window) rotate to the back for round 6.
     return {
-        # --- never driver-checked before round 4 (r2/r3 additions) ---
+        # --- new in round 5 ---
+        "crawl_sharded_seen": q_crawl_sharded_seen,
+        "dedup_editdistance": q_dedup_editdistance,
+        "text_ngrams_top": q_text_ngrams_top,
+        "pipeline_domain_mixture": q_pipeline_domain_mixture,
+        "crawl_url_strip_tracking": q_crawl_url_strip_tracking,
+        "text_length_drift": q_text_length_drift,
+        # --- driver-red in r4 (harness shape, since stringified): keep in ---
+        "text_inverted_index": q_text_inverted_index,
+        # --- longest-unchecked: round-1 surface, windowless since r3 ---
+        "crawl_link_typing": q_crawl_link_typing,
+        "crawl_extracted_text": q_crawl_extracted_text,
+        "crawl_policy_routing": q_crawl_policy_routing,
+        "crawl_fetch_failures": q_crawl_fetch_failures,
+        "crawl_timeout_failures": q_crawl_timeout_failures,
+        "crawl_sitemap_discovery": q_crawl_sitemap_discovery,
+        "crawl_word_scan": q_crawl_word_scan,
+        "crawl_dns_enrichment": q_crawl_dns_enrichment,
+        "crawl_disallow_filter": q_crawl_disallow_filter,
+        "crawl_priority_pagerank": q_crawl_priority_pagerank,
+        "crawl_mime_gate": q_crawl_mime_gate,
+        "crawl_politeness_schedule": q_crawl_politeness_schedule,
+        "rel_rollup_pricing": q_rel_rollup_pricing,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "rel_topk_per_group": q_rel_topk_per_group,
+        "rel_anti_join": q_rel_anti_join,
+        "rel_agg_pricing": q_rel_agg_pricing,
+        "rel_star_join": q_rel_star_join,
+        "rel_union_distinct": q_rel_union_distinct,
+        "rel_token_explode": q_rel_token_explode,
+        "rel_running_window": q_rel_running_window,
+        "rel_sessionize": q_rel_sessionize,
+        "rel_broadcast_dim_join": q_rel_broadcast_dim_join,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_components": q_graph_components,
+        "dedup_exact": q_dedup_exact,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_token_counts": q_text_token_counts,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "text_quality": q_text_quality,
+        "pipeline_curate": q_pipeline_curate,
+        "pipeline_sample_mix": q_pipeline_sample_mix,
+        "pipeline_pack_sequences": q_pipeline_pack_sequences,
+        "multimodal_features": q_multimodal_features,
+        # ---- 50-entry window cut falls here (7 + 43 above) ----
+        # next 4 are the only round-1 keys that didn't fit: front of the
+        # round-6 rotation
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "stream_host_rate": q_stream_host_rate,
+        "stream_dedup_exactly_once": q_stream_dedup_exactly_once,
+        "decon_ngram_overlap": q_decon_ngram_overlap,
+        # --- driver-green in r4's window: rotate out for round 6 ---
+        "crawl_bfs_depth3_seen": q_crawl_bfs_depth3_seen,
+        "crawl_wave1_frontier": q_crawl_wave1_frontier,
         "multimodal_resize": q_multimodal_resize,
         "crawl_latest_capture": q_crawl_latest_capture,
         "crawl_recrawl_schedule": q_crawl_recrawl_schedule,
@@ -1703,71 +1888,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantile_log2": q_sketch_quantile_log2,
         "crawl_adaptive_recrawl": q_crawl_adaptive_recrawl,
         "rel_grouping_sets": q_rel_grouping_sets,
-        # --- changed or added in round 4 ---
         "crawl_robots_delay": q_crawl_robots_delay,
         "dedup_substrings_verified": q_dedup_substrings_verified,
         "crawl_cuckoo_seen": q_crawl_cuckoo_seen,
         "dedup_lines": q_dedup_lines,
         "text_normalize_nfc": q_text_normalize_nfc,
         "graph_hits": q_graph_hits,
-        "text_inverted_index": q_text_inverted_index,
         "crawl_xml_sitemap": q_crawl_xml_sitemap,
         "crawl_domain_rollup": q_crawl_domain_rollup,
         "text_quality_bins": q_text_quality_bins,
         "text_lm_score": q_text_lm_score,
         "crawl_cuckoo_expire": q_crawl_cuckoo_expire,
         "crawl_merge_upsert": q_crawl_merge_upsert,
-        # --- representative long-stable basics (also e2e-pinned) ---
-        "crawl_bfs_depth3_seen": q_crawl_bfs_depth3_seen,
-        "crawl_wave1_frontier": q_crawl_wave1_frontier,
-        "crawl_mime_gate": q_crawl_mime_gate,
-        "crawl_politeness_schedule": q_crawl_politeness_schedule,
-        "dedup_exact": q_dedup_exact,
-        "dedup_simhash": q_dedup_simhash,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "text_quality": q_text_quality,
-        "pipeline_pack_sequences": q_pipeline_pack_sequences,
-        "stream_dedup_exactly_once": q_stream_dedup_exactly_once,
-        # --- long-stable tail (driver-green r1-r3; e2e/test-pinned) ---
-        "crawl_link_typing": q_crawl_link_typing,
-        "crawl_extracted_text": q_crawl_extracted_text,
-        "crawl_policy_routing": q_crawl_policy_routing,
-        "crawl_fetch_failures": q_crawl_fetch_failures,
-        "crawl_timeout_failures": q_crawl_timeout_failures,
-        "crawl_sitemap_discovery": q_crawl_sitemap_discovery,
-        "crawl_word_scan": q_crawl_word_scan,
-        "crawl_dns_enrichment": q_crawl_dns_enrichment,
-        "crawl_disallow_filter": q_crawl_disallow_filter,
-        "crawl_priority_pagerank": q_crawl_priority_pagerank,
-        "rel_rollup_pricing": q_rel_rollup_pricing,
-        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "rel_topk_per_group": q_rel_topk_per_group,
-        "rel_anti_join": q_rel_anti_join,
-        "rel_agg_pricing": q_rel_agg_pricing,
-        "rel_star_join": q_rel_star_join,
-        "rel_union_distinct": q_rel_union_distinct,
-        "rel_token_explode": q_rel_token_explode,
-        "rel_running_window": q_rel_running_window,
-        "rel_sessionize": q_rel_sessionize,
-        "rel_broadcast_dim_join": q_rel_broadcast_dim_join,
-        "graph_pagerank": q_graph_pagerank,
-        "graph_components": q_graph_components,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "text_token_counts": q_text_token_counts,
-        "text_lang_id": q_text_lang_id,
-        "text_fingerprint": q_text_fingerprint,
-        "text_repetition": q_text_repetition,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "pipeline_curate": q_pipeline_curate,
-        "pipeline_sample_mix": q_pipeline_sample_mix,
-        "multimodal_features": q_multimodal_features,
-        "stream_host_rate": q_stream_host_rate,
-        "decon_ngram_overlap": q_decon_ngram_overlap,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
     }
 
 
@@ -1926,6 +2058,111 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT url FROM cand
             WHERE url NOT IN (SELECT url FROM seen)
+        """,
+        "crawl_sharded_seen": """
+            WITH seen AS (
+                SELECT 'http://host' || (doc_id % 10) || '.example/page/' || doc_id AS url
+                FROM documents
+            ),
+            cand AS (
+                SELECT 'http://host' || (doc_id % 10) || '.example/page/' || doc_id AS url
+                FROM documents WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT 'http://host' || (doc_id % 10) || '.example/new/' || doc_id AS url
+                FROM documents WHERE doc_id % 7 = 0
+            )
+            SELECT url FROM cand
+            WHERE url NOT IN (SELECT url FROM seen)
+        """,
+        "dedup_editdistance": """
+            WITH a AS (
+                SELECT doc_id, substr(text, 1, 80) AS s FROM documents
+            ),
+            b AS (
+                SELECT doc_id + 1000000 AS doc_id, substr(text, 1, 76) || '~mut' AS s
+                FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   CAST(levenshtein(a.s, b.s) AS INT) AS dist
+            FROM a JOIN b ON substr(a.s, 1, 16) = substr(b.s, 1, 16)
+            WHERE levenshtein(a.s, b.s) <= 6
+        """,
+        "text_ngrams_top": f"""
+            WITH t AS (
+                SELECT {TOKENS_SQL} AS toks FROM documents
+            ),
+            g AS (
+                SELECT unnest(list_transform(
+                    range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                )) AS ngram
+                FROM t WHERE len(toks) >= 3
+            )
+            SELECT ngram, COUNT(*) AS n_occurrences
+            FROM g GROUP BY ngram
+            ORDER BY n_occurrences DESC, ngram ASC
+            LIMIT 25
+        """,
+        "pipeline_domain_mixture": """
+            WITH c AS (
+                SELECT lang AS "group", COUNT(*) AS n_docs FROM documents GROUP BY lang
+            ),
+            w AS (
+                SELECT "group", n_docs, CAST(floor(sqrt(n_docs)) AS BIGINT) AS w FROM c
+            ),
+            t AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM w)
+            SELECT "group", n_docs,
+                   (w * 1000000) // w_total AS weight_ppm,
+                   least(n_docs, (100000 * w) // w_total) AS target_n
+            FROM w, t
+        """,
+        "crawl_url_strip_tracking": """
+            WITH u AS (
+                SELECT CASE WHEN doc_id % 7 = 0
+                    THEN 'http://host' || (doc_id % 10) || '.example/a/' || doc_id
+                    ELSE 'http://host' || (doc_id % 10) || '.example/a/' || doc_id
+                         || '?utm_source=s' || (doc_id % 4) || '&id=' || doc_id
+                         || CASE WHEN doc_id % 2 = 0 THEN '&fbclid=f' || doc_id ELSE '' END
+                         || CASE WHEN doc_id % 3 = 0 THEN '&ref=r' || (doc_id % 5) ELSE '' END
+                    END AS url
+                FROM documents
+            ),
+            k AS (
+                SELECT url,
+                       list_filter(
+                           string_split(split_part(url, '?', 2), '&'),
+                           p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
+                                     OR starts_with(p, 'gclid=') OR starts_with(p, 'msclkid=')
+                                     OR starts_with(p, 'mc_eid=') OR starts_with(p, 'igshid='))
+                       ) AS kept
+                FROM u
+            )
+            SELECT url,
+                   CASE WHEN NOT contains(url, '?') THEN url
+                        WHEN len(kept) = 0 THEN split_part(url, '?', 1)
+                        ELSE split_part(url, '?', 1) || '?' || array_to_string(kept, '&')
+                   END AS canonical_url
+            FROM k
+        """,
+        "text_length_drift": """
+            WITH bins AS (SELECT unnest(range(0, 8)) AS bin),
+            o AS (
+                SELECT least(length(coalesce(text, '')) // 100, 7) AS bin, COUNT(*) AS c
+                FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+            ),
+            n AS (
+                SELECT least(length(coalesce(text, '')) // 100, 7) AS bin, COUNT(*) AS c
+                FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+            )
+            SELECT CAST(bins.bin AS INT) AS bin,
+                   coalesce(o.c, 0) AS n_old,
+                   coalesce(n.c, 0) AS n_new,
+                   CASE WHEN coalesce(o.c, 0) + coalesce(n.c, 0) > 0
+                        THEN ((coalesce(o.c, 0) - coalesce(n.c, 0))
+                              * (coalesce(o.c, 0) - coalesce(n.c, 0)) * 1000000)
+                             // (coalesce(o.c, 0) + coalesce(n.c, 0))
+                        ELSE 0 END AS drift_ppm
+            FROM bins LEFT JOIN o ON bins.bin = o.bin LEFT JOIN n ON bins.bin = n.bin
         """,
         "crawl_disallow_filter": """
             WITH u AS (

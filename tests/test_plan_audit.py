@@ -49,6 +49,7 @@ BNLJ_OK = {
     "cluster_kmeans",  # corpus x broadcast(k centroids): the textbook k-means scan
     "dedup_semantic",  # inherits the k-means assignment scan
     "graph_hits",  # per-normalization 1-row max broadcast crossJoin
+    "pipeline_domain_mixture",  # group-counts x 1-row weight-total crossJoin
 }
 # streaming queries execute a StreamingQuery, not a single batch plan
 SKIP = {
