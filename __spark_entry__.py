@@ -1775,6 +1775,114 @@ def q_text_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text top-k (operators/graph.anchor_topk): two
+    synthetic links per doc — ('a'||doc_id%4 -> page doc_id%37) and
+    ('home' -> page (doc_id*7)%37) — aggregated to each target's top-3
+    anchors with full (count DESC, anchor ASC) tiebreak plus the target's
+    total inlink count."""
+    from webcrawler_woc_spark.operators.graph import anchor_topk
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    src = F.concat(F.lit("s"), d.cast("string"))
+    l1 = docs.select(
+        src.alias("src"),
+        F.concat(F.lit("p"), (d % 37).cast("string")).alias("dst"),
+        F.concat(F.lit("a"), (d % 4).cast("string")).alias("anchor"),
+    )
+    l2 = docs.select(
+        src.alias("src"),
+        F.concat(F.lit("p"), ((d * 7) % 37).cast("string")).alias("dst"),
+        F.lit("home").alias("anchor"),
+    )
+    out = anchor_topk(l1.unionByName(l2), k=3)
+    return out.select(
+        "dst",
+        F.col("rank").cast("int").alias("rank"),
+        "anchor",
+        "n_mentions",
+        "n_inlinks",
+    )
+
+
+def q_crawl_digest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-digest dedup, keep-earliest (operators/recrawl.digest_dedup —
+    the Common-Crawl WARC convention): synthetic captures with digest =
+    doc_id % 83 (forced collisions) and epoch = 1767225600 +
+    (doc_id*37)%86400 (ties possible, broken by url ASC); one row per
+    digest with its first capture and copy count."""
+    from webcrawler_woc_spark.operators.recrawl import digest_dedup
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    caps = docs.select(
+        F.concat(
+            F.lit("http://host"), (d % 10).cast("string"),
+            F.lit(".example/page/"), d.cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1767225600) + (d * 37) % 86400).alias("capture_ts"),
+        (d % 83).alias("digest"),
+    )
+    out = digest_dedup(caps)
+    return out.select(
+        "digest",
+        "url",
+        F.col("capture_ts").cast("long").alias("first_epoch"),
+        "n_copies",
+    )
+
+
+def q_pipeline_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping passage chunking (operators/sampling.chunk_passages):
+    window 32 / stride 24 over the corpus token stream — zero-shuffle pure
+    Catalyst; the oracle recomputes every chunk boundary and slice with
+    DuckDB list arithmetic."""
+    from webcrawler_woc_spark.operators.sampling import chunk_passages
+
+    return chunk_passages(_docs(spark, sf_dir), window=32, stride=24)
+
+
+def q_pipeline_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard routing (operators/sampling.
+    rendezvous_shards) across 16 shards — integer square-mod weights shared
+    verbatim with the oracle; minimal-movement property pinned in
+    tests/test_round5b_ops.py."""
+    from webcrawler_woc_spark.operators.sampling import rendezvous_shards
+
+    return rendezvous_shards(_docs(spark, sf_dir), n_shards=16)
+
+
+def q_crawl_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality composite (operators/domainstats.domain_quality):
+    hosts spread over www/cdn/deep subdomains of 7 sites across 4 TLD shapes
+    (the registrable_domain PSL subset collapses them), every 5th doc
+    carrying identical boilerplate text; the engine derives the domain via
+    the generic eTLD+1 expression while the oracle predicts it
+    arithmetically, and dup ratio / mean quality / majority lang / spam
+    score are recomputed in SQL."""
+    from webcrawler_woc_spark.operators.domainstats import domain_quality
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    site = (d % 7).cast("string")
+    host = (
+        F.when(d % 4 == 0, F.concat(F.lit("www.site"), site, F.lit(".co.uk")))
+        .when(d % 4 == 1, F.concat(F.lit("a.b.site"), site, F.lit(".com")))
+        .when(d % 4 == 2, F.concat(F.lit("site"), site, F.lit(".org")))
+        .otherwise(F.concat(F.lit("cdn.site"), site, F.lit(".com.au")))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://"), host, F.lit("/p/"), d.cast("string")).alias("url"),
+        F.when(d % 5 == 0, F.lit("boilerplate copy shared across hosts"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    return domain_quality(pages)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -1799,7 +1907,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_drift": q_text_length_drift,
         # --- driver-red in r4 (harness shape, since stringified): keep in ---
         "text_inverted_index": q_text_inverted_index,
-        # --- longest-unchecked: round-1 surface, windowless since r3 ---
+        # --- new in round 5, batch 2 (never driver-checked) ---
+        "graph_anchor_topk": q_graph_anchor_topk,
+        "crawl_digest_dedup": q_crawl_digest_dedup,
+        "pipeline_chunk_passages": q_pipeline_chunk_passages,
+        "pipeline_rendezvous_shards": q_pipeline_rendezvous_shards,
+        "crawl_domain_quality": q_crawl_domain_quality,
+        # --- longest-unchecked: round-1 surface, windowless since r3
+        #     (batch 2 pushes the last 5 of these past the 50-entry cut;
+        #     they stay covered by the full scripts/check_oracles.py gate) ---
         "crawl_link_typing": q_crawl_link_typing,
         "crawl_extracted_text": q_crawl_extracted_text,
         "crawl_policy_routing": q_crawl_policy_routing,
@@ -1905,6 +2021,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _crawl_cte() -> str:
     return "WITH " + ORACLE_OUTLINKS_CTE
+
+
+def _rv_weight_sql_oracle() -> str:
+    # the oracle's rendezvous weight is THE SAME string the engine compiles
+    # (operators/sampling._rv_weight_sql) — parity by construction
+    from webcrawler_woc_spark.operators.sampling import _rv_weight_sql
+
+    return _rv_weight_sql("doc_id", "s")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2163,6 +2287,147 @@ def oracle_sql() -> dict[str, str]:
                              // (coalesce(o.c, 0) + coalesce(n.c, 0))
                         ELSE 0 END AS drift_ppm
             FROM bins LEFT JOIN o ON bins.bin = o.bin LEFT JOIN n ON bins.bin = n.bin
+        """,
+        "graph_anchor_topk": """
+            WITH links AS (
+                SELECT 'p' || (doc_id % 37) AS dst, 'a' || (doc_id % 4) AS anchor
+                FROM documents
+                UNION ALL
+                SELECT 'p' || ((doc_id * 7) % 37), 'home' FROM documents
+            ),
+            g AS (
+                SELECT dst, anchor, COUNT(*) AS n_mentions FROM links GROUP BY dst, anchor
+            ),
+            r AS (
+                SELECT dst, anchor, n_mentions,
+                       CAST(row_number() OVER (
+                           PARTITION BY dst ORDER BY n_mentions DESC, anchor ASC
+                       ) AS INT) AS "rank",
+                       CAST(SUM(n_mentions) OVER (PARTITION BY dst) AS BIGINT) AS n_inlinks
+                FROM g
+            )
+            SELECT dst, "rank", anchor, n_mentions, n_inlinks FROM r WHERE "rank" <= 3
+        """,
+        "crawl_digest_dedup": """
+            WITH caps AS (
+                SELECT 'http://host' || (doc_id % 10) || '.example/page/' || doc_id AS url,
+                       CAST(1767225600 + (doc_id * 37) % 86400 AS BIGINT) AS epoch,
+                       CAST(doc_id % 83 AS BIGINT) AS digest
+                FROM documents
+            ),
+            r AS (
+                SELECT digest, url, epoch,
+                       row_number() OVER (PARTITION BY digest ORDER BY epoch, url) AS rn,
+                       COUNT(*) OVER (PARTITION BY digest) AS nc
+                FROM caps
+            )
+            SELECT digest, url, epoch AS first_epoch, CAST(nc AS BIGINT) AS n_copies
+            FROM r WHERE rn = 1
+        """,
+        "pipeline_chunk_passages": f"""
+            WITH d0 AS (
+                SELECT doc_id, coalesce(text, '') AS text FROM documents
+            ),
+            t AS (
+                SELECT doc_id, {TOKENS_SQL} AS toks,
+                       CAST(len({TOKENS_SQL}) AS INT) AS n
+                FROM d0
+            ),
+            c AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, CASE WHEN n <= 0 THEN 0
+                                            ELSE 1 + (greatest(n - 32, 0) + 23) // 24
+                                       END)) AS chunk_id
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(chunk_id AS INT) AS chunk_id,
+                   CAST(len(array_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS INT)
+                       AS n_tokens,
+                   array_to_string(array_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')
+                       AS chunk_text
+            FROM c
+        """,
+        "pipeline_rendezvous_shards": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_transform(range(0, 16), s -> {_rv_weight_sql_oracle()}) AS wl
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(list_position(wl, list_aggregate(wl, 'max')) - 1 AS INT) AS shard,
+                   CAST(list_aggregate(wl, 'max') AS BIGINT) AS weight
+            FROM w
+        """,
+        "crawl_domain_quality": f"""
+            WITH p AS (
+                SELECT doc_id,
+                       'site' || (doc_id % 7) ||
+                           CASE WHEN doc_id % 4 = 0 THEN '.co.uk'
+                                WHEN doc_id % 4 = 1 THEN '.com'
+                                WHEN doc_id % 4 = 2 THEN '.org'
+                                ELSE '.com.au' END AS domain,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN 'boilerplate copy shared across hosts'
+                            ELSE text END AS text,
+                       lang
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id, domain, lang,
+                       list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                               list_transform(string_split(text, ''),
+                                              x -> CAST(ascii(x) AS BIGINT))),
+                           (acc, x) -> (acc * 31 + x) % 999999999999989
+                       ) AS fp
+                FROM p
+            ),
+            fc AS (SELECT fp, COUNT(*) AS nfp FROM f GROUP BY fp),
+            qt AS (
+                SELECT doc_id,
+                       CAST(len({TOKENS_SQL}) AS INT) AS n_tokens,
+                       CAST(length(text) AS INT) AS text_len,
+                       CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INT)
+                           AS punct_chars,
+                       CAST(len(list_filter({TOKENS_SQL}, x -> x IN {EN})) AS INT) AS stop_hits
+                FROM p
+            ),
+            q AS (
+                SELECT doc_id,
+                       CAST(floor(((least(n_tokens / 100.0, 1.0) * 0.5)
+                            + ((1.0 - least(punct_chars * 10.0 / greatest(text_len, 1), 1.0)) * 0.25)
+                            + (least(stop_hits * 5.0 / greatest(n_tokens, 1), 1.0) * 0.25))
+                            * 1000000.0) AS BIGINT) AS quality_ppm
+                FROM qt
+            ),
+            docs2 AS (
+                SELECT f.domain, f.lang, q.quality_ppm,
+                       CASE WHEN fc.nfp > 1 THEN 1 ELSE 0 END AS is_dup
+                FROM f JOIN fc USING (fp) JOIN q USING (doc_id)
+            ),
+            pl AS (SELECT domain, lang, COUNT(*) AS n_lang FROM docs2 GROUP BY domain, lang),
+            tl AS (
+                SELECT domain, lang AS top_lang, n_lang,
+                       row_number() OVER (
+                           PARTITION BY domain ORDER BY n_lang DESC, lang ASC
+                       ) AS rk
+                FROM pl
+            ),
+            ag AS (
+                SELECT domain, COUNT(*) AS n_docs,
+                       CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+                       CAST(SUM(quality_ppm) AS BIGINT) AS sum_q
+                FROM docs2 GROUP BY domain
+            )
+            SELECT ag.domain, ag.n_docs,
+                   (n_dup * 1000000) // n_docs AS dup_ratio_ppm,
+                   sum_q // n_docs AS mean_quality_ppm,
+                   tl.top_lang,
+                   (tl.n_lang * 1000000) // n_docs AS top_lang_share_ppm,
+                   (((n_dup * 1000000) // n_docs)
+                    + (1000000 - (sum_q // n_docs))) // 2 AS spam_score_ppm
+            FROM ag JOIN tl ON ag.domain = tl.domain AND tl.rk = 1
         """,
         "crawl_disallow_filter": """
             WITH u AS (

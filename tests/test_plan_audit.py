@@ -37,6 +37,9 @@ SMJ_OK = {
     # line explode ⋈ boilerplate table: boilerplate size is data-dependent
     # (AQE may broadcast when small; SMJ is the safe general plan)
     "dedup_lines",
+    # docs ⋈ fingerprint-counts on fp + ⋈ quality on doc_id: all sides
+    # corpus-sized (the dedup_exact shape); domain-keyed aggs after are tiny
+    "crawl_domain_quality",
 }
 # BNLJ allowlist: the exact cosine baseline broadcasts the tiny query set
 # into a crossJoin by design; IVF broadcasts the tiny centroid table into

@@ -1,0 +1,188 @@
+"""Round-5 batch 2: anchor-text aggregation, capture-digest dedup,
+overlapping passage chunking, rendezvous shard routing, domain quality."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+class TestAnchorTopk:
+    def test_topk_per_target_with_tiebreak(self, spark):
+        from webcrawler_woc_spark.operators.graph import anchor_topk
+
+        links = spark.createDataFrame(
+            [
+                ("s1", "t1", "home"),
+                ("s2", "t1", "home"),
+                ("s3", "t1", "news"),
+                ("s4", "t1", "blog"),  # ties with 'news' at 1 -> blog first (ASC)
+                ("s1", "t2", "only"),
+            ],
+            "src string, dst string, anchor string",
+        )
+        rows = anchor_topk(links, k=2).collect()
+        got = {(r.dst, r.rank): (r.anchor, r.n_mentions, r.n_inlinks) for r in rows}
+        assert got == {
+            ("t1", 1): ("home", 2, 4),
+            ("t1", 2): ("blog", 1, 4),
+            ("t2", 1): ("only", 1, 1),
+        }
+
+    def test_single_shuffle_keyed_on_dst(self, spark):
+        from webcrawler_woc_spark.operators.graph import anchor_topk
+
+        links = spark.createDataFrame(
+            [("s", "t", "a")], "src string, dst string, anchor string"
+        )
+        plan = anchor_topk(links)._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+        # partial agg present (map-side combine before the shuffle)
+        assert "partial_count" in plan or "HashAggregate" in plan
+
+
+class TestDigestDedup:
+    def test_keep_earliest_ties_by_url(self, spark):
+        from webcrawler_woc_spark.operators.recrawl import digest_dedup
+
+        t0 = datetime.datetime(2026, 1, 1)
+        t1 = datetime.datetime(2026, 1, 2)
+        caps = spark.createDataFrame(
+            [
+                ("http://b/x", t1, 10),
+                ("http://a/x", t0, 10),  # earliest wins
+                ("http://c/x", t0, 10),  # same ts as a -> url ASC keeps a
+                ("http://d/y", t1, 20),
+            ],
+            "url string, capture_ts timestamp, digest bigint",
+        )
+        got = {r.digest: r for r in digest_dedup(caps).collect()}
+        assert got[10].url == "http://a/x" and got[10].capture_ts == t0
+        assert got[10].n_copies == 3
+        assert got[20].url == "http://d/y" and got[20].n_copies == 1
+
+    def test_no_window_single_agg(self, spark):
+        from webcrawler_woc_spark.operators.recrawl import digest_dedup
+
+        caps = spark.createDataFrame(
+            [("u", datetime.datetime(2026, 1, 1), 1)],
+            "url string, capture_ts timestamp, digest bigint",
+        )
+        plan = digest_dedup(caps)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan  # groupBy form, not row_number()=1
+
+
+class TestChunkPassages:
+    def test_window_stride_overlap(self, spark):
+        from webcrawler_woc_spark.operators.sampling import chunk_passages
+
+        toks = [f"w{i}" for i in range(10)]
+        docs = spark.createDataFrame([(1, " ".join(toks))], "doc_id bigint, text string")
+        rows = sorted(
+            chunk_passages(docs, window=4, stride=3).collect(), key=lambda r: r.chunk_id
+        )
+        # n=10, w=4, s=3 -> 1 + ceil(6/3) = 3 chunks: [0:4], [3:7], [6:10]
+        assert [(r.chunk_id, r.n_tokens, r.chunk_text) for r in rows] == [
+            (0, 4, "w0 w1 w2 w3"),
+            (1, 4, "w3 w4 w5 w6"),
+            (2, 4, "w6 w7 w8 w9"),
+        ]
+
+    def test_short_and_empty_docs(self, spark):
+        from webcrawler_woc_spark.operators.sampling import chunk_passages
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, ""), (3, None), (4, "a b c d e")],
+            "doc_id bigint, text string",
+        )
+        rows = chunk_passages(docs, window=4, stride=3).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert [(c.chunk_id, c.n_tokens, c.chunk_text) for c in by_doc[1]] == [(0, 2, "a b")]
+        assert 2 not in by_doc and 3 not in by_doc  # zero-token docs emit nothing
+        # n=5, w=4, s=3 -> 2 chunks, last one short
+        got4 = sorted(by_doc[4], key=lambda c: c.chunk_id)
+        assert [(c.chunk_id, c.n_tokens, c.chunk_text) for c in got4] == [
+            (0, 4, "a b c d"),
+            (1, 2, "d e"),
+        ]
+
+    def test_no_shuffle(self, spark):
+        from webcrawler_woc_spark.operators.sampling import chunk_passages
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+        plan = chunk_passages(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestRendezvousShards:
+    def test_assignment_in_range_and_deterministic(self, spark):
+        from webcrawler_woc_spark.operators.sampling import rendezvous_shards
+
+        docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id bigint")
+        a = {r.doc_id: r.shard for r in rendezvous_shards(docs, 8).collect()}
+        b = {r.doc_id: r.shard for r in rendezvous_shards(docs, 8).collect()}
+        assert a == b
+        assert all(0 <= s < 8 for s in a.values())
+        # roughly balanced: every shard gets something at n=300
+        assert len(set(a.values())) == 8
+
+    def test_minimal_movement_on_grow(self, spark):
+        """THE rendezvous property: growing 8 -> 9 shards only moves docs
+        the NEW shard wins; no doc moves between surviving shards."""
+        from webcrawler_woc_spark.operators.sampling import rendezvous_shards
+
+        docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id bigint")
+        s8 = {r.doc_id: r.shard for r in rendezvous_shards(docs, 8).collect()}
+        s9 = {r.doc_id: r.shard for r in rendezvous_shards(docs, 9).collect()}
+        moved = {d for d in s8 if s8[d] != s9[d]}
+        assert all(s9[d] == 8 for d in moved)  # movers go ONLY to the new shard
+        assert len(moved) < 500 * 25 // 100  # ~1/9 expected; generous bound
+
+    def test_pure_projection_no_exchange(self, spark):
+        from webcrawler_woc_spark.operators.sampling import rendezvous_shards
+
+        docs = spark.createDataFrame([(1,)], "doc_id bigint")
+        plan = rendezvous_shards(docs, 4)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
+
+
+class TestDomainQuality:
+    def test_signals_and_composite(self, spark):
+        from webcrawler_woc_spark.operators.domainstats import domain_quality
+
+        dup = "shared boilerplate body"
+        pages = spark.createDataFrame(
+            [
+                (1, "http://www.site1.co.uk/a", dup, "en"),
+                (2, "http://cdn.site1.co.uk/b", dup, "en"),
+                (3, "http://site1.co.uk/c", "unique text here", "de"),
+                (4, "http://other.com/x", dup, "en"),  # cross-domain dup counts
+                (5, "http://other.com/y", "another unique body", "en"),
+            ],
+            "doc_id bigint, url string, text string, lang string",
+        )
+        got = {r.domain: r for r in domain_quality(pages).collect()}
+        assert set(got) == {"site1.co.uk", "other.com"}
+        s1 = got["site1.co.uk"]
+        assert s1.n_docs == 3
+        assert s1.dup_ratio_ppm == (2 * 1_000_000) // 3
+        assert (s1.top_lang, s1.top_lang_share_ppm) == ("en", (2 * 1_000_000) // 3)
+        o = got["other.com"]
+        assert o.n_docs == 2 and o.dup_ratio_ppm == 500_000
+        assert o.spam_score_ppm == (o.dup_ratio_ppm + (1_000_000 - o.mean_quality_ppm)) // 2
+
+    def test_majority_lang_tiebreak_asc(self, spark):
+        from webcrawler_woc_spark.operators.domainstats import domain_quality
+
+        pages = spark.createDataFrame(
+            [
+                (1, "http://t.example/a", "aaa", "fr"),
+                (2, "http://t.example/b", "bbb", "de"),
+            ],
+            "doc_id bigint, url string, text string, lang string",
+        )
+        (row,) = domain_quality(pages).collect()
+        assert row.top_lang == "de"  # 1-1 tie -> lang ASC

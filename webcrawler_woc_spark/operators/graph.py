@@ -230,3 +230,39 @@ def hits_int(nodes: DataFrame, edges: DataFrame, iterations: int = 2) -> DataFra
             .localCheckpoint()
         )
     return hubs.join(auths, "doc_id").select("doc_id", "hub_ppm", "auth_ppm")
+
+
+def anchor_topk(links: DataFrame, k: int = 3) -> DataFrame:
+    """Per-target anchor-text aggregation — the classic link-graph signal a
+    web corpus contributes to its targets (anchor text describes the page it
+    points AT; search engines and webtext pipelines attach it to the target
+    document as auxiliary training text). The reference extracts (href, text)
+    pairs per page (`/root/reference/src/extractor.rs` link walk); this is
+    the corpus-wide aggregation of that output.
+
+    Input ``links``: (src, dst, anchor). Output, for each dst, the top-k
+    anchors: (dst, rank, anchor, n_mentions, n_inlinks) where n_inlinks is
+    the dst's total inbound link count and rank orders by
+    (n_mentions DESC, anchor ASC) — the full tiebreak keeps the cut
+    deterministic under any shuffle order.
+
+    Scale shape: one partial-agg'd groupBy(dst, anchor) (map-side combine
+    collapses within-partition repeats, so shuffle rows = distinct
+    (dst, anchor) pairs), then a window over dst for rank + inlink total —
+    a second shuffle keyed by dst alone, bounded by the distinct-pair count.
+    No joins, nothing driver-side; hot targets (nav boilerplate anchors)
+    collapse in the partial agg before they can skew the shuffle."""
+    from pyspark.sql import Window
+
+    g = links.groupBy("dst", "anchor").agg(F.count("*").alias("n_mentions"))
+    w = Window.partitionBy("dst")
+    ranked = g.select(
+        "dst",
+        F.row_number()
+        .over(w.orderBy(F.col("n_mentions").desc(), F.col("anchor").asc()))
+        .alias("rank"),
+        "anchor",
+        "n_mentions",
+        F.sum("n_mentions").over(w).alias("n_inlinks"),
+    )
+    return ranked.filter(F.col("rank") <= k)

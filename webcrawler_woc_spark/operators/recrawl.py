@@ -207,3 +207,36 @@ def merge_upsert(current: DataFrame, updates: DataFrame, key: str = "url") -> Da
         op.alias("op"),
         surviving.alias("ts"),
     )
+
+
+def digest_dedup(captures: DataFrame) -> DataFrame:
+    """Content-digest dedup across captures, keep-EARLIEST semantics — the
+    Common-Crawl/web-archive convention (a payload digest seen in an older
+    snapshot is not re-stored; the first capture owns the content). The
+    mirror image of ``latest_captures`` (newest-per-URL): here the key is
+    the CONTENT hash, not the URL, so the same page served from two URLs
+    (or the same URL over time with unchanged bytes) collapses to its first
+    appearance.
+
+    Input: (url, capture_ts, digest). Output one row per distinct digest:
+    (digest, url, capture_ts, n_copies) — the earliest capture (ties broken
+    by url ASC: min over struct(capture_ts, url) is order-independent) and
+    how many captures carried the digest.
+
+    Scale shape: a single partial-agg'd groupBy(digest) — min(struct) and
+    count both combine map-side, so shuffle rows = distinct digests per
+    partition, never the capture count. No window, no join: at 10^10
+    captures this is strictly cheaper than the row_number()=1 form because
+    hot digests (empty pages, error boilerplate) collapse before the
+    shuffle instead of landing on one window partition."""
+    keep = F.min(F.struct("capture_ts", "url")).alias("_keep")
+    return (
+        captures.groupBy("digest")
+        .agg(keep, F.count("*").alias("n_copies"))
+        .select(
+            "digest",
+            F.col("_keep.url").alias("url"),
+            F.col("_keep.capture_ts").alias("capture_ts"),
+            "n_copies",
+        )
+    )

@@ -159,3 +159,96 @@ def mixture_weights(
             ).alias("target_n"),
         )
     )
+
+
+def chunk_passages(documents: DataFrame, window: int = 64, stride: int = 48) -> DataFrame:
+    """Overlapping passage chunking — the retrieval/packing prep step that
+    slices each document's token stream into windows of ``window`` tokens
+    every ``stride`` tokens (overlap = window - stride). Tokenization is the
+    shared whitespace kernel (textstats._tokens) so chunk token counts tie
+    out against token_counts budgets.
+
+    Chunk count per doc: 1 + ceil(max(n_tokens - window, 0) / stride) for
+    n_tokens >= 1; zero-token docs emit no chunks (there is no text to
+    retrieve). The final chunk may be shorter than ``window``; when
+    (n - window) % stride != 0 the last two chunks overlap more — standard
+    sliding-window semantics, identical in the SQL oracle.
+
+    Output: (doc_id, chunk_id, n_tokens, chunk_text), chunk_id 0-based.
+
+    Scale shape: pure Catalyst per row — transform(sequence(...)) + slice +
+    concat_ws inside one projection, then a single posexplode bounded by
+    total chunk count (~corpus tokens / stride). No shuffle at all: chunking
+    is embarrassingly parallel and stays in whole-stage codegen."""
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    from webcrawler_woc_spark.operators.textstats import _tokens
+
+    n = F.size(F.col("_t"))
+    # ceil div for non-negative ints: (x + stride - 1) div stride
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1) + F.expr(f"(greatest(size(_t) - {window}, 0) + {stride - 1}) div {stride}")
+    )
+    # sequence(0, -1) DESCENDS in Spark — gate the empty case with `when`
+    chunks = F.when(
+        F.col("_nc") > 0,
+        F.expr(
+            f"transform(sequence(0, CAST(_nc AS INT) - 1), "
+            f"i -> struct(i AS chunk_id, slice(_t, i * {stride} + 1, {window}) AS ct))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<chunk_id:int,ct:array<string>>>"))
+    return (
+        # NULL text tokenizes to NULL, and NULL-propagating chunk arithmetic
+        # would leak one phantom chunk (greatest() SKIPS nulls) — treat as ''
+        documents.select("doc_id", _tokens(F.coalesce(F.col("text"), F.lit(""))).alias("_t"))
+        .withColumn("_nc", n_chunks)
+        .select("doc_id", F.explode(chunks).alias("_c"))
+        .select(
+            "doc_id",
+            F.col("_c.chunk_id").alias("chunk_id"),
+            F.size("_c.ct").alias("n_tokens"),
+            F.concat_ws(" ", F.col("_c.ct")).alias("chunk_text"),
+        )
+    )
+
+
+# rendezvous weight arithmetic: v stays < RV_P ~ 3e9, so v*v < 9.1e18 fits
+# int64 exactly — the identical expression runs in DuckDB BIGINT
+RV_P = 3_000_000_019  # prime
+RV_K1 = 2_654_435_761 % RV_P  # Knuth multiplicative constant
+RV_K2 = 40_503
+
+
+def _rv_weight_sql(doc_expr: str, shard_expr: str) -> str:
+    """Square-mod avalanche over (doc, shard) — engine-portable ANSI
+    arithmetic (no xxhash in DuckDB). Shared verbatim by the Spark expr and
+    the oracle twin."""
+    v = f"(({doc_expr}) * {RV_K1} + (({shard_expr}) + 1) * {RV_K2}) % {RV_P}"
+    return f"(({v}) * ({v}) + 7) % {RV_P}"
+
+
+def rendezvous_shards(df: DataFrame, n_shards: int, key_col: str = "doc_id") -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment — stable routing
+    of documents to processing shards such that growing the fleet from n to
+    n+1 shards moves ONLY the documents the new shard wins (~1/(n+1) of the
+    corpus), never reshuffles survivors between old shards. The property a
+    long-lived incremental pipeline needs: mod-N assignment remaps ~all keys
+    on every resize; rendezvous remaps the theoretical minimum.
+
+    Output: (key, shard, weight) — shard = argmin-index-of-max weight over
+    shard ids 0..n_shards-1 (first max wins: array_position returns the
+    first occurrence, so ties break to the lowest shard id in both engines).
+
+    Scale shape: zero shuffle, zero joins — a per-row O(n_shards) pure
+    Catalyst transform over a sequence literal, entirely inside whole-stage
+    codegen. The weight function is integer square-mod avalanche (see
+    _rv_weight_sql) so the DuckDB oracle computes bit-identical weights."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    wsql = _rv_weight_sql(key_col, "s")
+    weights = F.expr(f"transform(sequence(0, {n_shards - 1}), s -> {wsql})")
+    return df.select(F.col(key_col), weights.alias("_w")).select(
+        key_col,
+        (F.expr("array_position(_w, array_max(_w))") - 1).cast("int").alias("shard"),
+        F.expr("array_max(_w)").alias("weight"),
+    )
