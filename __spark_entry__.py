@@ -1883,6 +1883,31 @@ def q_crawl_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_quality(pages)
 
 
+def q_crawl_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index round-trip (operators/cdx.py): synthetic captures ->
+    SURT-keyed rows -> range-partitioned sorted parquet (8 ranges, per-range
+    bounds in the meta sidecar) -> prefix + epoch-window lookup that reads
+    only intersecting range directories. The oracle reconstructs the SURT
+    keys arithmetically and filters with starts_with + the epoch bound, so
+    build/write/prune/read must round-trip every row exactly."""
+    import tempfile
+
+    from webcrawler_woc_spark.operators.cdx import build_cdx, lookup_cdx, write_cdx
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    caps = docs.select(
+        F.concat(
+            F.lit("http://host"), (d % 10).cast("string"),
+            F.lit(".example/page/"), d.cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1767225600) + (d * 7919) % 86400).alias("capture_ts"),
+    )
+    path = tempfile.mkdtemp(prefix="wcw_cdx_") + "/idx"
+    write_cdx(build_cdx(caps), path, n_ranges=8)
+    return lookup_cdx(spark, path, "example,host3)", epoch_min=1767225600 + 30000)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -1913,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_chunk_passages": q_pipeline_chunk_passages,
         "pipeline_rendezvous_shards": q_pipeline_rendezvous_shards,
         "crawl_domain_quality": q_crawl_domain_quality,
+        "crawl_cdx_lookup": q_crawl_cdx_lookup,
         # --- longest-unchecked: round-1 surface, windowless since r3
         #     (batch 2 pushes the last 5 of these past the 50-entry cut;
         #     they stay covered by the full scripts/check_oracles.py gate) ---
@@ -2428,6 +2454,16 @@ def oracle_sql() -> dict[str, str]:
                    (((n_dup * 1000000) // n_docs)
                     + (1000000 - (sum_q // n_docs))) // 2 AS spam_score_ppm
             FROM ag JOIN tl ON ag.domain = tl.domain AND tl.rk = 1
+        """,
+        "crawl_cdx_lookup": """
+            WITH caps AS (
+                SELECT 'example,host' || (doc_id % 10) || ')/page/' || doc_id AS surt,
+                       CAST(1767225600 + (doc_id * 7919) % 86400 AS BIGINT) AS epoch,
+                       'http://host' || (doc_id % 10) || '.example/page/' || doc_id AS url
+                FROM documents
+            )
+            SELECT surt, epoch, url FROM caps
+            WHERE starts_with(surt, 'example,host3)') AND epoch >= 1767255600
         """,
         "crawl_disallow_filter": """
             WITH u AS (
