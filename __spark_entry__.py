@@ -1908,6 +1908,72 @@ def q_crawl_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lookup_cdx(spark, path, "example,host3)", epoch_min=1767225600 + 30000)
 
 
+def q_crawl_cdx_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wayback-style as-of point lookup (operators/cdx.asof_cdx): three
+    captures per page a day apart, indexed; five query URLs (+1 missing)
+    answered with the latest capture <= T — the oracle recomputes each
+    survivor arithmetically."""
+    import tempfile
+
+    from webcrawler_woc_spark.operators.cdx import asof_cdx, build_cdx, write_cdx
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    caps = (
+        docs.filter(d.isin(4, 14, 24, 34, 44))
+        .select(
+            F.concat(
+                F.lit("http://host"), (d % 10).cast("string"),
+                F.lit(".example/page/"), d.cast("string"),
+            ).alias("url"),
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("c"),
+            d.alias("_d"),
+        )
+        .select(
+            "url",
+            F.timestamp_seconds(
+                F.lit(1767225600) + (F.col("_d") * 7919) % 86400 + F.col("c") * 86400
+            ).alias("capture_ts"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="wcw_cdx_asof_") + "/idx"
+    write_cdx(build_cdx(caps), path, n_ranges=4)
+    urls = [f"http://host{i % 10}.example/page/{i}" for i in (4, 14, 24, 34, 44)]
+    urls.append("http://host9.example/page/999999999")  # the Wayback 404
+    return asof_cdx(spark, path, urls, epoch_at=1767225600 + 86400 + 43200)
+
+
+def q_graph_recip_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-link (link-farm) stats (operators/graph.
+    reciprocal_link_stats): synthetic 20-node graph where every even doc
+    reciprocates its edge — per-node out-degree, reciprocated count and
+    recip_ppm, multi-edges collapsed and self-loops dropped."""
+    from webcrawler_woc_spark.operators.graph import reciprocal_link_stats
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    a = F.concat(F.lit("n"), (d % 20).cast("string"))
+    b = F.concat(F.lit("n"), ((d * 3 + 1) % 20).cast("string"))
+    fwd = docs.select(a.alias("src"), b.alias("dst"))
+    back = docs.filter(d % 2 == 0).select(b.alias("src"), a.alias("dst"))
+    return reciprocal_link_stats(fwd.unionByName(back))
+
+
+def q_graph_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation related-source pairs (operators/graph.cocitation_topk,
+    Dean–Henzinger): 25 sources x 11 targets by modular assignment,
+    per-target cap 4, global top-20 with full tiebreak."""
+    from webcrawler_woc_spark.operators.graph import cocitation_topk
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    edges = docs.select(
+        F.concat(F.lit("s"), (d % 25).cast("string")).alias("src"),
+        F.concat(F.lit("t"), (d % 11).cast("string")).alias("dst"),
+    )
+    return cocitation_topk(edges, per_target_cap=4, k=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -1939,6 +2005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_rendezvous_shards": q_pipeline_rendezvous_shards,
         "crawl_domain_quality": q_crawl_domain_quality,
         "crawl_cdx_lookup": q_crawl_cdx_lookup,
+        "crawl_cdx_asof": q_crawl_cdx_asof,
+        "graph_recip_links": q_graph_recip_links,
+        "graph_cocitation": q_graph_cocitation,
         # --- longest-unchecked: round-1 surface, windowless since r3
         #     (batch 2 pushes the last 5 of these past the 50-entry cut;
         #     they stay covered by the full scripts/check_oracles.py gate) ---
@@ -2464,6 +2533,60 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT surt, epoch, url FROM caps
             WHERE starts_with(surt, 'example,host3)') AND epoch >= 1767255600
+        """,
+        "crawl_cdx_asof": """
+            WITH caps AS (
+                SELECT doc_id, unnest([0, 1, 2]) AS c
+                FROM documents WHERE doc_id IN (4, 14, 24, 34, 44)
+            ),
+            rows AS (
+                SELECT 'example,host' || (doc_id % 10) || ')/page/' || doc_id AS surt,
+                       'http://host' || (doc_id % 10) || '.example/page/' || doc_id AS url,
+                       CAST(1767225600 + (doc_id * 7919) % 86400 + c * 86400 AS BIGINT)
+                           AS epoch
+                FROM caps
+            )
+            SELECT surt, url, CAST(max(epoch) AS BIGINT) AS epoch
+            FROM rows WHERE epoch <= 1767225600 + 86400 + 43200
+            GROUP BY surt, url
+        """,
+        "graph_recip_links": """
+            WITH fwd AS (
+                SELECT 'n' || (doc_id % 20) AS src, 'n' || ((doc_id * 3 + 1) % 20) AS dst
+                FROM documents
+                UNION ALL
+                SELECT 'n' || ((doc_id * 3 + 1) % 20), 'n' || (doc_id % 20)
+                FROM documents WHERE doc_id % 2 = 0
+            ),
+            e AS (SELECT DISTINCT src, dst FROM fwd WHERE src <> dst),
+            r AS (
+                SELECT e.src, COUNT(*) AS n_recip
+                FROM e JOIN e rev ON e.src = rev.dst AND e.dst = rev.src
+                GROUP BY e.src
+            ),
+            o AS (SELECT src, COUNT(*) AS n_out FROM e GROUP BY src)
+            SELECT o.src AS node, o.n_out,
+                   coalesce(r.n_recip, 0) AS n_recip,
+                   (coalesce(r.n_recip, 0) * 1000000) // o.n_out AS recip_ppm
+            FROM o LEFT JOIN r ON o.src = r.src
+        """,
+        "graph_cocitation": """
+            WITH e AS (
+                SELECT DISTINCT 's' || (doc_id % 25) AS src, 't' || (doc_id % 11) AS dst
+                FROM documents
+            ),
+            capped AS (
+                SELECT src, dst FROM (
+                    SELECT src, dst,
+                           row_number() OVER (PARTITION BY dst ORDER BY src ASC) AS rk
+                    FROM e
+                ) WHERE rk <= 4
+            )
+            SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_shared
+            FROM capped a JOIN capped b ON a.dst = b.dst AND a.src < b.src
+            GROUP BY a.src, b.src
+            ORDER BY n_shared DESC, src_a ASC, src_b ASC
+            LIMIT 20
         """,
         "crawl_disallow_filter": """
             WITH u AS (

@@ -126,3 +126,54 @@ def lookup_cdx(
     if epoch_max is not None:
         out = out.filter(F.col("epoch") <= epoch_max)
     return out
+
+
+def asof_cdx(spark, path: str, urls: list[str], epoch_at: int) -> DataFrame:
+    """Wayback-style point lookup: for each queried URL, the LATEST capture
+    at or before ``epoch_at`` ("show me the page as of T"). The query set is
+    a driver-side list (the read_postings contract — point lookups are
+    driver-known by nature); each URL's SURT key selects its containing
+    range(s) from the meta bounds, so the scan unions only those
+    directories and pushes ``surt IN (...) AND epoch <= T`` into it.
+
+    Output: (surt, url, epoch) — one row per queried URL that has any
+    capture <= T (earlier-capture-less URLs are absent, the Wayback 404).
+    The reduction is one partial-agg'd groupBy(surt) max(struct(epoch,
+    url)): order-independent, no window.
+
+    Scale shape: k point lookups read at most k range directories out of
+    n_ranges; the agg input is bounded by those ranges' row counts, not
+    the index."""
+    with open(os.path.join(path, CDX_META)) as fh:
+        meta = json.load(fh)
+    keys = [k for k in (_surt_of(u) for u in urls) if k is not None]
+    ranges = sorted({rid for k in keys for rid in _select_ranges(meta, k)})
+    if not ranges or not keys:
+        return spark.createDataFrame([], "surt string, url string, epoch bigint")
+    hits = (
+        spark.read.parquet(path)
+        .filter(
+            F.col("range_id").isin(ranges)
+            & F.col("surt").isin(keys)
+            & (F.col("epoch") <= epoch_at)
+        )
+    )
+    latest = F.max(F.struct("epoch", "url")).alias("_m")
+    return (
+        hits.groupBy("surt")
+        .agg(latest)
+        .select("surt", F.col("_m.url").alias("url"), F.col("_m.epoch").alias("epoch"))
+    )
+
+
+def _surt_of(url: str) -> str | None:
+    """Driver-side twin of functions.surt.surt_key (same regex semantics)."""
+    import re
+
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", url)
+    if not m:
+        return None
+    host = m.group(1)
+    rev = ",".join(reversed(host.split(".")))
+    rest = re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "", url)
+    return rev + ")" + (rest if rest else "/")

@@ -266,3 +266,74 @@ def anchor_topk(links: DataFrame, k: int = 3) -> DataFrame:
         F.sum("n_mentions").over(w).alias("n_inlinks"),
     )
     return ranked.filter(F.col("rank") <= k)
+
+
+def reciprocal_link_stats(edges: DataFrame) -> DataFrame:
+    """Link-farm signal: per source node, how much of its out-linking is
+    RECIPROCATED (a <-> b). Organic linking is mostly one-way; link-exchange
+    schemes and spam rings reciprocate heavily, so recip_ppm is a standard
+    feature in link-spam classifiers (TrustRank-era heuristics).
+
+    Edges are de-duplicated and self-loops dropped first (a multi-edge is
+    one relationship; a self-loop is trivially 'reciprocal' and would only
+    flatter spam pages). Output per source: (node, n_out, n_recip,
+    recip_ppm = n_recip * 10^6 div n_out).
+
+    Scale shape: one distinct (the dedup_exact shape, map-side combine),
+    one self-join keyed on (src, dst)=(dst, src) — corpus-sized both sides,
+    SMJ is the honest plan (allowlisted) — and node-keyed aggs. No windows
+    over the corpus."""
+    e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (
+        e.join(rev, ["src", "dst"])  # edge survives iff its reverse exists
+        .groupBy("src")
+        .agg(F.count("*").alias("n_recip"))
+    )
+    out = e.groupBy("src").agg(F.count("*").alias("n_out"))
+    return (
+        out.join(recip, "src", "left")
+        .select(
+            F.col("src").alias("node"),
+            "n_out",
+            F.coalesce("n_recip", F.lit(0)).alias("n_recip"),
+            F.expr(f"(coalesce(n_recip, 0) * {PPM}) div n_out").alias("recip_ppm"),
+        )
+    )
+
+
+def cocitation_topk(edges: DataFrame, per_target_cap: int = 5, k: int = 20) -> DataFrame:
+    """Related-sources discovery by co-citation (Dean–Henzinger: two pages
+    heavily cited BY THE SAME targets are related): count, for each source
+    pair, how many targets link from both, and keep the global top-k.
+
+    The quadratic term is capped per target: only each target's first
+    ``per_target_cap`` sources (by src ASC — deterministic) form pairs, so
+    a target fans out at most C(cap, 2) pairs no matter how popular it is —
+    the same hub-taming move as degree-oriented triangle counting. The cap
+    is part of the operator contract (oracle applies the identical cap).
+
+    Output: (src_a, src_b, n_shared) with src_a < src_b, ordered top-k by
+    (n_shared DESC, src_a ASC, src_b ASC) — full tiebreak, and the top-k is
+    a TakeOrderedAndProject, never a global sort.
+
+    Scale shape: one dst-keyed window to rank sources within each target
+    (bounded by distinct edges), the capped pair self-join on dst (SMJ,
+    both sides corpus-sized but cap-bounded fan-out), one partial-agg'd
+    groupBy(pair)."""
+    from pyspark.sql import Window
+
+    e = edges.select("src", "dst").distinct()
+    w = Window.partitionBy("dst").orderBy(F.col("src").asc())
+    capped = (
+        e.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= per_target_cap)
+        .select("src", "dst")
+    )
+    a = capped.select(F.col("src").alias("src_a"), "dst")
+    b = capped.select(F.col("src").alias("src_b"), "dst")
+    pairs = a.join(b, "dst").filter(F.col("src_a") < F.col("src_b"))
+    counts = pairs.groupBy("src_a", "src_b").agg(F.count("*").alias("n_shared"))
+    return counts.orderBy(
+        F.col("n_shared").desc(), F.col("src_a").asc(), F.col("src_b").asc()
+    ).limit(k)
