@@ -1974,6 +1974,38 @@ def q_graph_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cocitation_topk(edges, per_target_cap=4, k=20)
 
 
+def q_text_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (operators/textstats.
+    merge_inverted_index): the index is built from EVEN doc_ids only, the
+    odd half arrives as a second crawl batch and is folded in by rewriting
+    only the touched bucket directories (untouched buckets byte-identical,
+    pinned in tests/test_index_writer.py). The probe read must then equal
+    the full-corpus oracle — a merge that lost or duplicated postings
+    can't."""
+    import tempfile
+
+    from webcrawler_woc_spark.operators.textstats import (
+        inverted_index,
+        merge_inverted_index,
+        read_postings,
+        write_inverted_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="wcw_idx_merge_") + "/idx"
+    write_inverted_index(
+        inverted_index(docs.filter(F.col("doc_id") % 2 == 0)), path, n_buckets=16
+    )
+    merge_inverted_index(spark, path, inverted_index(docs.filter(F.col("doc_id") % 2 == 1)))
+    probes = ["scan", "merge", "window"]
+    return read_postings(spark, path, probes).select(
+        "term",
+        "doc_id",
+        F.concat_ws(",", F.col("positions")).alias("positions_csv"),
+        "tf",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -2008,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_cdx_asof": q_crawl_cdx_asof,
         "graph_recip_links": q_graph_recip_links,
         "graph_cocitation": q_graph_cocitation,
+        "text_index_merge": q_text_index_merge,
         # --- longest-unchecked: round-1 surface, windowless since r3
         #     (batch 2 pushes the last 5 of these past the 50-entry cut;
         #     they stay covered by the full scripts/check_oracles.py gate) ---
@@ -2587,6 +2620,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.src, b.src
             ORDER BY n_shared DESC, src_a ASC, src_b ASC
             LIMIT 20
+        """,
+        "text_index_merge": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       unnest({TOKENS_SQL}) AS term,
+                       unnest(range(1, len({TOKENS_SQL}) + 1)) AS pos
+                FROM documents
+            )
+            SELECT term, doc_id,
+                   string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions_csv,
+                   CAST(count(*) AS INT) AS tf
+            FROM t
+            WHERE term IN ('scan', 'merge', 'window')
+            GROUP BY term, doc_id
         """,
         "crawl_disallow_filter": """
             WITH u AS (

@@ -135,6 +135,8 @@ def main():
         "dedup_simhash",
         "dedup_substrings",
         "cluster_kmeans",
+        "crawl_domain_quality",
+        "pipeline_chunk_passages",
         "text_token_counts",
         "text_fingerprint",
         "ann_cosine_topk",

@@ -125,3 +125,85 @@ def test_multi_term_query_plans_bucket_in_list(spark, layout):
         int(b) for b in re.findall(r"= (\d+)\)", pf)
     }
     assert got == want
+
+
+class TestMergeInvertedIndex:
+    def _docs(self, spark, lo, hi):
+        return spark.createDataFrame(
+            [(i, f"term{i % 7} shared merge{i % 3}") for i in range(lo, hi)],
+            "doc_id bigint, text string",
+        )
+
+    def test_merge_equals_full_rebuild(self, spark, tmp_path):
+        from webcrawler_woc_spark.operators.textstats import (
+            inverted_index,
+            merge_inverted_index,
+            read_postings,
+            write_inverted_index,
+        )
+
+        path = str(tmp_path / "idx")
+        write_inverted_index(inverted_index(self._docs(spark, 0, 40)), path, n_buckets=8)
+        touched = merge_inverted_index(
+            spark, path, inverted_index(self._docs(spark, 40, 60))
+        )
+        assert touched  # something was rewritten
+        terms = ["shared", "term3", "merge1"]
+        got = {
+            (r.term, r.doc_id, tuple(r.positions), r.tf)
+            for r in read_postings(spark, path, terms).collect()
+        }
+        rebuilt = str(tmp_path / "idx_full")
+        write_inverted_index(
+            inverted_index(self._docs(spark, 0, 60)), rebuilt, n_buckets=8
+        )
+        want = {
+            (r.term, r.doc_id, tuple(r.positions), r.tf)
+            for r in read_postings(spark, rebuilt, terms).collect()
+        }
+        assert got == want and len(want) > 0
+
+    def test_untouched_buckets_not_rewritten(self, spark, tmp_path):
+        import glob
+        import os
+
+        from webcrawler_woc_spark.operators.textstats import (
+            _term_bucket_py,
+            inverted_index,
+            merge_inverted_index,
+            write_inverted_index,
+        )
+
+        path = str(tmp_path / "idx")
+        write_inverted_index(inverted_index(self._docs(spark, 0, 40)), path, n_buckets=32)
+        before = {
+            f: os.stat(f).st_mtime_ns
+            for f in glob.glob(os.path.join(path, "term_bucket=*", "*.parquet"))
+        }
+        # new batch introduces ONE new term -> at most a few touched buckets
+        new = spark.createDataFrame([(100, "zzznewterm")], "doc_id bigint, text string")
+        touched = merge_inverted_index(spark, path, inverted_index(new))
+        assert touched == [_term_bucket_py("zzznewterm", 32)]
+        after = {
+            f: os.stat(f).st_mtime_ns
+            for f in glob.glob(os.path.join(path, "term_bucket=*", "*.parquet"))
+        }
+        untouched_dirs = {
+            f for f in before if f"term_bucket={touched[0]}/" not in f
+        }
+        for f in untouched_dirs:
+            assert after[f] == before[f], f  # byte-for-byte left alone
+
+    def test_overlapping_doc_ids_rejected(self, spark, tmp_path):
+        import pytest
+
+        from webcrawler_woc_spark.operators.textstats import (
+            inverted_index,
+            merge_inverted_index,
+            write_inverted_index,
+        )
+
+        path = str(tmp_path / "idx")
+        write_inverted_index(inverted_index(self._docs(spark, 0, 10)), path, n_buckets=8)
+        with pytest.raises(ValueError, match="already indexed"):
+            merge_inverted_index(spark, path, inverted_index(self._docs(spark, 5, 8)))

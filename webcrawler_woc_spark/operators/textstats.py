@@ -581,3 +581,68 @@ def length_band_drift(old: DataFrame, new: DataFrame, band: int = 500, n_bins: i
             F.expr("((n_old - n_new) * (n_old - n_new) * 1000000) div (n_old + n_new)"),
         ).otherwise(F.lit(0).cast("bigint")),
     )
+
+
+def merge_inverted_index(
+    spark, path: str, new_postings: DataFrame, assert_new_docs: bool = True
+) -> list[int]:
+    """Incremental index maintenance: fold a new crawl batch's posting rows
+    into a write_inverted_index layout, REWRITING ONLY THE TOUCHED BUCKET
+    DIRECTORIES — the at-scale alternative to a full rebuild (an incremental
+    batch touches a bounded set of term buckets; the other n_buckets - k
+    directories are never read or written, pinned by the untouched-bytes
+    test).
+
+    Contract: the batch's doc_ids must be NEW to the index (positional
+    lists of one (term, doc) can't be merged after the fact) — enforced by
+    an anti-join over the touched buckets when ``assert_new_docs`` (the
+    check reads only data the merge reads anyway; opt out when the caller
+    proves disjointness upstream, e.g. ids from a fresh wave).
+
+    Returns the rewritten bucket ids. Scale shape: distinct-bucket collect
+    is <= n_buckets rows; old rows are read with a static partition filter;
+    the union is localCheckpoint'd BEFORE the dynamic-partition overwrite
+    (the write would otherwise race its own input files); the rewrite
+    shuffles only touched-bucket rows."""
+    import json
+    import os
+
+    with open(os.path.join(path, INDEX_META)) as fh:
+        meta = json.load(fh)
+    n_buckets = int(meta["n_buckets"])
+
+    new_b = new_postings.withColumn(
+        "term_bucket", _term_bucket_col(F.col("term"), n_buckets)
+    )
+    touched = sorted(
+        r.term_bucket for r in new_b.select("term_bucket").distinct().collect()
+    )
+    if not touched:
+        return []
+    old = spark.read.parquet(path).filter(F.col("term_bucket").isin(touched))
+    if assert_new_docs:
+        overlap = (
+            old.select("doc_id")
+            .distinct()
+            .join(new_b.select("doc_id").distinct(), "doc_id")
+            .count()
+        )
+        if overlap:
+            raise ValueError(
+                f"merge_inverted_index: {overlap} doc_ids already indexed — "
+                "positional postings cannot be merged per-doc; rebuild or "
+                "delete first"
+            )
+    merged = (
+        old.unionByName(new_b)
+        .repartition(len(touched), "term_bucket")
+        .sortWithinPartitions("term_bucket", "term", "doc_id")
+        .localCheckpoint()  # materialize BEFORE overwriting the source files
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("term_bucket")
+        .parquet(path)
+    )
+    return touched
