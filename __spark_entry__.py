@@ -2382,7 +2382,7 @@ def oracle_sql() -> dict[str, str]:
             k AS (
                 SELECT url,
                        list_filter(
-                           string_split(split_part(url, '?', 2), '&'),
+                           string_split(substr(url, strpos(url, '?') + 1), '&'),
                            p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
                                      OR starts_with(p, 'gclid=') OR starts_with(p, 'msclkid=')
                                      OR starts_with(p, 'mc_eid=') OR starts_with(p, 'igshid='))
@@ -2391,7 +2391,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT url,
                    CASE WHEN NOT contains(url, '?') THEN url
-                        WHEN len(kept) = 0 THEN split_part(url, '?', 1)
+                        WHEN array_to_string(kept, '&') = '' THEN split_part(url, '?', 1)
                         ELSE split_part(url, '?', 1) || '?' || array_to_string(kept, '&')
                    END AS canonical_url
             FROM k
@@ -2497,7 +2497,7 @@ def oracle_sql() -> dict[str, str]:
                                 ELSE '.com.au' END AS domain,
                        CASE WHEN doc_id % 5 = 0
                             THEN 'boilerplate copy shared across hosts'
-                            ELSE text END AS text,
+                            ELSE coalesce(text, '') END AS text,
                        lang
                 FROM documents
             ),

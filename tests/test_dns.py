@@ -45,20 +45,15 @@ def test_pool_thread_count_bounded_under_blackholed_resolver(monkeypatch):
     before = threading.active_count()
     try:
         for batch in range(4):  # 4 batches x 3 hung hosts, pool of 2
-            dns._ensure_workers(2)
-            state = {"cancelled": False, "results": {}, "sem": threading.Semaphore(0)}
-            for h in (f"b{batch}-h{i}.invalid" for i in range(3)):
-                dns._task_q.put((state, h))
-            deadline = time.monotonic() + 0.3
-            done = 0
-            while done < 3:
-                if not state["sem"].acquire(timeout=max(0.0, deadline - time.monotonic())):
-                    break
-                done += 1
-            state["cancelled"] = True
-            assert state["results"] == {}  # every lookup hung -> NULL batch
+            hosts = [f"b{batch}-h{i}.invalid" for i in range(3)]
+            out = dns._resolve_batch(hosts, timeout_s=0.1, max_workers=2)
+            assert out == [(h, None, None) for h in hosts]  # all hung -> NULLs
+            # the batch drains its own cancelled tasks: with every pool
+            # thread wedged, nothing else pops the queue, and without the
+            # drain it would grow by len(batch) per call forever
+            assert dns._task_q.qsize() == 0
         # old design: 4 batches x up-to-3 leaked threads; pool design: <= 2 new
         assert threading.active_count() - before <= 2
     finally:
         hang.set()
-        time.sleep(0.1)  # let workers drain the cancelled backlog
+        time.sleep(0.1)  # let in-flight wedged lookups finish

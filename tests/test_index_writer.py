@@ -207,3 +207,69 @@ class TestMergeInvertedIndex:
         write_inverted_index(inverted_index(self._docs(spark, 0, 10)), path, n_buckets=8)
         with pytest.raises(ValueError, match="already indexed"):
             merge_inverted_index(spark, path, inverted_index(self._docs(spark, 5, 8)))
+
+    def test_reindexed_doc_with_disjoint_buckets_rejected(self, spark, tmp_path):
+        """The overlap check must scan the WHOLE index, not just touched
+        buckets: a recrawled doc whose old terms all hash to untouched
+        buckets would otherwise merge silently and stay indexed under both
+        its stale and new terms."""
+        import pytest
+
+        from webcrawler_woc_spark.operators.textstats import (
+            _term_bucket_py,
+            inverted_index,
+            merge_inverted_index,
+            write_inverted_index,
+        )
+
+        n = 8
+        old_terms = ["alpha", "beta"]
+        old_buckets = {_term_bucket_py(t, n) for t in old_terms}
+        # find a replacement term whose bucket is DISJOINT from the old ones
+        new_term = next(
+            t
+            for t in (f"zrecrawl{i}" for i in range(200))
+            if _term_bucket_py(t, n) not in old_buckets
+        )
+        path = str(tmp_path / "idx")
+        doc = spark.createDataFrame(
+            [(7, " ".join(old_terms))], "doc_id bigint, text string"
+        )
+        write_inverted_index(inverted_index(doc), path, n_buckets=n)
+        recrawled = spark.createDataFrame(
+            [(7, new_term)], "doc_id bigint, text string"
+        )
+        with pytest.raises(ValueError, match="already indexed"):
+            merge_inverted_index(spark, path, inverted_index(recrawled))
+
+
+def test_within_file_postings_sorted_even_with_bucket_collisions(spark, tmp_path):
+    """The writer's sortWithinPartitions must LEAD with the partition column:
+    repartition hash-partitions bucket ids, so one task can hold 2+ buckets —
+    without the leading column Spark replaces the sort with its own on
+    term_bucket alone and the promised within-file (term, doc_id) order (the
+    row-group pruning contract) silently breaks for collided buckets."""
+    import glob
+
+    n = 8
+    # prove the scenario is live: at least two bucket ids must share a
+    # repartition partition (pmod(murmur3, n) over 0..n-1 is not injective)
+    part_of = {
+        r.b: r.p
+        for r in spark.createDataFrame([(b,) for b in range(n)], "b int")
+        .select("b", F.pmod(F.hash(F.col("b")), F.lit(n)).alias("p"))
+        .collect()
+    }
+    assert len(set(part_of.values())) < n, part_of  # a collision exists
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 50} w{(i * 7) % 50} shared") for i in range(120)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "idx")
+    write_inverted_index(inverted_index(docs), path, n_buckets=n)
+    for f in glob.glob(os.path.join(path, "term_bucket=*", "*.parquet")):
+        rows = [
+            (r.term, r.doc_id)
+            for r in spark.read.parquet(f).select("term", "doc_id").collect()
+        ]
+        assert rows == sorted(rows), f

@@ -148,6 +148,14 @@ class TestStripTrackingParams:
         ("http://a.example/p?b=2&utm_x=1&a=1", "http://a.example/p?b=2&a=1"),
         # 'utm' must match as a PREFIX of the param name only
         ("http://a.example/p?xutm_source=1", "http://a.example/p?xutm_source=1"),
+        # a second '?' is legal INSIDE the query: split at the FIRST one,
+        # never drop the middle segment (last-'?' split regression)
+        ("http://a.example/p?a=1?b=2", "http://a.example/p?a=1?b=2"),
+        ("http://a.example/p?utm_s=1&a=1?b=2", "http://a.example/p?a=1?b=2"),
+        # trailing '?' / empty params: kept joins to '' -> the '?' drops,
+        # identically in the Catalyst form and the Python twin
+        ("http://a.example/p?", "http://a.example/p"),
+        ("http://a.example/p?&", "http://a.example/p?&"),
     ]
 
     def test_catalyst_and_python_twins_agree(self, spark):

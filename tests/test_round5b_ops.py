@@ -148,6 +148,35 @@ class TestRendezvousShards:
         plan = rendezvous_shards(docs, 4)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Join" not in plan
 
+    def test_design_point_keys_no_int64_wrap(self, spark):
+        """Keys >= ~3.48e9 overflowed int64 in the pre-fix weight expression
+        (raw_key * RV_K1 before any mod); Spark wraps silently in non-ANSI
+        mode, so pin the exact weights against arbitrary-precision Python
+        arithmetic at the 10^10-URL design point."""
+        from webcrawler_woc_spark.operators.sampling import (
+            RV_K1,
+            RV_K2,
+            RV_P,
+            rendezvous_shards,
+        )
+
+        keys = [3_500_000_000, 4_000_000_000, 9_999_999_999, 10_000_000_000]
+        docs = spark.createDataFrame([(k,) for k in keys], "doc_id bigint")
+        got = {
+            r.doc_id: (r.shard, r.weight)
+            for r in rendezvous_shards(docs, 16).collect()
+        }
+
+        def w(doc, s):
+            v = ((doc % RV_P) * RV_K1 + (s + 1) * RV_K2) % RV_P
+            return (v * v + 7) % RV_P
+
+        for k in keys:
+            weights = [w(k, s) for s in range(16)]
+            best = max(weights)
+            assert got[k] == (weights.index(best), best)
+            assert 0 <= got[k][1] < RV_P
+
 
 class TestDomainQuality:
     def test_signals_and_composite(self, spark):
@@ -186,3 +215,23 @@ class TestDomainQuality:
         )
         (row,) = domain_quality(pages).collect()
         assert row.top_lang == "de"  # 1-1 tie -> lang ASC
+
+    def test_null_text_docs_still_counted(self, spark):
+        """NULL text must not silently vanish from the domain's counts: the
+        fingerprint null-propagates and the inner _fp join would drop the
+        row (pre-fix behavior) — NULL is treated as '' instead, so two
+        NULL-text pages count as docs AND as dups of each other."""
+        from webcrawler_woc_spark.operators.domainstats import domain_quality
+
+        pages = spark.createDataFrame(
+            [
+                (1, "http://n.example/a", None, "en"),
+                (2, "http://n.example/b", None, "en"),
+                (3, "http://n.example/c", "real body text", "en"),
+            ],
+            "doc_id bigint, url string, text string, lang string",
+        )
+        (row,) = domain_quality(pages).collect()
+        assert row.n_docs == 3  # pre-fix: 1
+        assert row.dup_ratio_ppm == (2 * 1_000_000) // 3
+        assert row.top_lang_share_ppm == 1_000_000

@@ -379,7 +379,10 @@ def strip_tracking_params_col(url):
         return cond
 
     path = F.substring_index(url, "?", 1)
-    q = F.substring_index(url, "?", -1)
+    # everything after the FIRST '?' — a second '?' is legal inside a query
+    # and must stay part of it (substring_index(url,'?',-1) would split at
+    # the last '?' and silently drop the middle segment)
+    q = F.substr(url, F.locate("?", url) + F.lit(1))
     kept = F.array_join(F.filter(F.split(q, "&"), lambda p: ~is_tracking(p)), "&")
     return (
         F.when(~url.contains("?"), url)
@@ -401,4 +404,7 @@ def strip_tracking_params(url: str) -> str:
             or any(p.startswith(name + "=") for name in TRACKING_PARAMS)
         )
     ]
-    return path + ("?" + "&".join(kept) if kept else "")
+    # join FIRST, then test: ['']-style empties must drop the '?' exactly
+    # like the Catalyst form's kept == '' branch
+    kept_s = "&".join(kept)
+    return path + ("?" + kept_s if kept_s else "")

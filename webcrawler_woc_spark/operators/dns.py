@@ -26,7 +26,9 @@ unbounded against a persistently blackholed resolver; a ThreadPoolExecutor
 is still out — concurrent.futures' atexit hook would re-join non-daemon
 threads and wedge the worker's graceful shutdown). Wedged threads shrink
 effective concurrency; if every pool thread is stuck, later batches time
-out to all-NULLs — degraded, never unbounded. Per-host timeouts never
+out to all-NULLs AND drain their own cancelled tasks from the queue at
+batch end, so neither threads nor queued tasks grow without bound —
+degraded, never unbounded. Per-host timeouts never
 compound — the batch is bounded by timeout_s per wave of ``max_workers``
 concurrent lookups, not ``len(batch) * timeout_s``.
 """
@@ -85,6 +87,55 @@ def _resolve_one(host: str) -> tuple[str | None, str | None]:
     return ipv4, ipv6
 
 
+def _resolve_batch(
+    batch: list, timeout_s: float, max_workers: int
+) -> list[tuple]:
+    """Resolve one host batch through the shared pool; (host, ipv4, ipv6)
+    tuples, NULLs past the batch deadline. Module-level so the wedged-pool
+    tests can drive the exact production path without Spark."""
+    import math
+    import time
+
+    workers = min(max_workers, len(batch))
+    _ensure_workers(workers)
+    state = {
+        "cancelled": False,
+        "results": {},
+        "sem": threading.Semaphore(0),
+    }
+    for h in batch:
+        _task_q.put((state, h))
+    # One deadline for the whole batch: timeout_s per wave of ``workers``
+    # concurrent lookups (not per host — per-host waits would compound to
+    # len(batch) * timeout).
+    deadline = time.monotonic() + timeout_s * max(1, math.ceil(len(batch) / workers))
+    done = 0
+    while done < len(batch):
+        if not state["sem"].acquire(timeout=max(0.0, deadline - time.monotonic())):
+            break  # deadline: unresolved hosts yield NULLs
+        done += 1
+    # cancel: queued leftovers are skipped by the workers; a late
+    # completion from a wedged thread lands in this batch's own results
+    # dict after we've read it (harmless)
+    state["cancelled"] = True
+    # Drain cancelled tasks ourselves: with EVERY pool thread wedged in
+    # getaddrinfo nothing else pops the queue, and each later batch would
+    # grow it by len(batch) forever — the unbounded growth this design
+    # exists to prevent. Only one batch is live per worker process, so
+    # anything still queued is cancelled; a live task raced to the queue
+    # head is put back and we stop.
+    try:
+        while True:
+            s, h = _task_q.get_nowait()
+            if not s["cancelled"]:
+                _task_q.put((s, h))
+                break
+            s["sem"].release()
+    except queue.Empty:
+        pass
+    return [(h, *state["results"].get(h, (None, None))) for h in batch]
+
+
 def resolve_hosts(
     hosts: DataFrame, timeout_s: float = 5.0, max_workers: int = 16
 ) -> DataFrame:
@@ -93,10 +144,6 @@ def resolve_hosts(
     function distincts defensively — resolution must be once-per-host)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
-        import threading
-        import time
-
         # resolve the pool through the module AT RUN TIME: cloudpickle
         # serializes a nested function's referenced globals BY VALUE, and the
         # task queue holds unpicklable locks (plus each worker must use its
@@ -106,34 +153,7 @@ def resolve_hosts(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            batch = list(pdf["host"])
-            workers = min(max_workers, len(batch))
-            _dns._ensure_workers(workers)
-            state = {
-                "cancelled": False,
-                "results": {},
-                "sem": threading.Semaphore(0),
-            }
-            for h in batch:
-                _dns._task_q.put((state, h))
-            # One deadline for the whole batch: timeout_s per wave of
-            # ``workers`` concurrent lookups (not per host — per-host waits
-            # would compound to len(batch) * timeout).
-            deadline = time.monotonic() + timeout_s * max(
-                1, math.ceil(len(batch) / workers)
-            )
-            done = 0
-            while done < len(batch):
-                if not state["sem"].acquire(
-                    timeout=max(0.0, deadline - time.monotonic())
-                ):
-                    break  # deadline: unresolved hosts yield NULLs
-                done += 1
-            # cancel: queued leftovers are skipped by the workers; a late
-            # completion from a wedged thread lands in this batch's own
-            # results dict after we've read it (harmless)
-            state["cancelled"] = True
-            out = [(h, *state["results"].get(h, (None, None))) for h in batch]
+            out = _dns._resolve_batch(list(pdf["host"]), timeout_s, max_workers)
             yield pd.DataFrame(out, columns=["host", "ipv4", "ipv6"])
 
     return (

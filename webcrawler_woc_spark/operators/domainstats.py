@@ -45,6 +45,10 @@ def domain_quality(pages: DataFrame) -> DataFrame:
     window runs on the (domain, lang) count table, already tiny. Hot
     boilerplate fingerprints collapse in the partial agg."""
     host = F.lower(F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1))
+    # NULL text would null-propagate through rolling_fingerprint and the
+    # inner equi-join on _fp would silently DROP the doc from its domain's
+    # counts — treat NULL as '' so every served page is counted
+    pages = pages.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     base = pages.select(
         "doc_id",
         registrable_domain(host).alias("domain"),

@@ -223,7 +223,10 @@ def _rv_weight_sql(doc_expr: str, shard_expr: str) -> str:
     """Square-mod avalanche over (doc, shard) — engine-portable ANSI
     arithmetic (no xxhash in DuckDB). Shared verbatim by the Spark expr and
     the oracle twin."""
-    v = f"(({doc_expr}) * {RV_K1} + (({shard_expr}) + 1) * {RV_K2}) % {RV_P}"
+    # reduce the key mod RV_P BEFORE the multiply: raw_key * RV_K1 overflows
+    # int64 for keys >= ~3.48e9 (below the 10^10 design point); after the
+    # reduction the product is < RV_P * RV_K1 ~ 7.9e18, inside int64
+    v = f"((({doc_expr}) % {RV_P}) * {RV_K1} + (({shard_expr}) + 1) * {RV_K2}) % {RV_P}"
     return f"(({v}) * ({v}) + 7) % {RV_P}"
 
 

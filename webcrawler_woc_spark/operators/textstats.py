@@ -429,7 +429,11 @@ def write_inverted_index(index: DataFrame, path: str, n_buckets: int = 64) -> No
     (
         index.withColumn("term_bucket", _term_bucket_col(F.col("term"), n_buckets))
         .repartition(n_buckets, "term_bucket")
-        .sortWithinPartitions("term", "doc_id")
+        # lead with the partition column: repartition hash-partitions bucket
+        # ids, so one task can hold 2+ buckets — without term_bucket first,
+        # FileFormatWriter's required ordering fails and Spark inserts its
+        # own sort on term_bucket ALONE, losing the (term, doc_id) order
+        .sortWithinPartitions("term_bucket", "term", "doc_id")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(path)
@@ -595,9 +599,12 @@ def merge_inverted_index(
 
     Contract: the batch's doc_ids must be NEW to the index (positional
     lists of one (term, doc) can't be merged after the fact) — enforced by
-    an anti-join over the touched buckets when ``assert_new_docs`` (the
-    check reads only data the merge reads anyway; opt out when the caller
-    proves disjointness upstream, e.g. ids from a fresh wave).
+    a semi-join over the WHOLE index when ``assert_new_docs``: a re-indexed
+    doc's old terms can hash entirely to untouched buckets, so a
+    touched-only check would pass and leave the doc indexed under both its
+    stale and new terms. The check is column-pruned to doc_id (a one-column
+    scan, new ids broadcast); at 100 TB keep a doc-id bloom sidecar or
+    prove disjointness upstream (e.g. ids from a fresh wave) and opt out.
 
     Returns the rewritten bucket ids. Scale shape: distinct-bucket collect
     is <= n_buckets rows; old rows are read with a static partition filter;
@@ -622,9 +629,11 @@ def merge_inverted_index(
     old = spark.read.parquet(path).filter(F.col("term_bucket").isin(touched))
     if assert_new_docs:
         overlap = (
-            old.select("doc_id")
+            spark.read.parquet(path)
+            .select("doc_id")
+            .join(F.broadcast(new_b.select("doc_id").distinct()), "doc_id")
+            .select("doc_id")
             .distinct()
-            .join(new_b.select("doc_id").distinct(), "doc_id")
             .count()
         )
         if overlap:
