@@ -2006,6 +2006,104 @@ def q_text_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (operators/dedup.containment_pairs):
+    the corpus is doubled with wrapper docs (doc_id + 1000000) whose text
+    is the original PLUS a fixed tail, so every base doc is exactly
+    contained in its wrapper (C = 1000/1000) while the wrapper is NOT
+    contained in the base — the direction symmetric Jaccard cannot see.
+    The oracle recomputes shingle sets and both directed predicates in
+    SQL over the same doubled corpus."""
+    from webcrawler_woc_spark.operators.dedup import containment_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    wrapped = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" wrapper tail block appended")).alias("text"),
+    )
+    return containment_pairs(docs.unionByName(wrapped), n=8, threshold=0.9)
+
+
+def q_crawl_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap URL flags (operators/traps.url_trap_flags): six URL
+    families built from doc_id cover each trap signal — segment-repeat
+    loops, calendar lattices, session-id params, over-deep paths,
+    param explosions, and clean controls; the oracle predicts every flag
+    arithmetically from the same formulas that built the URLs."""
+    from webcrawler_woc_spark.operators.traps import url_trap_flags
+
+    d = F.col("doc_id")
+    h = F.concat(F.lit("http://h"), (d % 5).cast("string"), F.lit(".example"))
+    ds = d.cast("string")
+    url = (
+        F.when(d % 6 == 0, F.concat(h, F.lit("/a/a/a/x"), ds))
+        .when(d % 6 == 1, F.concat(h, F.lit("/2023/05/17/9/item"), ds))
+        .when(d % 6 == 2, F.concat(h, F.lit("/p"), ds, F.lit("?phpsessid=s"), ds, F.lit("&x=1")))
+        .when(d % 6 == 3, F.concat(h, F.lit("/s1/s2/s3/s4/s5/s6/s7/s8/s9/p"), ds))
+        .when(d % 6 == 4, F.concat(h, F.lit("/p"), ds, F.lit("?a1=1&a2=1&a3=1&a4=1&a5=1&a6=1&a7=1&a8=1&a9=1&b"), ds, F.lit("=2")))
+        .otherwise(F.concat(h, F.lit("/about/team"), ds))
+    )
+    frontier = _docs(spark, sf_dir).select(url.alias("url"))
+    return url_trap_flags(frontier)
+
+
+def q_crawl_sniff_mime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME sniffing (operators/extract.sniff_content_type):
+    payloads carry real magic prefixes (PNG/GIF/PDF/JPEG/ZIP) or an HTML
+    tag chosen by doc_id % 6, while the CLAIMED content type cycles on
+    doc_id % 3 — so claims and payloads disagree on a predictable subset.
+    The oracle predicts sniffed type and mismatch arithmetically."""
+    from webcrawler_woc_spark.operators.extract import sniff_content_type
+
+    d = F.col("doc_id")
+    magic = (
+        F.when(d % 6 == 0, F.unhex(F.lit("89504E470D0A1A0A")))
+        .when(d % 6 == 1, F.unhex(F.lit("474946383961")))
+        .when(d % 6 == 2, F.unhex(F.lit("255044462D312E34")))
+        .when(d % 6 == 3, F.unhex(F.lit("FFD8FFE0")))
+        .when(d % 6 == 4, F.unhex(F.lit("504B0304")))
+        .otherwise(F.encode(F.lit("<html><body>"), "UTF-8"))
+    )
+    claimed = (
+        F.when(d % 3 == 0, F.lit("text/html; charset=utf-8"))
+        .when(d % 3 == 1, F.lit("application/pdf"))
+        .otherwise(F.lit("image/png"))
+    )
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(magic, F.encode(F.col("text"), "UTF-8")).alias("html"),
+        claimed.alias("content_type"),
+    )
+    return sniff_content_type(pages).select("doc_id", "sniffed_type", "type_mismatch")
+
+
+def q_crawl_sitemap_lastmod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sitemap <url> entry parse (operators/sitemaps.
+    parse_sitemap_entries): each doc becomes a two-entry urlset — entry 0
+    carries lastmod + priority and an entity-escaped loc with padding
+    whitespace, entry 1 carries changefreq only — covering trimming,
+    unescaping, NULL-when-absent, ppm priority, and document order. The
+    oracle rebuilds both rows arithmetically."""
+    from webcrawler_woc_spark.operators.sitemaps import parse_sitemap_entries
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    hs = (d % 10).cast("string")
+    body = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset><url><loc> http://h'),
+        hs, F.lit(".example/p"), ds, F.lit("&amp;v=1 </loc><lastmod>2024-0"),
+        (d % 9 + 1).cast("string"), F.lit("-15</lastmod><priority>0."),
+        (d % 10).cast("string"), F.lit("</priority></url><url><loc>http://h"),
+        hs, F.lit(".example/q"), ds,
+        F.lit("</loc><changefreq>daily</changefreq></url></urlset>"),
+    )
+    sm = _docs(spark, sf_dir).select(
+        F.concat(F.lit("sm://host"), hs, F.lit("/"), ds).alias("sitemap_url"),
+        body.alias("body"),
+    )
+    return parse_sitemap_entries(sm)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -2021,6 +2119,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in r4 — fills the rest; the r2/r3/r4 blocks (driver-green in r4's
     # window) rotate to the back for round 6.
     return {
+        # --- new in round 5, batch 3 (never driver-checked) ---
+        "dedup_containment": q_dedup_containment,
+        "crawl_trap_detection": q_crawl_trap_detection,
+        "crawl_sniff_mime": q_crawl_sniff_mime,
+        "crawl_sitemap_lastmod": q_crawl_sitemap_lastmod,
         # --- new in round 5 ---
         "crawl_sharded_seen": q_crawl_sharded_seen,
         "dedup_editdistance": q_dedup_editdistance,
@@ -2162,6 +2265,93 @@ def _rv_weight_sql_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     lsh_planes_sql = _lsh_bucket_sql()
     return {
+        "dedup_containment": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text || ' wrapper tail block appended'
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT d.doc_id, substr(d.text, CAST(t.i AS INT), 8) AS shingle
+                FROM corpus d,
+                     unnest(range(1, greatest(length(d.text) - 7, 1) + 1)) t(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            j AS (
+                SELECT doc_a, doc_b, n_common,
+                       sa.set_size AS size_a, sb.set_size AS size_b
+                FROM common
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+            )
+            SELECT doc_a AS inner_doc, doc_b AS outer_doc, n_common,
+                   size_a AS size_inner, size_b AS size_outer
+            FROM j WHERE n_common * 1000 >= 900 * size_a
+            UNION ALL
+            SELECT doc_b, doc_a, n_common, size_b, size_a
+            FROM j WHERE n_common * 1000 >= 900 * size_b
+        """,
+        "crawl_trap_detection": """
+            WITH u AS (
+                SELECT doc_id, doc_id % 6 AS m,
+                       'http://h' || (doc_id % 5) || '.example' AS h
+                FROM documents
+            )
+            SELECT
+                CASE m WHEN 0 THEN h || '/a/a/a/x' || doc_id
+                       WHEN 1 THEN h || '/2023/05/17/9/item' || doc_id
+                       WHEN 2 THEN h || '/p' || doc_id || '?phpsessid=s' || doc_id || '&x=1'
+                       WHEN 3 THEN h || '/s1/s2/s3/s4/s5/s6/s7/s8/s9/p' || doc_id
+                       WHEN 4 THEN h || '/p' || doc_id
+                            || '?a1=1&a2=1&a3=1&a4=1&a5=1&a6=1&a7=1&a8=1&a9=1&b'
+                            || doc_id || '=2'
+                       ELSE h || '/about/team' || doc_id END AS url,
+                CAST(CASE m WHEN 0 THEN 4 WHEN 1 THEN 5 WHEN 2 THEN 1
+                            WHEN 3 THEN 10 WHEN 4 THEN 1 ELSE 2 END AS INT)
+                    AS path_depth,
+                CAST(CASE m WHEN 0 THEN 3 ELSE 1 END AS INT) AS max_seg_repeat,
+                CAST(CASE m WHEN 1 THEN 4 ELSE 0 END AS INT) AS n_date_segs,
+                CAST(CASE m WHEN 2 THEN 2 WHEN 4 THEN 10 ELSE 0 END AS INT)
+                    AS n_params,
+                CAST(CASE m WHEN 2 THEN 1 ELSE 0 END AS INT) AS has_session_param,
+                CAST(CASE WHEN m = 5 THEN 0 ELSE 1 END AS INT) AS is_trap
+            FROM u
+        """,
+        "crawl_sniff_mime": """
+            WITH u AS (SELECT doc_id, doc_id % 6 AS m, doc_id % 3 AS c FROM documents)
+            SELECT doc_id,
+                CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+                       WHEN 2 THEN 'application/pdf' WHEN 3 THEN 'image/jpeg'
+                       WHEN 4 THEN 'application/zip' ELSE 'text/html' END
+                    AS sniffed_type,
+                CAST(CASE WHEN (m = 0 AND c = 2) OR (m = 2 AND c = 1)
+                               OR (m = 5 AND c = 0)
+                          THEN 0 ELSE 1 END AS INT) AS type_mismatch
+            FROM u
+        """,
+        "crawl_sitemap_lastmod": """
+            WITH d AS (
+                SELECT doc_id, doc_id % 10 AS h, doc_id % 9 + 1 AS mth FROM documents
+            )
+            SELECT 'sm://host' || h || '/' || doc_id AS sitemap_url,
+                   CAST(0 AS INT) AS idx,
+                   'http://h' || h || '.example/p' || doc_id || '&v=1' AS url,
+                   '2024-0' || mth || '-15' AS lastmod,
+                   CAST(NULL AS VARCHAR) AS changefreq,
+                   CAST(h * 100000 AS INT) AS priority_ppm
+            FROM d
+            UNION ALL
+            SELECT 'sm://host' || h || '/' || doc_id, CAST(1 AS INT),
+                   'http://h' || h || '.example/q' || doc_id,
+                   CAST(NULL AS VARCHAR), 'daily', CAST(NULL AS INT)
+            FROM d
+        """,
         "crawl_wave1_frontier": f"""
             {_crawl_cte()}
             SELECT DISTINCT url, host FROM outlinks

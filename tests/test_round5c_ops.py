@@ -1,113 +1,180 @@
-"""Round-5 batch 3: as-of CDX point lookup, reciprocal-link stats,
-co-citation top-k."""
+"""Round-5 batch-3 operators: asymmetric shingle containment, crawler-trap
+URL flags, magic-byte MIME sniffing, full sitemap <url> entry parsing."""
 
 from __future__ import annotations
-
-import datetime
 
 from pyspark.sql import functions as F
 
 
-class TestAsofCdx:
-    def test_latest_at_or_before_t(self, spark, tmp_path):
-        from webcrawler_woc_spark.operators.cdx import asof_cdx, build_cdx, write_cdx
+class TestContainmentPairs:
+    def test_wrapper_page_caught_one_direction_only(self, spark):
+        """The case Jaccard misses: a short doc quoted whole inside a much
+        larger page — containment fires inner->outer, never outer->inner."""
+        from webcrawler_woc_spark.operators.dedup import containment_pairs
 
-        def ts(s):
-            return datetime.datetime(2026, 1, 1) + datetime.timedelta(seconds=s)
-
-        caps = spark.createDataFrame(
-            [
-                ("http://a.example/p", ts(100)),
-                ("http://a.example/p", ts(200)),
-                ("http://a.example/p", ts(300)),  # after T
-                ("http://b.example/q", ts(400)),  # first capture after T
-                ("http://c.example/r", ts(50)),
-            ],
-            "url string, capture_ts timestamp",
+        inner = "abcdefghijklmnop"
+        outer = inner + " plus a long unrelated tail that dilutes jaccard badly"
+        docs = spark.createDataFrame(
+            [(1, inner), (2, outer), (3, "completely different body")],
+            "doc_id bigint, text string",
         )
-        path = str(tmp_path / "idx")
-        write_cdx(build_cdx(caps), path, n_ranges=3)
-        t = int(ts(250).timestamp())
-        got = {r.surt: r.epoch for r in asof_cdx(
-            spark, path,
-            ["http://a.example/p", "http://b.example/q", "http://missing.example/x"],
-            t,
-        ).collect()}
-        assert got == {"example,a)/p": int(ts(200).timestamp())}
+        rows = containment_pairs(docs, n=4, threshold=0.9).collect()
+        got = {(r.inner_doc, r.outer_doc) for r in rows}
+        assert got == {(1, 2)}
+        (r,) = rows
+        assert r.n_common == r.size_inner  # full containment
+        assert r.size_outer > r.size_inner
 
-    def test_surt_twin_matches_catalyst(self, spark):
-        from webcrawler_woc_spark.functions.surt import surt_key
-        from webcrawler_woc_spark.operators.cdx import _surt_of
+    def test_identical_docs_emit_both_directions(self, spark):
+        from webcrawler_woc_spark.operators.dedup import containment_pairs
 
-        urls = [
-            "http://a.b.example/x/y?q=1",
-            "https://host.example",
-            "mailto:x@y.z",
-            "http://single/p",
+        docs = spark.createDataFrame(
+            [(1, "same text body here"), (2, "same text body here")],
+            "doc_id bigint, text string",
+        )
+        got = {
+            (r.inner_doc, r.outer_doc)
+            for r in containment_pairs(docs, n=4, threshold=0.9).collect()
+        }
+        assert got == {(1, 2), (2, 1)}
+
+    def test_jaccard_blind_spot_is_real(self, spark):
+        """Pin WHY this operator exists: on the wrapper pair above, Jaccard
+        at the same 0.9 bar finds nothing."""
+        from webcrawler_woc_spark.operators.dedup import ngram_jaccard_pairs
+
+        inner = "abcdefghijklmnop"
+        outer = inner + " plus a long unrelated tail that dilutes jaccard badly"
+        docs = spark.createDataFrame(
+            [(1, inner), (2, outer)], "doc_id bigint, text string"
+        )
+        assert ngram_jaccard_pairs(docs, n=4, threshold=0.9).count() == 0
+
+
+class TestUrlTrapFlags:
+    CASES = {
+        "http://h.example/a/a/a/x": dict(max_seg_repeat=3, is_trap=1),
+        "http://h.example/2023/05/17/9/item": dict(n_date_segs=4, is_trap=1),
+        "http://h.example/p?phpsessid=abc&x=1": dict(
+            has_session_param=1, n_params=2, is_trap=1
+        ),
+        "http://h.example/s1/s2/s3/s4/s5/s6/s7/s8/s9/p0": dict(
+            path_depth=10, is_trap=1
+        ),
+        "http://h.example/p?a1=1&a2=1&a3=1&a4=1&a5=1&a6=1&a7=1&a8=1&a9=1&b=2": dict(
+            n_params=10, is_trap=1
+        ),
+        "http://h.example/about/team": dict(
+            path_depth=2, max_seg_repeat=1, n_date_segs=0, n_params=0,
+            has_session_param=0, is_trap=0,
+        ),
+        "http://h.example": dict(path_depth=0, max_seg_repeat=0, is_trap=0),
+    }
+
+    def test_each_signal_fires_on_its_family(self, spark):
+        from webcrawler_woc_spark.operators.traps import url_trap_flags
+
+        df = spark.createDataFrame([(u,) for u in self.CASES], "url string")
+        got = {r.url: r.asDict() for r in url_trap_flags(df).collect()}
+        for url, want in self.CASES.items():
+            for k, v in want.items():
+                assert got[url][k] == v, (url, k, got[url])
+
+    def test_session_param_name_is_anchored(self, spark):
+        """'sid' must match as the WHOLE param name: 'classid=' or
+        'sidebar=' must not fire."""
+        from webcrawler_woc_spark.operators.traps import url_trap_flags
+
+        df = spark.createDataFrame(
+            [("http://h.example/p?classid=7&sidebar=1",),
+             ("http://h.example/p?SID=7",)],
+            "url string",
+        )
+        got = {r.url: r.has_session_param for r in url_trap_flags(df).collect()}
+        assert got["http://h.example/p?classid=7&sidebar=1"] == 0
+        assert got["http://h.example/p?SID=7"] == 1  # case-insensitive
+
+    def test_scan_only_no_exchange(self, spark):
+        from webcrawler_woc_spark.operators.traps import url_trap_flags
+
+        df = spark.createDataFrame([("http://h.example/a",)], "url string")
+        plan = url_trap_flags(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+    def test_host_rollup(self, spark):
+        from webcrawler_woc_spark.operators.traps import host_trap_stats
+
+        df = spark.createDataFrame(
+            [("http://a.example/x/x/x/y",), ("http://a.example/ok",),
+             ("http://b.example/clean",)],
+            "url string",
+        )
+        got = {r.host: r for r in host_trap_stats(df).collect()}
+        assert got["a.example"].n_urls == 2 and got["a.example"].n_traps == 1
+        assert got["a.example"].trap_ratio_ppm == 500_000
+        assert got["b.example"].trap_ratio_ppm == 0
+
+
+class TestSniffContentType:
+    def test_magic_bytes_beat_the_claim(self, spark):
+        from webcrawler_woc_spark.operators.extract import sniff_content_type
+
+        rows = [
+            (1, bytes.fromhex("89504E470D0A1A0A") + b"xxxx", "text/html"),
+            (2, b"%PDF-1.4 payload", "application/pdf"),
+            (3, b"  <!DOCTYPE html><html>", "text/html; charset=utf-8"),
+            (4, b"GIF89a....", "image/png"),
+            (5, b"\xff\xd8\xff\xe0JFIF", "text/html"),
+            (6, b"PK\x03\x04zipdata", "application/zip"),
+            (7, b"plain text, no magic, no tag", "text/plain"),
         ]
-        df = spark.createDataFrame([(u,) for u in urls], "url string")
-        spark_keys = {
-            r.url: r.k for r in df.select("url", surt_key(F.col("url")).alias("k")).collect()
-        }
-        for u in urls:
-            assert _surt_of(u) == spark_keys[u], u
+        df = spark.createDataFrame(rows, "doc_id bigint, html binary, content_type string")
+        got = {r.doc_id: (r.sniffed_type, r.type_mismatch)
+               for r in sniff_content_type(df).collect()}
+        assert got[1] == ("image/png", 1)  # server lied
+        assert got[2] == ("application/pdf", 0)
+        assert got[3] == ("text/html", 0)  # leading whitespace + DOCTYPE ok
+        assert got[4] == ("image/gif", 1)
+        assert got[5] == ("image/jpeg", 1)
+        assert got[6] == ("application/zip", 0)
+        assert got[7] == ("application/octet-stream", 1)  # honest fallback
 
+    def test_scan_only(self, spark):
+        from webcrawler_woc_spark.operators.extract import sniff_content_type
 
-class TestReciprocalLinkStats:
-    def test_recip_counts(self, spark):
-        from webcrawler_woc_spark.operators.graph import reciprocal_link_stats
-
-        edges = spark.createDataFrame(
-            [
-                ("a", "b"), ("b", "a"),          # reciprocal pair
-                ("a", "c"),                       # one-way
-                ("a", "c"),                       # multi-edge collapses
-                ("c", "c"),                       # self-loop dropped
-                ("d", "a"),                       # one-way in
-            ],
-            "src string, dst string",
+        df = spark.createDataFrame(
+            [(1, b"<html>", "text/html")], "doc_id bigint, html binary, content_type string"
         )
-        got = {r.node: (r.n_out, r.n_recip, r.recip_ppm)
-               for r in reciprocal_link_stats(edges).collect()}
-        assert got == {
-            "a": (2, 1, 500_000),
-            "b": (1, 1, 1_000_000),
-            "d": (1, 0, 0),
-        }
+        plan = sniff_content_type(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
 
 
-class TestCocitationTopk:
-    def test_pairs_and_cap(self, spark):
-        from webcrawler_woc_spark.operators.graph import cocitation_topk
+class TestParseSitemapEntries:
+    BODY = (
+        '<?xml version="1.0" encoding="UTF-8"?><urlset>'
+        "<url><loc>  http://a.example/p?x=1&amp;y=2  </loc>"
+        "<lastmod>2024-03-15</lastmod><priority>0.8</priority></url>"
+        "<url><loc>http://a.example/q</loc><changefreq>daily</changefreq></url>"
+        "</urlset>"
+    )
 
-        edges = spark.createDataFrame(
-            [
-                # t1 cited by a,b,c ; t2 by a,b ; t3 by b,c
-                ("a", "t1"), ("b", "t1"), ("c", "t1"),
-                ("a", "t2"), ("b", "t2"),
-                ("b", "t3"), ("c", "t3"),
-            ],
-            "src string, dst string",
+    def test_fields_order_nulls_and_unescape(self, spark):
+        from webcrawler_woc_spark.operators.sitemaps import parse_sitemap_entries
+
+        sm = spark.createDataFrame([("sm://a", self.BODY)], "sitemap_url string, body string")
+        rows = sorted(parse_sitemap_entries(sm).collect(), key=lambda r: r.idx)
+        assert len(rows) == 2
+        r0, r1 = rows
+        assert r0.url == "http://a.example/p?x=1&y=2"  # trimmed + unescaped
+        assert (r0.lastmod, r0.changefreq, r0.priority_ppm) == ("2024-03-15", None, 800000)
+        assert r1.url == "http://a.example/q"
+        assert (r1.lastmod, r1.changefreq, r1.priority_ppm) == (None, "daily", None)
+
+    def test_empty_and_locless_bodies_emit_nothing(self, spark):
+        from webcrawler_woc_spark.operators.sitemaps import parse_sitemap_entries
+
+        sm = spark.createDataFrame(
+            [("sm://a", "<urlset></urlset>"), ("sm://b", "not xml at all")],
+            "sitemap_url string, body string",
         )
-        rows = cocitation_topk(edges, per_target_cap=5, k=10).collect()
-        got = [(r.src_a, r.src_b, r.n_shared) for r in rows]
-        assert got == [("a", "b", 2), ("b", "c", 2), ("a", "c", 1)]
-
-    def test_per_target_cap_bounds_fanout(self, spark):
-        from webcrawler_woc_spark.operators.graph import cocitation_topk
-
-        # hub target cited by 10 sources; cap=3 keeps only s0,s1,s2 pairs
-        edges = spark.createDataFrame(
-            [(f"s{i}", "hub") for i in range(10)], "src string, dst string"
-        )
-        rows = cocitation_topk(edges, per_target_cap=3, k=100).collect()
-        assert {(r.src_a, r.src_b) for r in rows} == {
-            ("s0", "s1"), ("s0", "s2"), ("s1", "s2")
-        }
-
-    def test_topk_is_take_ordered(self, spark):
-        from webcrawler_woc_spark.operators.graph import cocitation_topk
-
-        edges = spark.createDataFrame([("a", "t"), ("b", "t")], "src string, dst string")
-        plan = cocitation_topk(edges, k=5)._jdf.queryExecution().executedPlan().toString()
-        assert "TakeOrderedAndProject" in plan
+        assert parse_sitemap_entries(sm).count() == 0

@@ -302,6 +302,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    documents: DataFrame, n: int = 16, threshold: float = 0.9, shingles: DataFrame | None = None
+) -> DataFrame:
+    """ASYMMETRIC shingle-containment near-dup pairs — the wrapper-page
+    catch symmetric Jaccard structurally misses: a short doc quoted whole
+    inside a much larger page has J = |A|/|B| ~ 0 but containment
+    C(A -> B) = |S(A) ∩ S(B)| / |S(A)| = 1 (the Broder resemblance/
+    containment split; RefinedWeb-class pipelines drop the contained copy
+    and keep the container).
+
+    Output one DIRECTED row per passing direction: (inner_doc, outer_doc,
+    n_common, size_inner, size_outer) where the exact integer predicate
+    n_common * 1000 >= t*1000 * size_inner holds — near-identical docs emit
+    both directions. Integers only, hash-stable across engines.
+
+    Scale shape: same contract as ngram_jaccard_pairs — the VERIFY stage
+    behind LSH/MinHash candidate generation at 100 TB, never standalone
+    (the shingle inverted-index self-join is corpus-quadratic in the worst
+    case; candidates bound it). The undirected candidate join runs ONCE
+    (doc_a < doc_b) and both directions are evaluated from the same joined
+    row, so containment costs exactly what Jaccard costs."""
+    sh = shingles if shingles is not None else char_shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    joined = common.join(sa, "doc_a").join(sb, "doc_b")
+    numer, denom = int(round(threshold * 1000)), 1000
+    fwd = joined.filter(F.col("n_common") * denom >= numer * F.col("size_a")).select(
+        F.col("doc_a").alias("inner_doc"),
+        F.col("doc_b").alias("outer_doc"),
+        "n_common",
+        F.col("size_a").alias("size_inner"),
+        F.col("size_b").alias("size_outer"),
+    )
+    rev = joined.filter(F.col("n_common") * denom >= numer * F.col("size_b")).select(
+        F.col("doc_b").alias("inner_doc"),
+        F.col("doc_a").alias("outer_doc"),
+        "n_common",
+        F.col("size_b").alias("size_inner"),
+        F.col("size_a").alias("size_outer"),
+    )
+    return fwd.unionByName(rev)
+
+
 def _minhash_perm(hash_col, i: int):
     """i-th permutation of a shingle hash: Carter-Wegman over the Mersenne-31
     field. The 64-bit xxhash is first reduced mod M31 so every intermediate

@@ -82,3 +82,47 @@ def extract_child_links(gated: DataFrame) -> DataFrame:
 def extracted_text(gated: DataFrame) -> DataFrame:
     """(url, text) with the pinned byte-exact recipe (north-rule invariant)."""
     return gated.select(F.col("url"), extract_text_udf(F.col("html")).alias("text"))
+
+
+# Magic-byte signatures, matched IN ORDER against the hex of the payload's
+# first bytes (longest/most-specific first where prefixes overlap). Servers
+# lie about Content-Type constantly (Common Crawl carries megabytes of PDFs
+# served as text/html); sniffing the payload is the only honest gate.
+MAGIC_SIGNATURES = (
+    ("89504E470D0A1A0A", "image/png"),
+    ("474946383761", "image/gif"),  # GIF87a
+    ("474946383961", "image/gif"),  # GIF89a
+    ("255044462D", "application/pdf"),  # %PDF-
+    ("FFD8FF", "image/jpeg"),
+    ("504B0304", "application/zip"),
+    ("1F8B", "application/gzip"),
+)
+
+
+def sniff_content_type(pages: DataFrame, body_col: str = "html") -> DataFrame:
+    """Payload-sniffed MIME vs the server's claim: adds ``sniffed_type``
+    (magic-byte dispatch, then an HTML tag probe, else
+    application/octet-stream) and ``type_mismatch`` (0/1: sniffed type
+    family differs from the claimed ``content_type``'s type/subtype).
+
+    Scan-only pure Catalyst: the binary prefix is hexed ONCE (hex() of a
+    substring of the binary column — no decode of the full payload) and
+    dispatched through a when-chain; the HTML probe decodes only the first
+    256 bytes. No shuffle, no Python — at 100 TB this rides the same scan
+    as the MIME gate and the mismatch flag routes lied-about payloads to
+    the right parser (or the bin) instead of the HTML extractor.
+    """
+    prefix_hex = F.hex(F.substring(F.col(body_col), 1, 8))
+    sniffed = None
+    for sig, mime in MAGIC_SIGNATURES:
+        cond = prefix_hex.startswith(sig)
+        sniffed = F.when(cond, F.lit(mime)) if sniffed is None else sniffed.when(cond, F.lit(mime))
+    head = F.lower(F.ltrim(F.decode(F.substring(F.col(body_col), 1, 256), "UTF-8")))
+    is_html = head.startswith("<!doctype html") | head.startswith("<html")
+    sniffed = sniffed.when(is_html, F.lit("text/html")).otherwise(
+        F.lit("application/octet-stream")
+    )
+    claimed = F.trim(F.split(F.lower(F.col("content_type")), ";").getItem(0))
+    return pages.withColumn("sniffed_type", sniffed).withColumn(
+        "type_mismatch", (F.col("sniffed_type") != claimed).cast("int")
+    )

@@ -174,3 +174,57 @@ def parse_xml_sitemap(sitemaps: DataFrame) -> DataFrame:
             "is_index",
         )
     )
+
+
+PRIORITY_PPM = 1_000_000
+
+
+def parse_sitemap_entries(sitemaps: DataFrame) -> DataFrame:
+    """Full <url> entry parse — the recrawl-scheduling metadata
+    parse_xml_sitemap's <loc>-only pass drops: sitemaps.org's OPTIONAL
+    <lastmod>/<changefreq>/<priority> children are exactly what an
+    incremental crawler keys on (lastmod > last capture => refetch;
+    priority orders the fetch queue; changefreq seeds the recrawl
+    interval before any observed-change history exists).
+
+    Input (sitemap_url, body); output one row per <url> block, document
+    order preserved: (sitemap_url, idx, url, lastmod, changefreq,
+    priority_ppm) — lastmod/changefreq NULL when absent, priority an
+    integer ppm (0.8 -> 800000; NULL when absent) so the frame
+    value-hashes across engines.
+
+    Pure Catalyst: one lazy-dotall regexp_extract_all splits the document
+    into <url> blocks (posexplode keeps order), three per-block
+    regexp_extracts pull the children — all inside whole-stage codegen;
+    no XML library for the same reason as parse_xml_sitemap (the element
+    grammar here is regular). Feed the output straight to
+    operators/recrawl.py's scheduling: join on url against the
+    latest-capture table and keep rows with lastmod past the capture."""
+    blocks = F.expr(r"regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1)")
+
+    def child(tag: str):
+        ex = F.regexp_extract(F.col("_blk"), rf"<{tag}>\s*([^<]+?)\s*</{tag}>", 1)
+        return F.when(ex == "", F.lit(None)).otherwise(ex)
+
+    def unescape(col):
+        out = col
+        for ent, ch in (
+            ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+            ("&amp;", "&"),  # last — single decode
+        ):
+            out = F.replace(out, F.lit(ent), F.lit(ch))
+        return out
+
+    return sitemaps.select(
+        "sitemap_url", F.posexplode(blocks).alias("idx", "_blk")
+    ).select(
+        "sitemap_url",
+        F.col("idx").cast("int").alias("idx"),
+        unescape(child("loc")).alias("url"),
+        child("lastmod").alias("lastmod"),
+        child("changefreq").alias("changefreq"),
+        # decimal (not float) math: 0.8 * 1e6 is exact in both engines
+        (child("priority").cast("decimal(7,6)") * PRIORITY_PPM)
+        .cast("int")
+        .alias("priority_ppm"),
+    )

@@ -1,0 +1,125 @@
+"""Crawler-trap detection over frontier URLs — the pre-fetch guard every
+production crawler runs that the reference lacks entirely (its policy is a
+host whitelist, /root/reference/src/crawler.rs should_crawl): calendar
+pages, session-id links, and self-similar path loops generate unbounded
+URL spaces that a BFS frontier will happily expand forever. Flagging them
+URL-side costs one scan-only projection; NOT flagging them costs the
+crawl budget of an infinite subtree.
+
+Signals (each independently thresholdable, all pure Catalyst — split /
+filter / transform higher-order expressions inside whole-stage codegen,
+zero shuffle, zero Python):
+
+* ``path_depth``      — number of non-empty path segments; traps nest deep;
+* ``max_seg_repeat``  — max multiplicity of any single path segment
+  (``/foo/x/foo/y/foo`` -> 3): self-similar loops repeat a segment;
+* ``n_date_segs``     — segments shaped like years (19xx/20xx) or 1-2-digit
+  day/month numbers: calendar traps are date lattices;
+* ``n_params``        — query-param count: faceted-search explosions carry
+  many params;
+* ``has_session_param`` — a session-id param (phpsessid/jsessionid/...)
+  makes every visit a "new" URL, the classic dedup-defeating trap.
+
+``is_trap`` is the pinned composite OR. At 100 TB this projection runs
+frontier-side before the seen-filter probe, so trap URLs never even cost a
+filter lookup; the per-host rollup (host_trap_stats) feeds the same policy
+layer as domain_quality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+# dedup-defeating session/state query params (lowercased name match)
+SESSION_PARAMS = ("phpsessid", "jsessionid", "sessionid", "sid", "cfid", "cftoken")
+
+# composite thresholds (pinned; callers override per deployment)
+MAX_PATH_DEPTH = 8
+MAX_SEG_REPEAT = 3
+MAX_DATE_SEGS = 4
+MAX_PARAMS = 8
+
+
+def url_trap_flags(
+    frontier: DataFrame,
+    max_depth: int = MAX_PATH_DEPTH,
+    repeat_limit: int = MAX_SEG_REPEAT,
+    date_limit: int = MAX_DATE_SEGS,
+    max_params: int = MAX_PARAMS,
+) -> DataFrame:
+    """(url, ...) -> (url, path_depth, max_seg_repeat, n_date_segs,
+    n_params, has_session_param, is_trap) — all ints (flags 0/1) so the
+    result value-hashes identically across engines.
+
+    max_seg_repeat is O(d^2) per URL over d path segments — d is tiny
+    (paths are short) and it stays a scan-side expression; a NULL/hostless
+    url yields zeros (never NULL flags)."""
+    path = F.regexp_extract(F.col("url"), r"^https?://[^/?#]+([^?#]*)", 1)
+    query = F.when(
+        F.col("url").contains("?"),
+        F.substr(F.col("url"), F.locate("?", F.col("url")) + F.lit(1)),
+    ).otherwise(F.lit(""))
+    sess_re = "^(" + "|".join(SESSION_PARAMS) + ")="
+    out = (
+        frontier.withColumn("_path", F.coalesce(path, F.lit("")))
+        .withColumn("_q", F.coalesce(query, F.lit("")))
+        .withColumn("_segs", F.expr("filter(split(_path, '/'), s -> s <> '')"))
+        .withColumn("_params", F.expr("filter(split(_q, '&'), p -> p <> '')"))
+        .withColumn("path_depth", F.size("_segs").cast("int"))
+        .withColumn(
+            "max_seg_repeat",
+            F.when(
+                F.col("path_depth") > 0,
+                F.expr(
+                    "array_max(transform(array_distinct(_segs),"
+                    " s -> size(filter(_segs, x -> x = s))))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .withColumn(
+            "n_date_segs",
+            F.expr(
+                "size(filter(_segs, s -> s rlike '^(19|20)[0-9]{2}$'"
+                " or s rlike '^[0-9]{1,2}$'))"
+            ).cast("int"),
+        )
+        .withColumn("n_params", F.size("_params").cast("int"))
+        .withColumn(
+            "has_session_param",
+            F.expr(f"exists(_params, p -> lower(p) rlike '{sess_re}')")
+            .cast("int"),
+        )
+    )
+    is_trap = (
+        (F.col("max_seg_repeat") >= repeat_limit)
+        | (F.col("path_depth") > max_depth)
+        | (F.col("n_date_segs") >= date_limit)
+        | (F.col("n_params") > max_params)
+        | (F.col("has_session_param") == 1)
+    )
+    return out.withColumn("is_trap", is_trap.cast("int")).drop(
+        "_path", "_q", "_segs", "_params"
+    )
+
+
+def host_trap_stats(frontier: DataFrame, **thresholds) -> DataFrame:
+    """Per-host trap exposure: (host, n_urls, n_traps, trap_ratio_ppm) —
+    the frontier-side twin of domainstats.domain_quality's corpus-side
+    rollup; a host past a trap-ratio threshold gets its frontier budget
+    cut before a single trap page is fetched. One partial-agg'd
+    groupBy(host) over the scan-side flags projection."""
+    flagged = url_trap_flags(frontier, **thresholds)
+    host = F.lower(F.regexp_extract(F.col("url"), r"^https?://([^/?#]+)", 1))
+    return (
+        flagged.groupBy(host.alias("host"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.sum("is_trap").cast("bigint").alias("n_traps"),
+        )
+        .withColumn("trap_ratio_ppm", F.expr(f"(n_traps * {PPM}) div n_urls"))
+    )
