@@ -515,6 +515,29 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(nodes, edges, iterations=3)
 
 
+def q_graph_pagerank_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start incremental PageRank (operators/graph.
+    pagerank_incremental): the link graph is split into a base (dst % 3
+    != 0 — "yesterday's crawl") and a delta wave (the dst % 3 == 0 edges);
+    prior scores come from 3 cold rounds on the base, then TWO seeded
+    rounds over the union graph produce the refreshed ranks. The oracle
+    chains all five rounds in SQL (3 over base_edges, 2 seeded over
+    edges) — order-independent integer math keeps it value-exact."""
+    from webcrawler_woc_spark.operators.graph import (
+        doc_edges,
+        pagerank_incremental,
+        pagerank_int,
+    )
+
+    children = extract_child_links(_gated(spark, sf_dir)).select("parent_url", "url")
+    edges = doc_edges(children)
+    base = edges.filter("dst % 3 != 0")
+    delta = edges.filter("dst % 3 = 0")
+    nodes = _docs(spark, sf_dir).select("doc_id")
+    prior = pagerank_int(nodes, base, iterations=3)
+    return pagerank_incremental(nodes, base, delta, prior, iterations=2)
+
+
 def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer HITS hubs & authorities (2 rounds, ppm, L-inf normalization)
     over the extracted doc link graph — the complement of PageRank for
@@ -2124,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_trap_detection": q_crawl_trap_detection,
         "crawl_sniff_mime": q_crawl_sniff_mime,
         "crawl_sitemap_lastmod": q_crawl_sitemap_lastmod,
+        "graph_pagerank_incr": q_graph_pagerank_incr,
         # --- new in round 5 ---
         "crawl_sharded_seen": q_crawl_sharded_seen,
         "dedup_editdistance": q_dedup_editdistance,
@@ -2942,6 +2966,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "graph_pagerank": _pagerank_sql(3),
+        "graph_pagerank_incr": _pagerank_incr_sql(3, 2),
         "graph_components": _components_sql(5),
         "graph_hits": _hits_sql(2),
         "rel_sessionize": """
@@ -4238,26 +4263,54 @@ def _triangles_sql() -> str:
     )
 
 
+def _pr_round_cte(out: str, prev: str, edges: str, deg: str) -> str:
+    """One integer-PageRank round as a CTE (mirrors graph._pagerank_rounds;
+    // is DuckDB's floor division == Spark's `div` for non-negatives)."""
+    return f"""
+{out} AS (
+    SELECT d.doc_id,
+           CAST(150000 + (85 * coalesce(inflow.s, 0)) // 100 AS BIGINT) AS rank_ppm
+    FROM documents d LEFT JOIN (
+        SELECT e.dst, sum(r.rank_ppm // g.deg) AS s
+        FROM {edges} e JOIN {deg} g USING (src) JOIN {prev} r ON r.doc_id = e.src
+        GROUP BY e.dst
+    ) inflow ON inflow.dst = d.doc_id
+)"""
+
+
 def _pagerank_sql(iters: int = 3) -> str:
-    """Chained-CTE integer PageRank mirroring operators/graph.pagerank_int
-    (// is DuckDB's floor division == Spark's `div` for non-negatives)."""
+    """Chained-CTE integer PageRank mirroring operators/graph.pagerank_int."""
     from webcrawler_woc_spark.sources.corpus import ORACLE_OUTLINKS_CTE
 
     ctes = [ORACLE_OUTLINKS_CTE, _EDGES_CTE,
             "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
             "r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS rank_ppm FROM documents)"]
     for i in range(iters):
-        ctes.append(f"""
-r{i + 1} AS (
-    SELECT d.doc_id,
-           CAST(150000 + (85 * coalesce(inflow.s, 0)) // 100 AS BIGINT) AS rank_ppm
-    FROM documents d LEFT JOIN (
-        SELECT e.dst, sum(r.rank_ppm // g.deg) AS s
-        FROM edges e JOIN deg g USING (src) JOIN r{i} r ON r.doc_id = e.src
-        GROUP BY e.dst
-    ) inflow ON inflow.dst = d.doc_id
-)""")
+        ctes.append(_pr_round_cte(f"r{i + 1}", f"r{i}", "edges", "deg"))
     return "WITH " + ",".join(ctes) + f"\nSELECT doc_id, rank_ppm FROM r{iters}"
+
+
+def _pagerank_incr_sql(prior_iters: int = 3, incr_iters: int = 2) -> str:
+    """Chained-CTE warm-start PageRank mirroring graph.pagerank_incremental:
+    ``prior_iters`` cold rounds over the base graph (dst % 3 <> 0), then
+    ``incr_iters`` rounds over the FULL edge set seeded from the prior."""
+    from webcrawler_woc_spark.sources.corpus import ORACLE_OUTLINKS_CTE
+
+    ctes = [
+        ORACLE_OUTLINKS_CTE,
+        _EDGES_CTE,
+        "base_edges AS (SELECT src, dst FROM edges WHERE dst % 3 <> 0)",
+        "bdeg AS (SELECT src, count(*) AS deg FROM base_edges GROUP BY src)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS rank_ppm FROM documents)",
+    ]
+    for i in range(prior_iters):
+        ctes.append(_pr_round_cte(f"r{i + 1}", f"r{i}", "base_edges", "bdeg"))
+    prev = f"r{prior_iters}"
+    for i in range(incr_iters):
+        ctes.append(_pr_round_cte(f"s{i + 1}", prev, "edges", "deg"))
+        prev = f"s{i + 1}"
+    return "WITH " + ",".join(ctes) + f"\nSELECT doc_id, rank_ppm FROM {prev}"
 
 
 def _hits_sql(iters: int = 2) -> str:

@@ -195,3 +195,66 @@ class TestHitsInt:
         # guard passes; the iterations themselves run on the 3 gate nodes
         out = hits_int(nodes, e_in.unionAll(e_out), iterations=1).collect()
         assert len(out) == 3
+
+
+class TestPagerankIncremental:
+    def test_empty_delta_identity(self, spark):
+        """THE warm-start identity: k cold rounds + j seeded rounds over the
+        same graph == k + j cold rounds (uniform seed is what cold rounds
+        start from, so seeding with round-k scores must continue the chain
+        exactly)."""
+        from webcrawler_woc_spark.operators.graph import (
+            pagerank_incremental,
+            pagerank_int,
+        )
+
+        nodes, edges = _g(spark, 5, [(0, 1), (1, 2), (2, 0), (3, 2), (0, 4)])
+        empty = edges.filter("src < 0")
+        prior = pagerank_int(nodes, edges, iterations=2)
+        warm = {
+            r.doc_id: r.rank_ppm
+            for r in pagerank_incremental(nodes, edges, empty, prior, 2).collect()
+        }
+        cold = {
+            r.doc_id: r.rank_ppm for r in pagerank_int(nodes, edges, 4).collect()
+        }
+        assert warm == cold
+
+    def test_new_nodes_seed_at_uniform(self, spark):
+        """A doc discovered by the delta wave has no prior score: it must
+        seed at 10^6 ppm (what a cold start gives every node), and the delta
+        edge must actually contribute to its target."""
+        from webcrawler_woc_spark.operators.graph import (
+            pagerank_incremental,
+            pagerank_int,
+        )
+
+        nodes_old, base = _g(spark, 2, [(0, 1)])
+        nodes_all = spark.createDataFrame([(i,) for i in range(3)], "doc_id long")
+        delta = spark.createDataFrame([(2, 1)], "src long, dst long")
+        prior = pagerank_int(nodes_old, base, iterations=1)
+        got = {
+            r.doc_id: r.rank_ppm
+            for r in pagerank_incremental(nodes_all, base, delta, prior, 1).collect()
+        }
+        # node 2 had no prior: seeds at 10^6, contributes 10^6 to node 1
+        # alongside node 0's prior 150000 (no inflow in round 1 on base)
+        assert got[2] == 150_000  # no inflow itself
+        assert got[1] == 150_000 + (85 * (150_000 + 1_000_000)) // 100
+
+    def test_union_dedups_overlapping_delta_edges(self, spark):
+        """A delta that re-reports an existing edge must not double its
+        contribution (edges are a SET; doc_edges distincts, the union must
+        too)."""
+        from webcrawler_woc_spark.operators.graph import (
+            pagerank_incremental,
+            pagerank_int,
+        )
+
+        nodes, edges = _g(spark, 2, [(0, 1)])
+        prior = pagerank_int(nodes, edges, iterations=1)
+        got = {
+            r.doc_id: r.rank_ppm
+            for r in pagerank_incremental(nodes, edges, edges, prior, 1).collect()
+        }
+        assert got[1] == 150_000 + (85 * 150_000) // 100  # deg(0) stays 1
