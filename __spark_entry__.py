@@ -1798,6 +1798,27 @@ def q_text_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift canary (operators/textstats.term_drift): even docs
+    are the 'old' snapshot; odd docs are 'new' with every 7th doc carrying
+    an injected ' zspamburst' token — a word-level shift the length bands
+    cannot see. Top-50 combined-count vocabulary, per-term integer
+    chi-square (the even/odd split alone already drifts every term; the
+    burst adds an n_old = 0 tail row when it cracks the vocabulary)."""
+    from webcrawler_woc_spark.operators.textstats import term_drift
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("text")
+    new = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" zspamburst"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    return term_drift(old, new, top_k=50)
+
+
 def q_graph_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-target anchor-text top-k (operators/graph.anchor_topk): two
     synthetic links per doc — ('a'||doc_id%4 -> page doc_id%37) and
@@ -2148,6 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_sniff_mime": q_crawl_sniff_mime,
         "crawl_sitemap_lastmod": q_crawl_sitemap_lastmod,
         "graph_pagerank_incr": q_graph_pagerank_incr,
+        "text_term_drift": q_text_term_drift,
         # --- new in round 5 ---
         "crawl_sharded_seen": q_crawl_sharded_seen,
         "dedup_editdistance": q_dedup_editdistance,
@@ -2358,6 +2380,33 @@ def oracle_sql() -> dict[str, str]:
                                OR (m = 5 AND c = 0)
                           THEN 0 ELSE 1 END AS INT) AS type_mismatch
             FROM u
+        """,
+        "text_term_drift": f"""
+            WITH o AS (
+                SELECT unnest({TOKENS_SQL}) AS term FROM documents
+                WHERE doc_id % 2 = 0
+            ),
+            oc AS (SELECT term, count(*) AS n_old FROM o GROUP BY term),
+            newdocs AS (
+                SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' zspamburst'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 2 = 1
+            ),
+            n AS (SELECT unnest({TOKENS_SQL}) AS term FROM newdocs),
+            nc AS (SELECT term, count(*) AS n_new FROM n GROUP BY term),
+            b AS (
+                SELECT term,
+                       coalesce(n_old, 0) AS n_old,
+                       coalesce(n_new, 0) AS n_new
+                FROM oc FULL OUTER JOIN nc USING (term)
+            ),
+            cut AS (
+                SELECT * FROM b ORDER BY n_old + n_new DESC, term ASC LIMIT 50
+            )
+            SELECT term, n_old, n_new,
+                   ((n_old - n_new) * (n_old - n_new) * 1000000)
+                       // (n_old + n_new) AS drift_ppm
+            FROM cut
         """,
         "crawl_sitemap_lastmod": """
             WITH d AS (

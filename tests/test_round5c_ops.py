@@ -178,3 +178,30 @@ class TestParseSitemapEntries:
             "sitemap_url string, body string",
         )
         assert parse_sitemap_entries(sm).count() == 0
+
+
+class TestTermDrift:
+    def test_counts_missing_terms_and_cut(self, spark):
+        from webcrawler_woc_spark.operators.textstats import term_drift
+
+        old = spark.createDataFrame(
+            [("a a a b",), ("a c",)], "text string"
+        )  # a:4 b:1 c:1
+        new = spark.createDataFrame(
+            [("a a b b z",), ("z z",)], "text string"
+        )  # a:2 b:2 z:3
+        rows = {r.term: r for r in term_drift(old, new, top_k=3).collect()}
+        # combined counts: a=6, z=3, b=3 -> top-3 by (sum DESC, term ASC): a, b, z
+        assert set(rows) == {"a", "b", "z"}
+        assert (rows["a"].n_old, rows["a"].n_new) == (4, 2)
+        assert rows["z"].n_old == 0  # absent from old = strongest signal
+        assert rows["z"].drift_ppm == (3 * 3 * 1_000_000) // 3
+        assert rows["a"].drift_ppm == (2 * 2 * 1_000_000) // 6
+
+    def test_full_tiebreak_cut_is_deterministic(self, spark):
+        from webcrawler_woc_spark.operators.textstats import term_drift
+
+        old = spark.createDataFrame([("x y",)], "text string")
+        new = spark.createDataFrame([("y x",)], "text string")
+        got = [r.term for r in term_drift(old, new, top_k=1).collect()]
+        assert got == ["x"]  # 2-2 tie -> term ASC

@@ -548,6 +548,51 @@ def word_ngrams(documents: DataFrame, n: int = 3, top_k: int | None = None) -> D
     return counts
 
 
+def term_drift(old: DataFrame, new: DataFrame, top_k: int = 100) -> DataFrame:
+    """Term-distribution drift between two corpus snapshots over the
+    combined top-k vocabulary — the canary length_band_drift can't be: a
+    spam burst, language-mix shift or template rollout changes WHICH words
+    dominate long before it moves document lengths. Per-term integer
+    chi-square, same arithmetic as the length bands: drift_ppm =
+    (n_old - n_new)^2 * 10^6 div (n_old + n_new).
+
+    Output (term, n_old, n_new, drift_ppm) for the top_k terms by
+    (n_old + n_new DESC, term ASC) — the full tiebreak keeps the cut
+    deterministic under any shuffle order; a term absent from one snapshot
+    counts 0 there (the strongest drift signal).
+
+    Scale shape: each snapshot reduces to a partial-agg'd groupBy(term)
+    (map-side combine collapses repeats; shuffle rows = distinct terms),
+    the FULL OUTER join runs on the two count tables — already vocabulary-
+    sized, not corpus-sized — and the cut is a TakeOrderedAndProject, never
+    a full sort. Tokenization shares _tokens with every other text op."""
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.explode(_tokens(F.col("text"))).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias(out))
+        )
+
+    both = (
+        counts(old, "n_old")
+        .join(counts(new, "n_new"), "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("n_old", F.lit(0).cast("bigint")).alias("n_old"),
+            F.coalesce("n_new", F.lit(0).cast("bigint")).alias("n_new"),
+        )
+    )
+    return (
+        both.orderBy((F.col("n_old") + F.col("n_new")).desc(), F.col("term").asc())
+        .limit(top_k)
+        .withColumn(
+            "drift_ppm",
+            F.expr("((n_old - n_new) * (n_old - n_new) * 1000000) div (n_old + n_new)"),
+        )
+    )
+
+
 def length_band_drift(old: DataFrame, new: DataFrame, band: int = 500, n_bins: int = 10) -> DataFrame:
     """Distribution drift between two corpus snapshots, binned by text
     length — the cheap canary a recurring-crawl pipeline watches to catch
