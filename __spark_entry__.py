@@ -2095,8 +2095,11 @@ def q_crawl_sniff_mime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte MIME sniffing (operators/extract.sniff_content_type):
     payloads carry real magic prefixes (PNG/GIF/PDF/JPEG/ZIP) or an HTML
     tag chosen by doc_id % 6, while the CLAIMED content type cycles on
-    doc_id % 3 — so claims and payloads disagree on a predictable subset.
-    The oracle predicts sniffed type and mismatch arithmetically."""
+    (doc_id div 6) % 3 — INDEPENDENT of the payload family (doc_id % 3
+    would be correlated: d % 3 == (d % 6) % 3, making every row a
+    mismatch and leaving the agree branch unverified) — so both
+    type_mismatch values occur. The oracle predicts sniffed type and
+    mismatch arithmetically."""
     from webcrawler_woc_spark.operators.extract import sniff_content_type
 
     d = F.col("doc_id")
@@ -2108,9 +2111,10 @@ def q_crawl_sniff_mime(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d % 6 == 4, F.unhex(F.lit("504B0304")))
         .otherwise(F.encode(F.lit("<html><body>"), "UTF-8"))
     )
+    c = F.expr("(doc_id div 6) % 3")
     claimed = (
-        F.when(d % 3 == 0, F.lit("text/html; charset=utf-8"))
-        .when(d % 3 == 1, F.lit("application/pdf"))
+        F.when(c == 0, F.lit("text/html; charset=utf-8"))
+        .when(c == 1, F.lit("application/pdf"))
         .otherwise(F.lit("image/png"))
     )
     pages = _docs(spark, sf_dir).select(
@@ -2370,7 +2374,7 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         "crawl_sniff_mime": """
-            WITH u AS (SELECT doc_id, doc_id % 6 AS m, doc_id % 3 AS c FROM documents)
+            WITH u AS (SELECT doc_id, doc_id % 6 AS m, (doc_id // 6) % 3 AS c FROM documents)
             SELECT doc_id,
                 CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
                        WHEN 2 THEN 'application/pdf' WHEN 3 THEN 'image/jpeg'

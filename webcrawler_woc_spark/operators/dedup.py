@@ -336,21 +336,34 @@ def containment_pairs(
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
     joined = common.join(sa, "doc_a").join(sb, "doc_b")
     numer, denom = int(round(threshold * 1000)), 1000
-    fwd = joined.filter(F.col("n_common") * denom >= numer * F.col("size_a")).select(
-        F.col("doc_a").alias("inner_doc"),
-        F.col("doc_b").alias("outer_doc"),
-        "n_common",
-        F.col("size_a").alias("size_inner"),
-        F.col("size_b").alias("size_outer"),
+    fwd_ok = F.col("n_common") * denom >= numer * F.col("size_a")
+    rev_ok = F.col("n_common") * denom >= numer * F.col("size_b")
+    # ONE plan, not a union of two (a union would re-run the quadratic
+    # shingle join + aggs per branch): filter to rows passing either
+    # direction, then explode the passing direction structs row-side
+    dirs = F.array(
+        F.struct(
+            F.col("doc_a").alias("inner_doc"),
+            F.col("doc_b").alias("outer_doc"),
+            F.col("n_common").alias("n_common"),
+            F.col("size_a").alias("size_inner"),
+            F.col("size_b").alias("size_outer"),
+            fwd_ok.alias("ok"),
+        ),
+        F.struct(
+            F.col("doc_b").alias("inner_doc"),
+            F.col("doc_a").alias("outer_doc"),
+            F.col("n_common").alias("n_common"),
+            F.col("size_b").alias("size_inner"),
+            F.col("size_a").alias("size_outer"),
+            rev_ok.alias("ok"),
+        ),
     )
-    rev = joined.filter(F.col("n_common") * denom >= numer * F.col("size_b")).select(
-        F.col("doc_b").alias("inner_doc"),
-        F.col("doc_a").alias("outer_doc"),
-        "n_common",
-        F.col("size_b").alias("size_inner"),
-        F.col("size_a").alias("size_outer"),
+    return (
+        joined.filter(fwd_ok | rev_ok)
+        .select(F.explode(F.filter(dirs, lambda s: s["ok"])).alias("_d"))
+        .select("_d.inner_doc", "_d.outer_doc", "_d.n_common", "_d.size_inner", "_d.size_outer")
     )
-    return fwd.unionByName(rev)
 
 
 def _minhash_perm(hash_col, i: int):

@@ -123,6 +123,8 @@ def sniff_content_type(pages: DataFrame, body_col: str = "html") -> DataFrame:
         F.lit("application/octet-stream")
     )
     claimed = F.trim(F.split(F.lower(F.col("content_type")), ";").getItem(0))
+    # null-safe: a missing Content-Type header (claimed NULL) cannot agree
+    # with anything — flag 1, never NULL (the column contract is 0/1)
     return pages.withColumn("sniffed_type", sniffed).withColumn(
-        "type_mismatch", (F.col("sniffed_type") != claimed).cast("int")
+        "type_mismatch", (~F.col("sniffed_type").eqNullSafe(claimed)).cast("int")
     )

@@ -72,7 +72,13 @@ def pagerank_incremental(
 
     ``nodes`` must cover new and old doc_ids; nodes with no prior score
     (newly discovered this wave) seed at 10^6 ppm, the same value a cold
-    start gives every node. prior_ranks joins once on doc_id."""
+    start gives every node. prior_ranks joins once on doc_id.
+
+    Edge-SET precondition: edges/new_edges are treated as sets — the union
+    is distinct'd so a delta re-reporting an existing edge can't double its
+    contribution. pagerank_int does NOT distinct (doc_edges already does),
+    so the empty-delta identity above holds for set-valued edge input
+    (every producer in this repo); multi-edge input would diverge."""
     all_edges = edges.select("src", "dst").unionByName(
         new_edges.select("src", "dst")
     ).distinct()

@@ -45,6 +45,20 @@ def robots_url_of(seed_url: str) -> str:
     return authority + "/robots.txt" + qf
 
 
+def _unescape_entities(col):
+    """The five predefined XML entities, single-pass decode — &amp; LAST so
+    sequences like &amp;lt; decode once, not twice (sitemaps.org requires
+    entity-escaped URLs). THE one entity table: _xml_loc_blob,
+    parse_xml_sitemap and parse_sitemap_entries all decode through here."""
+    out = col
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
 def _xml_loc_blob():
     """The <loc> entries of the ``body`` column as one newline-joined,
     entity-unescaped text blob — the EXACT input shape of the text/plain
@@ -55,12 +69,7 @@ def _xml_loc_blob():
     blob = F.array_join(
         F.expr(r"regexp_extract_all(body, '<loc>\\s*([^<]+?)\\s*</loc>', 1)"), "\n"
     )
-    for ent, ch in (
-        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
-        ("&amp;", "&"),
-    ):
-        blob = F.replace(blob, F.lit(ent), F.lit(ch))
-    return blob
+    return _unescape_entities(blob)
 
 
 def sitemap_children(
@@ -152,15 +161,6 @@ def parse_xml_sitemap(sitemaps: DataFrame) -> DataFrame:
     regex stays inside whole-stage codegen at 100 TB."""
     locs = F.expr(r"regexp_extract_all(body, '<loc>\\s*([^<]+?)\\s*</loc>', 1)")
 
-    def unescape(col):
-        out = col
-        for ent, ch in (
-            ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
-            ("&amp;", "&"),  # last: &amp;lt; must become &lt;, not <
-        ):
-            out = F.replace(out, F.lit(ent), F.lit(ch))
-        return out
-
     return (
         sitemaps.select(
             "sitemap_url",
@@ -170,7 +170,7 @@ def parse_xml_sitemap(sitemaps: DataFrame) -> DataFrame:
         .select(
             "sitemap_url",
             F.col("idx").cast("int").alias("idx"),
-            unescape(F.col("loc")).alias("url"),
+            _unescape_entities(F.col("loc")).alias("url"),
             "is_index",
         )
     )
@@ -206,21 +206,12 @@ def parse_sitemap_entries(sitemaps: DataFrame) -> DataFrame:
         ex = F.regexp_extract(F.col("_blk"), rf"<{tag}>\s*([^<]+?)\s*</{tag}>", 1)
         return F.when(ex == "", F.lit(None)).otherwise(ex)
 
-    def unescape(col):
-        out = col
-        for ent, ch in (
-            ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
-            ("&amp;", "&"),  # last — single decode
-        ):
-            out = F.replace(out, F.lit(ent), F.lit(ch))
-        return out
-
     return sitemaps.select(
         "sitemap_url", F.posexplode(blocks).alias("idx", "_blk")
     ).select(
         "sitemap_url",
         F.col("idx").cast("int").alias("idx"),
-        unescape(child("loc")).alias("url"),
+        _unescape_entities(child("loc")).alias("url"),
         child("lastmod").alias("lastmod"),
         child("changefreq").alias("changefreq"),
         # decimal (not float) math: 0.8 * 1e6 is exact in both engines

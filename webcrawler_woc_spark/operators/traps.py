@@ -58,9 +58,13 @@ def url_trap_flags(
     (paths are short) and it stays a scan-side expression; a NULL/hostless
     url yields zeros (never NULL flags)."""
     path = F.regexp_extract(F.col("url"), r"^https?://[^/?#]+([^?#]*)", 1)
+    # strip the fragment BEFORE locating '?': a '#frag?x' url has no real
+    # query (phantom params otherwise), and 'p?a=1#f' must not fold the
+    # fragment into the last param value
+    nofrag = F.substring_index(F.col("url"), "#", 1)
     query = F.when(
-        F.col("url").contains("?"),
-        F.substr(F.col("url"), F.locate("?", F.col("url")) + F.lit(1)),
+        nofrag.contains("?"),
+        F.substr(nofrag, F.locate("?", nofrag) + F.lit(1)),
     ).otherwise(F.lit(""))
     sess_re = "^(" + "|".join(SESSION_PARAMS) + ")="
     out = (
