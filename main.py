@@ -95,6 +95,12 @@ def main(argv: list[str] | None = None) -> int:
         help="enforce robots.txt Disallow rules on the frontier",
     )
     ap.add_argument(
+        "--trap-filter", action="store_true",
+        help="drop crawler-trap URLs (segment loops, calendar lattices, "
+             "session-id params, param explosions, over-deep paths) from "
+             "the frontier before scheduling",
+    )
+    ap.add_argument(
         "-v", "--verbose", action="store_true",
         help="tee the crawled links to stdout (reference cli.rs:260-266)",
     )
@@ -197,6 +203,7 @@ def main(argv: list[str] | None = None) -> int:
         host_budget=args.host_budget,
         timeout_ms=int(args.timeout * 1000) if args.timeout else None,
         respect_disallow=args.respect_disallow,
+        trap_filter=args.trap_filter,
         n_buckets=args.n_buckets,
         use_bloom=not args.no_bloom,
         seen_filter=args.seen_filter,

@@ -285,6 +285,54 @@ class TestRobotsDisallow:
         assert "http://h0.example/page/2" in engine
 
 
+class TestTrapFilter:
+    """Opt-in crawler-trap gate: a linked trap URL (repeated path segments)
+    must never be scheduled when trap_filter=True, and the subtree behind
+    it stays unreached; default off crawls it (reference parity)."""
+
+    @pytest.fixture(scope="class")
+    def tiny(self, spark):
+        def page(body):
+            return f"<html><body>{body}</body></html>".encode()
+
+        pages_dict = {
+            "http://h0.example/page/0": page(
+                '<a href="/a/a/a/loop">t</a><a href="/page/1">a</a>'
+            ),
+            "http://h0.example/page/1": page("leaf"),
+            "http://h0.example/a/a/a/loop": page('<a href="/page/2">deep</a>'),
+            "http://h0.example/page/2": page("reachable only via the trap"),
+        }
+        rows = [(u, b, b.decode()) for u, b in pages_dict.items()]
+        pages = spark.createDataFrame(rows, "url string, html binary, text string")
+        return pages
+
+    def _run(self, spark, pages, tmp, trap_filter):
+        from pyspark.sql import functions as F
+
+        ct_expr = lambda url: F.lit("text/html")
+        cfg = CrawlConfig(
+            whitelist=["h0.example"], depth=3, trap_filter=trap_filter, use_bloom=True
+        )
+        wh = Warehouse(spark, tmp, n_buckets=4)
+        crawl(spark, wh, pages, [("http://h0.example/page/0", 1.0)], cfg,
+              content_type_expr=ct_expr)
+        return {r["url"] for r in read_seen(wh).collect()}
+
+    def test_trap_subtree_never_scheduled(self, spark, tiny):
+        with tempfile.TemporaryDirectory() as tmp:
+            seen = self._run(spark, tiny, tmp, trap_filter=True)
+        assert "http://h0.example/a/a/a/loop" not in seen
+        assert "http://h0.example/page/2" not in seen  # only linked via the trap
+        assert "http://h0.example/page/1" in seen  # clean sibling unaffected
+
+    def test_default_off_crawls_the_trap(self, spark, tiny):
+        with tempfile.TemporaryDirectory() as tmp:
+            seen = self._run(spark, tiny, tmp, trap_filter=False)
+        assert "http://h0.example/a/a/a/loop" in seen
+        assert "http://h0.example/page/2" in seen
+
+
 class TestBroadcastFallbackEquivalence:
     def test_shuffle_fallback_crawl_matches_broadcast_crawl(
         self, spark, pages, monkeypatch, tmp_path

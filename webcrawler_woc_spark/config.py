@@ -71,6 +71,11 @@ class CrawlConfig:
     # a disallowed prefix for their host are never scheduled (north-rule
     # politeness extension; the reference ignores Disallow entirely)
     respect_disallow: bool = False
+    # opt-in crawler-trap gate: frontier URLs flagged by
+    # operators/traps.url_trap_flags (segment loops, calendar lattices,
+    # session-id params, param explosions, over-deep paths) are dropped
+    # before scheduling/fetch; default off preserves reference parity
+    trap_filter: bool = False
     # opt-in: no-depth mode's wave-0 sitemap discovery also parses XML
     # sitemaps (urlset + one-level sitemapindex recursion) — the real-web
     # format; default off preserves reference parity (text/plain only,

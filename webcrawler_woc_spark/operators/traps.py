@@ -127,3 +127,18 @@ def host_trap_stats(frontier: DataFrame, **thresholds) -> DataFrame:
         )
         .withColumn("trap_ratio_ppm", F.expr(f"(n_traps * {PPM}) div n_urls"))
     )
+
+
+def filter_traps(frontier: DataFrame, **thresholds) -> DataFrame:
+    """Frontier rows whose URL is NOT a trap, original columns preserved —
+    the wave-side gate (CrawlConfig.trap_filter / CLI --trap-filter): trap
+    URLs are dropped BEFORE scheduling, the seen-filter probe and the
+    fetch, so an infinite subtree costs nothing past this projection.
+    Same scan-only shape as url_trap_flags; opt-in, default off (the
+    reference has no trap notion — parity first)."""
+    flagged = url_trap_flags(frontier, **thresholds)
+    added = [
+        "path_depth", "max_seg_repeat", "n_date_segs", "n_params",
+        "has_session_param", "is_trap",
+    ]
+    return flagged.filter(F.col("is_trap") == 0).drop(*added)

@@ -79,6 +79,14 @@ def run_wave(
 
         frontier = filter_disallowed(frontier, disallow)
 
+    # -- crawler-trap gate (opt-in; scan-only projection, so trap subtrees
+    # cost nothing past this point — not a schedule slot, not a seen-filter
+    # probe, not a fetch) ----------------------------------------------------
+    if cfg.trap_filter:
+        from ..operators.traps import filter_traps
+
+        frontier = filter_traps(frontier)
+
     # -- politeness schedule (defines deterministic crawl order) ------------
     scheduled, deferred = schedule_wave(frontier, robots, cfg.host_budget)
     scheduled = scheduled.cache()  # reused: fetch, seen-update, anti-join
