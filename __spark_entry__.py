@@ -538,6 +538,21 @@ def q_graph_pagerank_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_incremental(nodes, base, delta, prior, iterations=2)
 
 
+def q_graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer TrustRank (operators/graph.trustrank_int): trust propagates
+    from the deterministic seed set doc_id % 17 == 0 through the extracted
+    doc link graph for 3 rounds — teleport mass lands only on seeds, so
+    pages unreachable from them score 0. Chained-CTE oracle with the same
+    seed-conditional terms."""
+    from webcrawler_woc_spark.operators.graph import doc_edges, trustrank_int
+
+    children = extract_child_links(_gated(spark, sf_dir)).select("parent_url", "url")
+    edges = doc_edges(children)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    seeds = docs.filter(F.col("doc_id") % 17 == 0)
+    return trustrank_int(docs, edges, seeds, iterations=3)
+
+
 def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer HITS hubs & authorities (2 rounds, ppm, L-inf normalization)
     over the extracted doc link graph — the complement of PageRank for
@@ -2174,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_sitemap_lastmod": q_crawl_sitemap_lastmod,
         "graph_pagerank_incr": q_graph_pagerank_incr,
         "text_term_drift": q_text_term_drift,
+        "graph_trustrank": q_graph_trustrank,
         # --- new in round 5 ---
         "crawl_sharded_seen": q_crawl_sharded_seen,
         "dedup_editdistance": q_dedup_editdistance,
@@ -3020,6 +3036,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_sql(3),
         "graph_pagerank_incr": _pagerank_incr_sql(3, 2),
+        "graph_trustrank": _trustrank_sql(3),
         "graph_components": _components_sql(5),
         "graph_hits": _hits_sql(2),
         "rel_sessionize": """
@@ -4341,6 +4358,38 @@ def _pagerank_sql(iters: int = 3) -> str:
     for i in range(iters):
         ctes.append(_pr_round_cte(f"r{i + 1}", f"r{i}", "edges", "deg"))
     return "WITH " + ",".join(ctes) + f"\nSELECT doc_id, rank_ppm FROM r{iters}"
+
+
+def _trustrank_sql(iters: int = 3) -> str:
+    """Chained-CTE integer TrustRank mirroring operators/graph.trustrank_int:
+    pagerank arithmetic with the teleport term conditional on seed
+    membership (doc_id % 17 == 0, matching the gate query)."""
+    from webcrawler_woc_spark.sources.corpus import ORACLE_OUTLINKS_CTE
+
+    ctes = [
+        ORACLE_OUTLINKS_CTE,
+        _EDGES_CTE,
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        """t0 AS (
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN 1000000 ELSE 0 END AS BIGINT)
+               AS rank_ppm
+    FROM documents
+)""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""
+t{i + 1} AS (
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.doc_id % 17 = 0 THEN 150000 ELSE 0 END
+                + (85 * coalesce(inflow.s, 0)) // 100 AS BIGINT) AS rank_ppm
+    FROM documents d LEFT JOIN (
+        SELECT e.dst, sum(r.rank_ppm // g.deg) AS s
+        FROM edges e JOIN deg g USING (src) JOIN t{i} r ON r.doc_id = e.src
+        GROUP BY e.dst
+    ) inflow ON inflow.dst = d.doc_id
+)""")
+    return "WITH " + ",".join(ctes) + f"\nSELECT doc_id, rank_ppm AS trust_ppm FROM t{iters}"
 
 
 def _pagerank_incr_sql(prior_iters: int = 3, incr_iters: int = 2) -> str:

@@ -258,3 +258,41 @@ class TestPagerankIncremental:
             for r in pagerank_incremental(nodes, edges, edges, prior, 1).collect()
         }
         assert got[1] == 150_000 + (85 * 150_000) // 100  # deg(0) stays 1
+
+
+class TestTrustrankInt:
+    def test_trust_flows_only_from_seeds(self, spark):
+        """Chain 0 -> 1 -> 2 with seed {0}: hand-computed two rounds. A spam
+        node (3) that self-promotes via 4 -> 3 stays at 0 — the TrustRank
+        property: interlinking without a trusted path buys nothing."""
+        from webcrawler_woc_spark.operators.graph import trustrank_int
+
+        nodes, edges = _g(spark, 5, [(0, 1), (1, 2), (4, 3), (3, 4)])
+        seeds = spark.createDataFrame([(0,)], "doc_id long")
+        got = {
+            r.doc_id: r.trust_ppm
+            for r in trustrank_int(nodes, edges, seeds, iterations=2).collect()
+        }
+        # t0 = [1e6, 0, 0, 0, 0]
+        # round 1: t(0)=150000; t(1)=85%*1e6=850000; others 0
+        # round 2: t(0)=150000; t(1)=85%*150000=127500; t(2)=85%*850000=722500
+        assert got[0] == 150_000
+        assert got[1] == (85 * 150_000) // 100
+        assert got[2] == (85 * 850_000) // 100
+        assert got[3] == 0 and got[4] == 0  # spam ring: no trusted path
+
+    def test_equals_pagerank_when_everyone_is_a_seed(self, spark):
+        """With seeds == nodes the teleport term is unconditional — TrustRank
+        degenerates to pagerank_int exactly."""
+        from webcrawler_woc_spark.operators.graph import pagerank_int, trustrank_int
+
+        nodes, edges = _g(spark, 4, [(0, 1), (1, 2), (2, 0), (3, 1)])
+        tr = {
+            r.doc_id: r.trust_ppm
+            for r in trustrank_int(nodes, edges, nodes, iterations=3).collect()
+        }
+        pr = {
+            r.doc_id: r.rank_ppm
+            for r in pagerank_int(nodes, edges, iterations=3).collect()
+        }
+        assert tr == pr

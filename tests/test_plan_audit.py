@@ -40,6 +40,10 @@ SMJ_OK = {
     # docs ⋈ fingerprint-counts on fp + ⋈ quality on doc_id: all sides
     # corpus-sized (the dedup_exact shape); domain-keyed aggs after are tiny
     "crawl_domain_quality",
+    # FULL OUTER over the two per-snapshot term-count tables: full outer
+    # cannot broadcast-hash, and both sides are vocabulary-sized aggregates
+    # (never the corpora) — SMJ is the right plan
+    "text_term_drift",
 }
 # BNLJ allowlist: the exact cosine baseline broadcasts the tiny query set
 # into a crossJoin by design; IVF broadcasts the tiny centroid table into

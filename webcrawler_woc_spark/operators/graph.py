@@ -92,6 +92,58 @@ def pagerank_incremental(
     return _pagerank_rounds(nodes, all_edges, seed, iterations)
 
 
+def trustrank_int(
+    nodes: DataFrame, edges: DataFrame, seeds: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """Integer TrustRank (Gyöngyi/Garcia-Molina/Pedersen 2004) — trust
+    propagates FROM a hand-vetted seed set through out-links, so spam farms
+    (rarely linked from trusted pages) score near zero however much they
+    interlink: the standard spam-demotion complement to PageRank for crawl
+    prioritization and corpus filtering. Same arithmetic as pagerank_int
+    with one change — the teleport term lands ONLY on seeds:
+
+        trust_0(v)     = 10^6 if v in seeds else 0
+        trust_{i+1}(v) = (150000 if v in seeds else 0)
+                         + (85 * Σ_{u->v} trust_i(u) div deg(u)) div 100
+
+    Output (doc_id, trust_ppm). Order-independent integer math, so the
+    chained-CTE oracle is value-exact. Scale shape identical to
+    pagerank_int (edge ⋈ trust join per round, lineage cut per round);
+    ``seeds`` is a (doc_id) frame, vetted-seed-set sized — broadcast into
+    the teleport term, never shuffled with the graph."""
+    is_seed = F.col("_seed").isNotNull()
+    seed_marked = nodes.join(
+        F.broadcast(seeds.select(F.col("doc_id"), F.lit(1).alias("_seed"))),
+        "doc_id",
+        "left",
+    )
+    trust = seed_marked.select(
+        "doc_id",
+        F.when(is_seed, F.lit(PPM)).otherwise(F.lit(0)).cast("bigint").alias("rank_ppm"),
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(deg, "src")
+            .join(trust, edges["src"] == trust["doc_id"])
+            .select(F.col("dst"), F.expr("rank_ppm div deg").alias("c"))
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        trust = (
+            seed_marked.join(inflow, seed_marked["doc_id"] == inflow["dst"], "left")
+            .withColumn("s", F.coalesce(F.col("s"), F.lit(0).cast("bigint")))
+            .select(
+                "doc_id",
+                (
+                    F.when(is_seed, F.lit(150_000)).otherwise(F.lit(0)).cast("bigint")
+                    + F.expr("(85 * s) div 100")
+                ).alias("rank_ppm"),
+            )
+            .localCheckpoint()  # see _pagerank_rounds: truncate lineage per round
+        )
+    return trust.select("doc_id", F.col("rank_ppm").alias("trust_ppm"))
+
+
 def _pagerank_rounds(
     nodes: DataFrame, edges: DataFrame, ranks: DataFrame, iterations: int
 ) -> DataFrame:
