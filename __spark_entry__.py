@@ -2167,6 +2167,92 @@ def q_crawl_sitemap_lastmod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_sitemap_entries(sm)
 
 
+def q_crawl_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC `response` record roundtrip (sources/warc.warc_response_record /
+    parse_warc_response_bundles) — the full-fidelity Common-Crawl capture
+    form WET only extracts from: HTTP status line + headers + raw body
+    bytes inside the WARC envelope. Status cycles doc_id % 4 over
+    200/301/404/500, Content-Type over doc_id % 3; serialize -> byte-capped
+    bundles -> parse must reproduce every field, oracle-predicted
+    arithmetically. Any framing bug (double Content-Length nesting, CRLF
+    placement, reason phrase drift) breaks the match."""
+    from webcrawler_woc_spark.sources.warc import (
+        parse_warc_response_bundles,
+        warc_response_bundle,
+    )
+
+    d = F.col("doc_id")
+    status = (
+        F.when(d % 4 == 0, F.lit(200))
+        .when(d % 4 == 1, F.lit(301))
+        .when(d % 4 == 2, F.lit(404))
+        .otherwise(F.lit(500))
+        .cast("int")
+    )
+    ct = (
+        F.when(d % 3 == 0, F.lit("text/html; charset=utf-8"))
+        .when(d % 3 == 1, F.lit("application/pdf"))
+        .otherwise(F.lit("text/plain"))
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("http://host"), (d % 10).cast("string"),
+            F.lit(".example/page/"), d.cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000).cast("bigint") + d).alias("warc_ts"),
+        status.alias("http_status"),
+        ct.alias("http_content_type"),
+        F.encode(F.col("text"), "utf-8").alias("body"),
+    )
+    host = F.regexp_extract(F.col("url"), r"^http://([^/]+)/", 1)
+    parsed = parse_warc_response_bundles(
+        warc_response_bundle(pages, host, max_bundle_bytes=8192)
+    )
+    return parsed.select(
+        "url", "warc_epoch", "http_status", "http_content_type",
+        F.decode(F.col("body"), "utf-8").alias("text"),
+    )
+
+
+def q_crawl_sitemap_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-driven recrawl staleness — the composition
+    parse_sitemap_entries exists for: each page's sitemap <lastmod> is
+    joined against its last capture date and needs_refetch = lastmod >
+    capture (ISO dates compare lexicographically == chronologically in
+    both engines). The p-entries of the crawl_sitemap_lastmod bodies carry
+    lastmod month 1 + d % 9; captures are synthesized at month 1 + d % 5 —
+    so both staleness outcomes occur, predicted arithmetically by the
+    oracle."""
+    from webcrawler_woc_spark.operators.sitemaps import parse_sitemap_entries
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    hs = (d % 10).cast("string")
+    url = F.concat(F.lit("http://h"), hs, F.lit(".example/p"), ds)
+    body = F.concat(
+        F.lit("<urlset><url><loc>"), url, F.lit("</loc><lastmod>2024-0"),
+        (d % 9 + 1).cast("string"), F.lit("-15</lastmod></url></urlset>"),
+    )
+    docs = _docs(spark, sf_dir)
+    entries = parse_sitemap_entries(
+        docs.select(
+            F.concat(F.lit("sm://host"), hs).alias("sitemap_url"), body.alias("body")
+        )
+    ).select("url", "lastmod")
+    captures = docs.select(
+        url.alias("url"),
+        F.concat(F.lit("2024-0"), (d % 5 + 1).cast("string"), F.lit("-15")).alias(
+            "last_capture"
+        ),
+    )
+    return entries.join(captures, "url").select(
+        "url",
+        "lastmod",
+        "last_capture",
+        (F.col("lastmod") > F.col("last_capture")).cast("int").alias("needs_refetch"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -2190,6 +2276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_incr": q_graph_pagerank_incr,
         "text_term_drift": q_text_term_drift,
         "graph_trustrank": q_graph_trustrank,
+        "crawl_sitemap_stale": q_crawl_sitemap_stale,
+        "crawl_warc_roundtrip": q_crawl_warc_roundtrip,
         # --- new in round 5 ---
         "crawl_sharded_seen": q_crawl_sharded_seen,
         "dedup_editdistance": q_dedup_editdistance,
@@ -2444,6 +2532,25 @@ def oracle_sql() -> dict[str, str]:
                    'http://h' || h || '.example/q' || doc_id,
                    CAST(NULL AS VARCHAR), 'daily', CAST(NULL AS INT)
             FROM d
+        """,
+        "crawl_warc_roundtrip": """
+            SELECT 'http://host' || (doc_id % 10) || '.example/page/' || doc_id AS url,
+                   CAST(1700000000 + doc_id AS BIGINT) AS warc_epoch,
+                   CAST(CASE doc_id % 4 WHEN 0 THEN 200 WHEN 1 THEN 301
+                        WHEN 2 THEN 404 ELSE 500 END AS INT) AS http_status,
+                   CASE doc_id % 3 WHEN 0 THEN 'text/html; charset=utf-8'
+                        WHEN 1 THEN 'application/pdf'
+                        ELSE 'text/plain' END AS http_content_type,
+                   text
+            FROM documents
+        """,
+        "crawl_sitemap_stale": """
+            SELECT 'http://h' || (doc_id % 10) || '.example/p' || doc_id AS url,
+                   '2024-0' || (doc_id % 9 + 1) || '-15' AS lastmod,
+                   '2024-0' || (doc_id % 5 + 1) || '-15' AS last_capture,
+                   CAST(CASE WHEN doc_id % 9 + 1 > doc_id % 5 + 1
+                             THEN 1 ELSE 0 END AS INT) AS needs_refetch
+            FROM documents
         """,
         "crawl_wave1_frontier": f"""
             {_crawl_cte()}

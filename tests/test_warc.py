@@ -104,3 +104,55 @@ class TestWetRoundtrip:
         parsed = {r.url: (r.warc_epoch, r.text) for r in parse_wet_bundles(bundles).collect()}
         assert parsed["http://h0.example/evil"] == (42, evil)
         assert parsed["http://h0.example/z"] == (43, "tail")
+
+
+class TestWarcResponse:
+    def _pages(self, spark, rows):
+        import datetime
+
+        data = [
+            (u, datetime.datetime.utcfromtimestamp(e), s, ct, body)
+            for u, e, s, ct, body in rows
+        ]
+        return spark.createDataFrame(
+            data,
+            "url string, warc_ts timestamp, http_status int,"
+            " http_content_type string, body binary",
+        )
+
+    def test_roundtrip_binary_exact_with_evil_bytes(self, spark):
+        """Raw body BYTES must survive: non-UTF8 magic bytes AND an embedded
+        CRLFCRLF (both the outer WARC framing and the inner HTTP split are
+        length/first-occurrence bounded, never payload-content-sensitive)."""
+        from webcrawler_woc_spark.sources.warc import (
+            parse_warc_response_bundles,
+            warc_response_bundle,
+        )
+
+        png = bytes.fromhex("89504E470D0A1A0A") + b"\x00\x01\r\n\r\nHTTP/1.1 999\xff"
+        rows = [
+            ("http://h0.example/img", 42, 200, "image/png", png),
+            ("http://h0.example/gone", 43, 404, "text/html", b"not found"),
+            ("http://h0.example/weird", 44, 418, "text/plain", b""),  # non-canonical code, empty body
+        ]
+        bundles = warc_response_bundle(self._pages(spark, rows), F.lit("k"))
+        got = {
+            r.url: (r.warc_epoch, r.http_status, r.http_content_type, bytes(r.body))
+            for r in parse_warc_response_bundles(bundles).collect()
+        }
+        assert got["http://h0.example/img"] == (42, 200, "image/png", png)
+        assert got["http://h0.example/gone"] == (43, 404, "text/html", b"not found")
+        assert got["http://h0.example/weird"] == (44, 418, "text/plain", b"")
+
+    def test_byte_budget_splits_blobs(self, spark):
+        from webcrawler_woc_spark.sources.warc import warc_response_bundle
+
+        rows = [
+            (f"http://h0.example/{i}", i, 200, "text/html", b"x" * 300)
+            for i in range(6)
+        ]
+        got = warc_response_bundle(
+            self._pages(spark, rows), F.lit("k"), max_bundle_bytes=1000
+        ).collect()
+        assert len(got) > 1  # budget forces multiple blobs
+        assert sum(r.n_records for r in got) == 6

@@ -75,6 +75,13 @@ def wet_bundle(
     blob per key (bundle_seq = 0) for small exports."""
     rec = wet_record(F.col("url"), F.unix_timestamp("warc_ts"), F.col("text"))
     per_page = pages.select(bundle_key.alias("bundle_key"), F.col("url"), rec.alias("rec"))
+    return _bundle_blobs(per_page, max_bundle_bytes)
+
+
+def _bundle_blobs(per_page: DataFrame, max_bundle_bytes: int | None) -> DataFrame:
+    """Shared blob assembly for any self-framing record column: wet_bundle
+    (conversion records) and warc_response_bundle (response records) differ
+    only in how ``rec`` is serialized. Input (bundle_key, url, rec)."""
     if max_bundle_bytes is None:
         keyed = per_page.withColumn("bundle_seq", F.lit(0).cast("int"))
     else:
@@ -146,3 +153,128 @@ def parse_wet_bundles(bundles: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["url", "warc_epoch", "text"])
 
     return bundles.select("wet").mapInPandas(gen, schema=WET_SCHEMA)
+
+
+# --- WARC `response` records: the full-fidelity Common-Crawl capture form --
+# (WET carries extracted text only; the .warc.gz files Common Crawl actually
+# archives are HTTP response records — status line + response headers + raw
+# body bytes inside the WARC envelope, ISO 28500 §6.3 + RFC 2616 framing).
+
+WARC_HTTP_SCHEMA = (
+    "url string, warc_epoch bigint, http_status int,"
+    " http_content_type string, body binary"
+)
+
+_HTTP_REASONS = (
+    (200, "OK"),
+    (301, "Moved Permanently"),
+    (404, "Not Found"),
+    (500, "Internal Server Error"),
+)
+
+
+def warc_response_record(
+    url: Column, epoch: Column, status: Column, http_content_type: Column, body: Column
+) -> Column:
+    """One WARC 1.0 `response` record as a binary column — the HTTP message
+    (status line, Content-Type, octet-exact Content-Length, blank line, raw
+    body BYTES — binary, never decoded) wrapped in the WARC envelope whose
+    own Content-Length counts the whole HTTP block. Pure Catalyst binary
+    concat, same zero-Python serialize path as wet_record."""
+    reason = None
+    for code, word in _HTTP_REASONS:
+        cond = status == code
+        reason = F.when(cond, F.lit(word)) if reason is None else reason.when(cond, F.lit(word))
+    reason = reason.otherwise(F.lit("Status"))
+    http_head = F.concat(
+        F.lit("HTTP/1.1 "), status.cast("string"), F.lit(" "), reason, F.lit(_CRLF),
+        F.lit("Content-Type: "), http_content_type, F.lit(_CRLF),
+        F.lit("Content-Length: "), F.octet_length(body).cast("string"),
+        F.lit(_CRLF + _CRLF),
+    )
+    http_block = F.concat(F.encode(http_head, "utf-8"), body)
+    header = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: response" + _CRLF),
+        F.lit("WARC-Target-URI: "), url, F.lit(_CRLF),
+        F.lit("WARC-Date: "),
+        F.date_format(F.timestamp_seconds(epoch), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit(_CRLF),
+        F.lit("Content-Type: application/http; msgtype=response" + _CRLF),
+        F.lit("Content-Length: "), F.octet_length(http_block).cast("string"),
+        F.lit(_CRLF + _CRLF),
+    )
+    return F.concat(
+        F.encode(header, "utf-8"), http_block, F.encode(F.lit(_CRLF + _CRLF), "utf-8")
+    )
+
+
+def warc_response_bundle(
+    pages: DataFrame, bundle_key: Column, max_bundle_bytes: int | None = None
+) -> DataFrame:
+    """Bundle (url, warc_ts, http_status, http_content_type, body) rows into
+    WARC-file blobs — wet_bundle's exact shape (deterministic url-ASC in-blob
+    order, byte-budget salting against hot-host OOM) over response records."""
+    rec = warc_response_record(
+        F.col("url"),
+        F.unix_timestamp("warc_ts"),
+        F.col("http_status"),
+        F.col("http_content_type"),
+        F.col("body"),
+    )
+    per_page = pages.select(bundle_key.alias("bundle_key"), F.col("url"), rec.alias("rec"))
+    return _bundle_blobs(per_page, max_bundle_bytes)
+
+
+def _parse_response_blob(blob: bytes) -> list[tuple[str, int, int, str, bytes]]:
+    """Length-framed WARC response scanner: outer WARC framing exactly like
+    _parse_blob, then the HTTP block splits at ITS first CRLFCRLF — body
+    bytes are everything after (outer Content-Length bounds the payload, so
+    a body containing CRLFCRLF can never confuse the framing)."""
+    from datetime import datetime, timezone
+
+    out = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        head_end = blob.index(b"\r\n\r\n", pos)
+        headers = {}
+        for line in blob[pos:head_end].decode("utf-8").split(_CRLF)[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip()] = v.strip()
+        length = int(headers["Content-Length"])
+        payload = blob[head_end + 4 : head_end + 4 + length]
+        ts = datetime.strptime(headers["WARC-Date"], "%Y-%m-%dT%H:%M:%SZ")
+        epoch = int(ts.replace(tzinfo=timezone.utc).timestamp())
+        ihead_end = payload.index(b"\r\n\r\n")
+        http_lines = payload[:ihead_end].decode("utf-8").split(_CRLF)
+        status = int(http_lines[0].split(" ")[1])
+        http_headers = {}
+        for line in http_lines[1:]:
+            k, _, v = line.partition(":")
+            http_headers[k.strip().lower()] = v.strip()
+        body = payload[ihead_end + 4 :]
+        out.append(
+            (headers["WARC-Target-URI"], epoch, status,
+             http_headers.get("content-type", ""), body)
+        )
+        pos = head_end + 4 + length + 4
+    return out
+
+
+def parse_warc_response_bundles(bundles: DataFrame) -> DataFrame:
+    """WARC response blobs -> (url, warc_epoch, http_status,
+    http_content_type, body), one row per record — the mapInPandas
+    batch-streaming twin of parse_wet_bundles."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for blob in pdf["wet"]:
+                rows.extend(_parse_response_blob(bytes(blob)))
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "warc_epoch", "http_status", "http_content_type", "body"],
+            )
+
+    return bundles.select("wet").mapInPandas(gen, schema=WARC_HTTP_SCHEMA)
