@@ -538,6 +538,18 @@ def q_graph_pagerank_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_incremental(nodes, base, delta, prior, iterations=2)
 
 
+def q_graph_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-host link graph (operators/graph.host_link_graph) over the
+    extracted corpus links: (src_host, dst_host, n_links, n_src_pages).
+    The oracle recomputes both counts from the arithmetic outlink CTE —
+    src host from the page formula, dst host from the link formula,
+    mailto/tel rows (no host) dropped identically."""
+    from webcrawler_woc_spark.operators.graph import host_link_graph
+
+    children = extract_child_links(_gated(spark, sf_dir)).select("parent_url", "url")
+    return host_link_graph(children)
+
+
 def q_graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer TrustRank (operators/graph.trustrank_int): trust propagates
     from the deterministic seed set doc_id % 17 == 0 through the extracted
@@ -2278,6 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_trustrank": q_graph_trustrank,
         "crawl_sitemap_stale": q_crawl_sitemap_stale,
         "crawl_warc_roundtrip": q_crawl_warc_roundtrip,
+        "graph_host_edges": q_graph_host_edges,
         # --- new in round 5 ---
         "crawl_sharded_seen": q_crawl_sharded_seen,
         "dedup_editdistance": q_dedup_editdistance,
@@ -2532,6 +2545,16 @@ def oracle_sql() -> dict[str, str]:
                    'http://h' || h || '.example/q' || doc_id,
                    CAST(NULL AS VARCHAR), 'daily', CAST(NULL AS INT)
             FROM d
+        """,
+        "graph_host_edges": f"""
+            {_crawl_cte()}
+            SELECT 'host' || (o.doc_id % 10) || '.example' AS src_host,
+                   o.host AS dst_host,
+                   count(*) AS n_links,
+                   count(DISTINCT o.doc_id) AS n_src_pages
+            FROM outlinks o JOIN extractable e USING (doc_id)
+            WHERE o.host IS NOT NULL
+            GROUP BY 1, 2
         """,
         "crawl_warc_roundtrip": """
             SELECT 'http://host' || (doc_id % 10) || '.example/page/' || doc_id AS url,

@@ -296,3 +296,31 @@ class TestTrustrankInt:
             for r in pagerank_int(nodes, edges, iterations=3).collect()
         }
         assert tr == pr
+
+
+class TestHostLinkGraph:
+    def test_rollup_counts_and_self_drop(self, spark):
+        from webcrawler_woc_spark.operators.graph import host_link_graph
+
+        children = spark.createDataFrame(
+            [
+                ("http://a.example/p1", "http://b.example/x"),
+                ("http://a.example/p1", "http://b.example/y"),
+                ("http://a.example/p2", "http://b.example/x"),
+                ("http://a.example/p1", "http://a.example/nav"),  # self edge
+                ("http://a.example/p1", "mailto:u@b.example"),  # no dst host
+            ],
+            "parent_url string, url string",
+        )
+        got = {
+            (r.src_host, r.dst_host): (r.n_links, r.n_src_pages)
+            for r in host_link_graph(children).collect()
+        }
+        assert got[("a.example", "b.example")] == (3, 2)
+        assert got[("a.example", "a.example")] == (1, 1)
+        assert len(got) == 2  # mailto dropped
+        got2 = {
+            (r.src_host, r.dst_host)
+            for r in host_link_graph(children, drop_self=True).collect()
+        }
+        assert got2 == {("a.example", "b.example")}

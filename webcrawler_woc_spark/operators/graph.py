@@ -92,6 +92,33 @@ def pagerank_incremental(
     return _pagerank_rounds(nodes, all_edges, seed, iterations)
 
 
+def host_link_graph(children: DataFrame, drop_self: bool = False) -> DataFrame:
+    """Collapse the page-level link stream to the INTER-HOST graph:
+    (src_host, dst_host, n_links, n_src_pages) — the graph domain policy,
+    TrustRank seeding and spam-ring analysis actually run on at web scale
+    (the host graph is orders of magnitude smaller than the page graph, and
+    host-to-host link mass is the robust signal; per-page edges are what
+    spam farms fake cheaply). ``drop_self`` removes intra-host edges (site
+    navigation) to leave only the endorsement graph.
+
+    Input: extract_child_links output (parent_url, url) — already
+    page-level-deduped. One partial-agg'd groupBy on the host pair: hot
+    pairs (site-wide footers to one target) collapse map-side, shuffle rows
+    = distinct host pairs. Schemeless targets (mailto:/tel:) extract an
+    empty dst host and drop."""
+    src = F.lower(F.regexp_extract(F.col("parent_url"), r"^https?://([^/?#]+)", 1))
+    dst = F.lower(F.regexp_extract(F.col("url"), r"^https?://([^/?#]+)", 1))
+    g = children.select(
+        src.alias("src_host"), dst.alias("dst_host"), F.col("parent_url")
+    ).filter(F.col("dst_host") != "")
+    if drop_self:
+        g = g.filter(F.col("src_host") != F.col("dst_host"))
+    return g.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("parent_url").alias("n_src_pages"),
+    )
+
+
 def trustrank_int(
     nodes: DataFrame, edges: DataFrame, seeds: DataFrame, iterations: int = 3
 ) -> DataFrame:
