@@ -144,6 +144,31 @@ class TestWarcResponse:
         assert got["http://h0.example/gone"] == (43, 404, "text/html", b"not found")
         assert got["http://h0.example/weird"] == (44, 418, "text/plain", b"")
 
+    def test_null_optional_fields_cannot_poison_the_bundle(self, spark):
+        """A NULL body or NULL Content-Type (a real fetch with no header)
+        must serialize defensively — pre-fix, the concat null-propagated,
+        the bundle fold turned the WHOLE blob NULL, and every sibling
+        record died with it."""
+        from webcrawler_woc_spark.sources.warc import (
+            parse_warc_response_bundles,
+            warc_response_bundle,
+        )
+
+        rows = [
+            ("http://h0.example/noct", 1, 200, None, b"payload"),
+            ("http://h0.example/nobody", 2, 204, "text/html", None),
+            ("http://h0.example/ok", 3, 200, "text/html", b"fine"),
+        ]
+        bundles = warc_response_bundle(self._pages(spark, rows), F.lit("k"))
+        got = {
+            r.url: (r.http_status, r.http_content_type, bytes(r.body))
+            for r in parse_warc_response_bundles(bundles).collect()
+        }
+        assert len(got) == 3  # the sibling survived
+        assert got["http://h0.example/noct"] == (200, "", b"payload")
+        assert got["http://h0.example/nobody"] == (204, "text/html", b"")
+        assert got["http://h0.example/ok"] == (200, "text/html", b"fine")
+
     def test_byte_budget_splits_blobs(self, spark):
         from webcrawler_woc_spark.sources.warc import warc_response_bundle
 

@@ -102,10 +102,15 @@ def host_link_graph(children: DataFrame, drop_self: bool = False) -> DataFrame:
     navigation) to leave only the endorsement graph.
 
     Input: extract_child_links output (parent_url, url) — already
-    page-level-deduped. One partial-agg'd groupBy on the host pair: hot
-    pairs (site-wide footers to one target) collapse map-side, shuffle rows
-    = distinct host pairs. Schemeless targets (mailto:/tel:) extract an
-    empty dst host and drop."""
+    page-level-deduped. Cost honesty: the EXACT countDistinct(parent_url)
+    keys the partial aggregate on (src_host, dst_host, parent_url), so the
+    shuffle carries one row per distinct (host pair, source page) — NOT per
+    host pair; a site-wide footer linked from 10M pages shuffles ~10M rows.
+    n_links alone would collapse map-side to pair granularity; at 100 TB
+    swap countDistinct for approx_count_distinct (HLL sketches merge
+    map-side, restoring pair-bounded shuffle) — exact here because the
+    oracle gate demands value equality. Schemeless targets (mailto:/tel:)
+    extract an empty dst host and drop."""
     src = F.lower(F.regexp_extract(F.col("parent_url"), r"^https?://([^/?#]+)", 1))
     dst = F.lower(F.regexp_extract(F.col("url"), r"^https?://([^/?#]+)", 1))
     g = children.select(

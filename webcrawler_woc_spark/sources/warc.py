@@ -115,12 +115,13 @@ def _bundle_blobs(per_page: DataFrame, max_bundle_bytes: int | None) -> DataFram
     )
 
 
-def _parse_blob(blob: bytes) -> list[tuple[str, int, str]]:
-    """Length-framed WET scanner: header block up to CRLFCRLF, payload of
-    exactly Content-Length octets, CRLFCRLF terminator, repeat."""
+def _scan_warc_records(blob: bytes):
+    """THE outer WARC framing scanner, shared by every parser: header block
+    up to CRLFCRLF, payload of exactly Content-Length octets, CRLFCRLF
+    terminator, repeat. Yields (headers, epoch, payload) per record — a
+    framing fix (e.g. tolerating bare LF) lands here once."""
     from datetime import datetime, timezone
 
-    out = []
     pos = 0
     n = len(blob)
     while pos < n:
@@ -133,9 +134,16 @@ def _parse_blob(blob: bytes) -> list[tuple[str, int, str]]:
         payload = blob[head_end + 4 : head_end + 4 + length]
         ts = datetime.strptime(headers["WARC-Date"], "%Y-%m-%dT%H:%M:%SZ")
         epoch = int(ts.replace(tzinfo=timezone.utc).timestamp())
-        out.append((headers["WARC-Target-URI"], epoch, payload.decode("utf-8")))
+        yield headers, epoch, payload
         pos = head_end + 4 + length + 4  # skip payload + CRLFCRLF terminator
-    return out
+
+
+def _parse_blob(blob: bytes) -> list[tuple[str, int, str]]:
+    """WET records: payload IS the extracted text."""
+    return [
+        (headers["WARC-Target-URI"], epoch, payload.decode("utf-8"))
+        for headers, epoch, payload in _scan_warc_records(blob)
+    ]
 
 
 def parse_wet_bundles(bundles: DataFrame) -> DataFrame:
@@ -180,15 +188,27 @@ def warc_response_record(
     (status line, Content-Type, octet-exact Content-Length, blank line, raw
     body BYTES — binary, never decoded) wrapped in the WARC envelope whose
     own Content-Length counts the whole HTTP block. Pure Catalyst binary
-    concat, same zero-Python serialize path as wet_record."""
+    concat, same zero-Python serialize path as wet_record.
+
+    url/epoch/status are REQUIRED non-null (a NULL would null-propagate
+    through concat and poison the whole bundle blob). The two fields a real
+    fetch legitimately lacks are defended here: a NULL http_content_type
+    omits the Content-Type line (the parser reads it back as ''), a NULL
+    body serializes as the empty body — one bad row can never take its
+    bundle siblings down."""
+    body = F.coalesce(body, F.lit(b""))
     reason = None
     for code, word in _HTTP_REASONS:
         cond = status == code
         reason = F.when(cond, F.lit(word)) if reason is None else reason.when(cond, F.lit(word))
     reason = reason.otherwise(F.lit("Status"))
+    ct_line = F.when(
+        http_content_type.isNotNull(),
+        F.concat(F.lit("Content-Type: "), http_content_type, F.lit(_CRLF)),
+    ).otherwise(F.lit(""))
     http_head = F.concat(
         F.lit("HTTP/1.1 "), status.cast("string"), F.lit(" "), reason, F.lit(_CRLF),
-        F.lit("Content-Type: "), http_content_type, F.lit(_CRLF),
+        ct_line,
         F.lit("Content-Length: "), F.octet_length(body).cast("string"),
         F.lit(_CRLF + _CRLF),
     )
@@ -227,25 +247,12 @@ def warc_response_bundle(
 
 
 def _parse_response_blob(blob: bytes) -> list[tuple[str, int, int, str, bytes]]:
-    """Length-framed WARC response scanner: outer WARC framing exactly like
-    _parse_blob, then the HTTP block splits at ITS first CRLFCRLF — body
-    bytes are everything after (outer Content-Length bounds the payload, so
-    a body containing CRLFCRLF can never confuse the framing)."""
-    from datetime import datetime, timezone
-
+    """WARC response records: the outer framing is the shared scanner; the
+    HTTP block splits at ITS first CRLFCRLF — body bytes are everything
+    after (outer Content-Length bounds the payload, so a body containing
+    CRLFCRLF can never confuse the framing)."""
     out = []
-    pos = 0
-    n = len(blob)
-    while pos < n:
-        head_end = blob.index(b"\r\n\r\n", pos)
-        headers = {}
-        for line in blob[pos:head_end].decode("utf-8").split(_CRLF)[1:]:
-            k, _, v = line.partition(":")
-            headers[k.strip()] = v.strip()
-        length = int(headers["Content-Length"])
-        payload = blob[head_end + 4 : head_end + 4 + length]
-        ts = datetime.strptime(headers["WARC-Date"], "%Y-%m-%dT%H:%M:%SZ")
-        epoch = int(ts.replace(tzinfo=timezone.utc).timestamp())
+    for headers, epoch, payload in _scan_warc_records(blob):
         ihead_end = payload.index(b"\r\n\r\n")
         http_lines = payload[:ihead_end].decode("utf-8").split(_CRLF)
         status = int(http_lines[0].split(" ")[1])
@@ -258,7 +265,6 @@ def _parse_response_blob(blob: bytes) -> list[tuple[str, int, int, str, bytes]]:
             (headers["WARC-Target-URI"], epoch, status,
              http_headers.get("content-type", ""), body)
         )
-        pos = head_end + 4 + length + 4
     return out
 
 
