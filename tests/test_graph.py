@@ -324,3 +324,41 @@ class TestHostLinkGraph:
             for r in host_link_graph(children, drop_self=True).collect()
         }
         assert got2 == {("a.example", "b.example")}
+
+
+class TestSalsaInt:
+    def test_degree_normalized_half_steps(self, spark):
+        """Hand-computed one round: h = a/indeg summed over out-edges,
+        a = h/outdeg summed over in-edges."""
+        from webcrawler_woc_spark.operators.graph import salsa_int
+
+        # 0 -> 2, 0 -> 3, 1 -> 3: outdeg(0)=2, outdeg(1)=1; indeg(2)=1, indeg(3)=2
+        nodes, edges = _g(spark, 4, [(0, 2), (0, 3), (1, 3)])
+        got = {
+            r.doc_id: (r.auth_ppm, r.hub_ppm)
+            for r in salsa_int(nodes, edges, iterations=1).collect()
+        }
+        h0 = 1_000_000 // 1 + 1_000_000 // 2  # a0(2)/indeg2 + a0(3)/indeg3
+        h1 = 1_000_000 // 2
+        assert got[0][1] == h0 and got[1][1] == h1
+        assert got[2][0] == h0 // 2  # h(0)/outdeg(0)
+        assert got[3][0] == h0 // 2 + h1 // 1
+        assert got[2][1] == 0 and got[3][1] == 0  # no out-edges
+
+    def test_mass_conserving_fixpoint_on_symmetric_bipartite(self, spark):
+        """Two hubs feeding one authority is a SALSA fixpoint: the walk
+        conserves mass, so iterating does not inflate scores (the
+        mutual-reinforcement blowup HITS must normalize away)."""
+        from webcrawler_woc_spark.operators.graph import salsa_int
+
+        nodes, edges = _g(spark, 3, [(0, 2), (1, 2)])
+        one = {
+            r.doc_id: (r.auth_ppm, r.hub_ppm)
+            for r in salsa_int(nodes, edges, iterations=1).collect()
+        }
+        three = {
+            r.doc_id: (r.auth_ppm, r.hub_ppm)
+            for r in salsa_int(nodes, edges, iterations=3).collect()
+        }
+        assert one == three
+        assert one[2][0] == 1_000_000  # mass conserved, not inflated

@@ -34,6 +34,7 @@ SMJ_OK = {
     # positions ⋈ documents on doc_id: both sides corpus-scale, SMJ correct
     "dedup_substrings_verified",
     "graph_hits",  # edges ⋈ scores per half-step: both corpus-sized (pagerank shape)
+    "graph_salsa",  # same edges ⋈ scores half-steps as graph_hits, plus degree tables
     # line explode ⋈ boilerplate table: boilerplate size is data-dependent
     # (AQE may broadcast when small; SMJ is the safe general plan)
     "dedup_lines",

@@ -92,6 +92,59 @@ def pagerank_incremental(
     return _pagerank_rounds(nodes, all_edges, seed, iterations)
 
 
+def salsa_int(nodes: DataFrame, edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """Integer SALSA (Lempel & Moran 2001) — HITS's random-walk sibling:
+    each propagation step divides the transferred mass by the DEGREE of the
+    node it leaves (hub step by in-degree, authority step by out-degree),
+    which is exactly what makes SALSA resistant to the tightly-knit-
+    community effect that lets a small dense clique capture HITS's
+    mutual-reinforcement scores. No normalization step needed — the walk is
+    stochastic, so mass is conserved up to integer-floor loss:
+
+        a_0(v)     = 10^6
+        h_{i+1}(u) = Σ_{(u,v)∈E} a_i(v)   div indeg(v)
+        a_{i+1}(v) = Σ_{(u,v)∈E} h_{i+1}(u) div outdeg(u)
+
+    Output (doc_id, auth_ppm, hub_ppm); nodes touching no edge score 0.
+    Order-independent integer math => chained-CTE oracle value-exact.
+    Scale shape: two pagerank-shaped edge ⋈ score joins per round, degree
+    tables built once, lineage cut per half-step — identical cost model to
+    hits_int minus its max-broadcast normalization crossJoins."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("indeg"))
+    zero = F.lit(0).cast("bigint")
+    a = nodes.select("doc_id", F.lit(PPM).cast("bigint").alias("auth_ppm"))
+    h = None
+    for _ in range(iterations):
+        hin = (
+            edges.join(indeg, "dst")
+            .join(a, edges["dst"] == a["doc_id"])
+            .select(F.col("src"), F.expr("auth_ppm div indeg").alias("c"))
+            .groupBy("src")
+            .agg(F.sum("c").alias("s"))
+        )
+        h = (
+            nodes.join(hin, nodes["doc_id"] == hin["src"], "left")
+            .select("doc_id", F.coalesce(F.col("s"), zero).alias("hub_ppm"))
+            .localCheckpoint()  # truncate lineage per half-step
+        )
+        ain = (
+            edges.join(outdeg, "src")
+            .join(h, edges["src"] == h["doc_id"])
+            .select(F.col("dst"), F.expr("hub_ppm div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        a = (
+            nodes.join(ain, nodes["doc_id"] == ain["dst"], "left")
+            .select("doc_id", F.coalesce(F.col("s"), zero).alias("auth_ppm"))
+            .localCheckpoint()
+        )
+    return a.join(h, "doc_id").select("doc_id", "auth_ppm", "hub_ppm")
+
+
 def host_link_graph(children: DataFrame, drop_self: bool = False) -> DataFrame:
     """Collapse the page-level link stream to the INTER-HOST graph:
     (src_host, dst_host, n_links, n_src_pages) — the graph domain policy,
