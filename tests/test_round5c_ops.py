@@ -340,3 +340,43 @@ class TestCocitationTopk:
         edges = spark.createDataFrame([("a", "t"), ("b", "t")], "src string, dst string")
         plan = cocitation_topk(edges, k=5)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestResolveRedirects:
+    def test_chain_cycle_and_jump_count(self, spark):
+        """A 9-hop chain must fully resolve in 5 jump rounds (2^5 = 32-hop
+        reach — the pointer-jumping point: the naive one-hop-per-round plan
+        would need 9), a 3-cycle flags every member, and a self-redirect is
+        its own cycle."""
+        from webcrawler_woc_spark.operators.recrawl import resolve_redirects
+
+        chain = [(f"u{i}", f"u{i + 1}") for i in range(9)]  # u0 -> ... -> u9
+        cycle = [("c0", "c1"), ("c1", "c2"), ("c2", "c0")]
+        selfloop = [("s", "s")]
+        redirects = spark.createDataFrame(
+            chain + cycle + selfloop, "src string, dst string"
+        )
+        got = {
+            r.src: (r.final_url, r.is_cycle)
+            for r in resolve_redirects(redirects, max_rounds=5).collect()
+        }
+        for i in range(9):
+            assert got[f"u{i}"] == ("u9", 0), i  # fully resolved, terminal
+        for c in ("c0", "c1", "c2"):
+            assert got[c][1] == 1 and got[c][0].startswith("c")
+        assert got["s"] == ("s", 1)
+
+    def test_four_rounds_reach_sixteen_hops(self, spark):
+        """Pin the 2^k reach: a 16-hop chain resolves in 4 rounds but a
+        17-hop chain does not — proof the rounds actually compose f(f),
+        not advance one raw hop."""
+        from webcrawler_woc_spark.operators.recrawl import resolve_redirects
+
+        chain = [(f"u{i}", f"u{i + 1}") for i in range(17)]  # 17 hops to u17
+        redirects = spark.createDataFrame(chain, "src string, dst string")
+        got = {
+            r.src: r.final_url
+            for r in resolve_redirects(redirects, max_rounds=4).collect()
+        }
+        assert got["u1"] == "u17"  # 16 hops from u1: exactly within reach
+        assert got["u0"] == "u16"  # 17 hops from u0: one short — NOT u17

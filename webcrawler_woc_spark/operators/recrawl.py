@@ -240,3 +240,46 @@ def digest_dedup(captures: DataFrame) -> DataFrame:
             "n_copies",
         )
     )
+
+
+def resolve_redirects(redirects: DataFrame, max_rounds: int = 5) -> DataFrame:
+    """Transitive 3xx redirect resolution by POINTER JUMPING: every URL in
+    a (src, dst) redirect map resolves to the end of its chain. A crawl
+    dedups and indexes by FINAL URL — a 5-hop www->https->apex->cdn chain
+    is one page, and following chains one hop per pass over a 10^10-URL
+    map is the naive O(L)-round plan this operator exists to beat.
+
+    Pointer jumping squares the step each round — f' = f(f(x)) — so round
+    k resolves chains up to 2^k hops: ``max_rounds`` = 5 covers 32-hop
+    chains (browsers give up at ~20) in FIVE self-joins total, not 32.
+    Each round is one equi-join of the map with itself on the current
+    target + a lineage cut; shuffle rows = map size, never corpus size.
+
+    Cycles (a -> b -> a, the classic redirect-loop trap) can't loop the
+    fixed-round plan; a cycle member's resolved target is itself a cycle
+    member, flagged ``is_cycle`` by one semi-join back against the map's
+    source set EXCLUDING self-resolution (a self-redirect is its own
+    cycle). Output (src, final_url, is_cycle)."""
+    f = redirects.select(F.col("src"), F.col("dst").alias("cur"))
+    for _ in range(max_rounds):
+        # the JUMP: follow cur's own CURRENT resolution, not one raw hop —
+        # f' = f∘f doubles the resolved distance per round (joining against
+        # the raw map instead would advance one hop per round, the naive
+        # O(chain-length) plan this operator exists to beat)
+        g = f.select(F.col("src").alias("_k"), F.col("cur").alias("_nxt"))
+        f = (
+            f.join(g, f["cur"] == g["_k"], "left")
+            .select("src", F.coalesce(F.col("_nxt"), F.col("cur")).alias("cur"))
+            .localCheckpoint()  # truncate lineage per jump (pagerank pattern)
+        )
+    # a resolved target that still redirects somewhere = unterminated chain
+    # after 2^max_rounds hops = cycle (or absurd depth; flagged identically)
+    srcs = redirects.select(F.col("src").alias("cur"), F.lit(1).alias("_m"))
+    return (
+        f.join(srcs, "cur", "left")
+        .select(
+            "src",
+            F.col("cur").alias("final_url"),
+            F.col("_m").isNotNull().cast("int").alias("is_cycle"),
+        )
+    )
