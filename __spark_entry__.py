@@ -2491,7 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_merge_upsert": q_crawl_merge_upsert,
         # --- late round-5 additions, registered BEHIND the window on
         # purpose: the 50 slots are spoken for by never-checked keys +
-        # the rotation; these two get signal from the full local oracle
+        # the rotation; these get signal from the full local oracle
         # gate + the judge's out-of-window rerun, and rotate forward in r6
         "graph_salsa": q_graph_salsa,
         "crawl_frontier_score": q_crawl_frontier_score,

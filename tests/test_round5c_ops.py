@@ -366,6 +366,21 @@ class TestResolveRedirects:
             assert got[c][1] == 1 and got[c][0].startswith("c")
         assert got["s"] == ("s", 1)
 
+    def test_duplicate_capture_rows_do_not_multiply_output(self, spark):
+        """The same redirect captured twice (normal in capture logs) must
+        not multiply rows through the self-joins — pre-fix, each round
+        doubled every row routed through the duplicated link."""
+        from webcrawler_woc_spark.operators.recrawl import resolve_redirects
+
+        redirects = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("b", "c"), ("b", "c")],
+            "src string, dst string",
+        )
+        rows = resolve_redirects(redirects, max_rounds=3).collect()
+        assert len(rows) == 2  # one row per distinct src
+        got = {r.src: (r.final_url, r.is_cycle) for r in rows}
+        assert got["a"] == ("c", 0) and got["b"] == ("c", 0)
+
     def test_four_rounds_reach_sixteen_hops(self, spark):
         """Pin the 2^k reach: a 16-hop chain resolves in 4 rounds but a
         17-hop chain does not — proof the rounds actually compose f(f),

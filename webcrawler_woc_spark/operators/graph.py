@@ -112,8 +112,10 @@ def salsa_int(nodes: DataFrame, edges: DataFrame, iterations: int = 2) -> DataFr
     hits_int minus its max-broadcast normalization crossJoins."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    indeg = edges.groupBy("dst").agg(F.count("*").alias("indeg"))
+    # materialize the degree tables ONCE: lazy frames would re-run the
+    # corpus-scale edges groupBy inside every half-step's checkpoint job
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("indeg")).localCheckpoint()
     zero = F.lit(0).cast("bigint")
     a = nodes.select("doc_id", F.lit(PPM).cast("bigint").alias("auth_ppm"))
     h = None

@@ -259,7 +259,15 @@ def resolve_redirects(redirects: DataFrame, max_rounds: int = 5) -> DataFrame:
     fixed-round plan; a cycle member's resolved target is itself a cycle
     member, flagged ``is_cycle`` by one semi-join back against the map's
     source set EXCLUDING self-resolution (a self-redirect is its own
-    cycle). Output (src, final_url, is_cycle)."""
+    cycle). Output (src, final_url, is_cycle).
+
+    The map must be a FUNCTION — one dst per src (a URL serves one
+    Location header; reduce conflicting multi-capture records to the
+    latest upstream, e.g. via latest_captures). Exact duplicate rows —
+    the same redirect captured twice, normal in capture logs — are
+    deduped here: un-deduped, every self-join round would MULTIPLY rows
+    routed through the duplicated link (up to 2^max_rounds copies)."""
+    redirects = redirects.select("src", "dst").distinct()
     f = redirects.select(F.col("src"), F.col("dst").alias("cur"))
     for _ in range(max_rounds):
         # the JUMP: follow cur's own CURRENT resolution, not one raw hop —
