@@ -550,6 +550,46 @@ def q_graph_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_link_graph(children)
 
 
+def q_crawl_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective decode charset (operators/extract.detect_charset): BOMs
+    cycle on doc_id % 4 (UTF-8 / UTF-16LE / none), the Content-Type
+    charset param on doc_id % 3 (ISO-8859-1 / none / NULL header), a
+    <meta charset> on doc_id % 5 — so every WHATWG precedence branch
+    (BOM > header > meta > utf-8 default) occurs. The oracle predicts all
+    four columns arithmetically."""
+    from webcrawler_woc_spark.operators.extract import detect_charset
+
+    d = F.col("doc_id")
+    bom_bytes = (
+        F.when(d % 4 == 0, F.unhex(F.lit("EFBBBF")))
+        .when(d % 4 == 1, F.unhex(F.lit("FFFE")))
+        .otherwise(F.lit(b""))
+    )
+    meta_html = F.when(
+        d % 5 == 0, F.lit('<meta charset="windows-1252">')
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        bom_bytes,
+        F.encode(
+            F.concat(
+                F.lit("<html><head>"), meta_html, F.lit("</head><body>"), F.col("text")
+            ),
+            "utf-8",
+        ),
+    )
+    ct = (
+        F.when(d % 3 == 0, F.lit("text/html; charset=ISO-8859-1"))
+        .when(d % 3 == 1, F.lit("text/html"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", body.alias("html"), ct.alias("content_type")
+    )
+    return detect_charset(pages).select(
+        "doc_id", "bom_charset", "header_charset", "meta_charset", "charset"
+    )
+
+
 def q_crawl_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive redirect resolution by pointer jumping
     (operators/recrawl.resolve_redirects): doc ids chain within their
@@ -2496,6 +2536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_salsa": q_graph_salsa,
         "crawl_frontier_score": q_crawl_frontier_score,
         "crawl_redirect_resolve": q_crawl_redirect_resolve,
+        "crawl_charset_detect": q_crawl_charset_detect,
     }
 
 
@@ -3251,6 +3292,24 @@ def oracle_sql() -> dict[str, str]:
         "graph_trustrank": _trustrank_sql(3),
         "graph_salsa": _salsa_sql(2),
         "crawl_redirect_resolve": _redirect_sql(5),
+        "crawl_charset_detect": """
+            WITH u AS (
+                SELECT doc_id, doc_id % 4 AS b, doc_id % 3 AS h, doc_id % 5 AS m
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE b WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+                          ELSE NULL END AS bom_charset,
+                   CASE h WHEN 0 THEN 'iso-8859-1' ELSE NULL END AS header_charset,
+                   CASE m WHEN 0 THEN 'windows-1252' ELSE NULL END AS meta_charset,
+                   coalesce(
+                       CASE b WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+                              ELSE NULL END,
+                       CASE h WHEN 0 THEN 'iso-8859-1' ELSE NULL END,
+                       CASE m WHEN 0 THEN 'windows-1252' ELSE NULL END,
+                       'utf-8') AS charset
+            FROM u
+        """,
         "crawl_frontier_score": """
             WITH u AS (
                 SELECT doc_id, doc_id % 6 AS m,

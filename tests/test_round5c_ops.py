@@ -395,3 +395,57 @@ class TestResolveRedirects:
         }
         assert got["u1"] == "u17"  # 16 hops from u1: exactly within reach
         assert got["u0"] == "u16"  # 17 hops from u0: one short — NOT u17
+
+
+class TestDetectCharset:
+    def test_whatwg_precedence_and_sources(self, spark):
+        from webcrawler_woc_spark.operators.extract import detect_charset
+
+        meta = b'<html><head><meta charset="windows-1252"></head>'
+        rows = [
+            # BOM beats header and meta
+            (1, bytes.fromhex("EFBBBF") + meta, "text/html; charset=ISO-8859-1"),
+            # header beats meta
+            (2, meta, "text/html; charset=ISO-8859-1"),
+            # meta only
+            (3, meta, "text/html"),
+            # nothing declared -> web default
+            (4, b"<html><body>plain</body>", None),
+            # UTF-16LE BOM: invalid as UTF-8 — the prescan must not throw
+            (5, bytes.fromhex("FFFE") + meta, None),
+            # http-equiv form with content= charset
+            (6, b'<meta http-equiv="Content-Type" content="text/html; charset=KOI8-R">',
+             "text/html"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, html binary, content_type string")
+        got = {r.doc_id: (r.bom_charset, r.header_charset, r.meta_charset, r.charset)
+               for r in detect_charset(df).collect()}
+        assert got[1] == ("utf-8", "iso-8859-1", "windows-1252", "utf-8")
+        assert got[2] == (None, "iso-8859-1", "windows-1252", "iso-8859-1")
+        assert got[3] == (None, None, "windows-1252", "windows-1252")
+        assert got[4] == (None, None, None, "utf-8")
+        assert got[5][0] == "utf-16le" and got[5][3] == "utf-16le"
+        assert got[6] == (None, None, "koi8-r", "koi8-r")
+
+    def test_non_utf8_payload_never_throws(self, spark):
+        """Windows-1252 high bytes (invalid UTF-8) in the prescan window —
+        exactly the pages this operator exists to catch — must not crash
+        the strict Spark 4 decode."""
+        from webcrawler_woc_spark.operators.extract import detect_charset
+
+        body = b"\x93curly quotes\x94 " * 100  # invalid UTF-8 throughout
+        df = spark.createDataFrame(
+            [(1, body, "text/html; charset=windows-1252")],
+            "doc_id bigint, html binary, content_type string",
+        )
+        (r,) = detect_charset(df).collect()
+        assert (r.header_charset, r.charset) == ("windows-1252", "windows-1252")
+
+    def test_scan_only(self, spark):
+        from webcrawler_woc_spark.operators.extract import detect_charset
+
+        df = spark.createDataFrame(
+            [(1, b"<html>", "text/html")], "doc_id bigint, html binary, content_type string"
+        )
+        plan = detect_charset(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -117,7 +117,11 @@ def sniff_content_type(pages: DataFrame, body_col: str = "html") -> DataFrame:
     for sig, mime in MAGIC_SIGNATURES:
         cond = prefix_hex.startswith(sig)
         sniffed = F.when(cond, F.lit(mime)) if sniffed is None else sniffed.when(cond, F.lit(mime))
-    head = F.lower(F.ltrim(F.decode(F.substring(F.col(body_col), 1, 256), "UTF-8")))
+    # ISO-8859-1, not UTF-8: the probe only matches ASCII tag bytes, and
+    # latin-1 is TOTAL over byte sequences — Spark 4's strict decode throws
+    # MALFORMED_CHARACTER_CODING on invalid UTF-8 (any non-UTF8 payload, or
+    # even a multi-byte char cut at the window edge)
+    head = F.lower(F.ltrim(F.decode(F.substring(F.col(body_col), 1, 256), "ISO-8859-1")))
     is_html = head.startswith("<!doctype html") | head.startswith("<html")
     sniffed = sniffed.when(is_html, F.lit("text/html")).otherwise(
         F.lit("application/octet-stream")
@@ -127,4 +131,59 @@ def sniff_content_type(pages: DataFrame, body_col: str = "html") -> DataFrame:
     # with anything — flag 1, never NULL (the column contract is 0/1)
     return pages.withColumn("sniffed_type", sniffed).withColumn(
         "type_mismatch", (~F.col("sniffed_type").eqNullSafe(claimed)).cast("int")
+    )
+
+
+def detect_charset(pages: DataFrame, body_col: str = "html") -> DataFrame:
+    """Effective decode charset per page — the mojibake gate a webtext
+    pipeline runs before extraction (decoding windows-1252 bytes as utf-8
+    silently corrupts every non-ASCII character in the corpus). Three
+    declared sources, WHATWG-encoding precedence (BOM outranks the
+    transport header, which outranks the in-document meta; absent all
+    three the web default is utf-8):
+
+    * ``bom_charset``    — byte-order mark sniffed from the payload's hex
+      prefix (EF BB BF / FF FE / FE FF);
+    * ``header_charset`` — the Content-Type header's charset parameter;
+    * ``meta_charset``   — <meta charset=...> / http-equiv content=...
+      charset probed in the first 1024 decoded bytes (the WHATWG prescan
+      window).
+
+    Adds those three plus ``charset`` (the precedence winner, lowercased).
+    Scan-only pure Catalyst (hex prefix + two regexps), rides the same
+    scan as the MIME gate; no shuffle, no Python."""
+    prefix_hex = F.hex(F.substring(F.col(body_col), 1, 3))
+    bom = (
+        F.when(prefix_hex.startswith("EFBBBF"), F.lit("utf-8"))
+        .when(prefix_hex.startswith("FFFE"), F.lit("utf-16le"))
+        .when(prefix_hex.startswith("FEFF"), F.lit("utf-16be"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    hdr = F.lower(
+        F.regexp_extract(F.col("content_type"), r"(?i)charset=\"?'?([A-Za-z0-9_\-]+)", 1)
+    )
+    hdr = F.when(hdr == "", F.lit(None)).otherwise(hdr)
+    # latin-1 for the prescan: total over bytes (strict UTF-8 decode throws
+    # on exactly the non-UTF8 payloads this operator exists to catch), and
+    # the <meta charset> tag bytes are ASCII either way
+    head = F.decode(F.substring(F.col(body_col), 1, 1024), "ISO-8859-1")
+    meta = F.lower(
+        F.regexp_extract(
+            head, r"(?i)<meta[^>]*charset=[\"']?([A-Za-z0-9_\-]+)", 1
+        )
+    )
+    meta = F.when(meta == "", F.lit(None)).otherwise(meta)
+    return (
+        pages.withColumn("bom_charset", bom)
+        .withColumn("header_charset", hdr)
+        .withColumn("meta_charset", meta)
+        .withColumn(
+            "charset",
+            F.coalesce(
+                F.col("bom_charset"),
+                F.col("header_charset"),
+                F.col("meta_charset"),
+                F.lit("utf-8"),
+            ),
+        )
     )
