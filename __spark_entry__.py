@@ -550,6 +550,53 @@ def q_graph_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_link_graph(children)
 
 
+def q_crawl_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page robots directives (operators/politeness.robots_meta_flags):
+    five doc_id % 5 families cover meta noindex+nofollow, meta noindex
+    alone, the X-Robots-Tag header channel, the 'none' shorthand, and a
+    clean control; the oracle predicts both flags arithmetically."""
+    from webcrawler_woc_spark.operators.politeness import robots_meta_flags
+
+    d = F.col("doc_id")
+    meta = (
+        F.when(d % 5 == 0, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(d % 5 == 1, F.lit('<meta name=robots content="noindex">'))
+        .when(d % 5 == 3, F.lit("<meta name='robots' content='none'>"))
+        .otherwise(F.lit(""))
+    )
+    body = F.encode(
+        F.concat(F.lit("<html><head>"), meta, F.lit("</head><body>"), F.col("text")),
+        "utf-8",
+    )
+    headers = F.when(
+        d % 5 == 2, F.create_map(F.lit("x-robots-tag"), F.lit("nofollow"))
+    ).otherwise(F.lit(None).cast("map<string,string>"))
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", body.alias("html"), headers.alias("headers")
+    )
+    return robots_meta_flags(pages).select("doc_id", "noindex", "nofollow")
+
+
+def q_crawl_revalidate_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-request planning (operators/recrawl.plan_revalidation):
+    ETag present on doc_id % 3 == 0, Last-Modified on doc_id % 4 == 0,
+    content changed on odd doc_ids — covering every (mode, outcome)
+    combination including the RFC 9110 strong-validator preference when
+    both are stored. Arithmetic oracle."""
+    from webcrawler_woc_spark.operators.recrawl import plan_revalidation
+
+    d = F.col("doc_id")
+    captures = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://h"), (d % 10).cast("string"),
+                 F.lit(".example/p"), d.cast("string")).alias("url"),
+        F.when(d % 3 == 0, F.concat(F.lit('W/"e'), d.cast("string"), F.lit('"'))).alias("etag"),
+        F.when(d % 4 == 0, F.concat(F.lit("lm-"), d.cast("string"))).alias("last_modified"),
+        (d % 7).cast("bigint").alias("stored_digest"),
+        (d % 7 + d % 2).cast("bigint").alias("current_digest"),
+    )
+    return plan_revalidation(captures)
+
+
 def q_crawl_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Effective decode charset (operators/extract.detect_charset): BOMs
     cycle on doc_id % 4 (UTF-8 / UTF-16LE / none), the Content-Type
@@ -2537,6 +2584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier_score": q_crawl_frontier_score,
         "crawl_redirect_resolve": q_crawl_redirect_resolve,
         "crawl_charset_detect": q_crawl_charset_detect,
+        "crawl_robots_meta": q_crawl_robots_meta,
+        "crawl_revalidate_plan": q_crawl_revalidate_plan,
     }
 
 
@@ -3292,6 +3341,33 @@ def oracle_sql() -> dict[str, str]:
         "graph_trustrank": _trustrank_sql(3),
         "graph_salsa": _salsa_sql(2),
         "crawl_redirect_resolve": _redirect_sql(5),
+        "crawl_robots_meta": """
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 5 IN (0, 1, 3) THEN 1 ELSE 0 END AS INT)
+                       AS noindex,
+                   CAST(CASE WHEN doc_id % 5 IN (0, 2, 3) THEN 1 ELSE 0 END AS INT)
+                       AS nofollow
+            FROM documents
+        """,
+        "crawl_revalidate_plan": """
+            WITH u AS (
+                SELECT doc_id,
+                       doc_id % 3 = 0 AS has_etag,
+                       doc_id % 4 = 0 AS has_lm,
+                       doc_id % 2 = 0 AS unchanged
+                FROM documents
+            )
+            SELECT 'http://h' || (doc_id % 10) || '.example/p' || doc_id AS url,
+                   CASE WHEN has_etag THEN 'if-none-match'
+                        WHEN has_lm THEN 'if-modified-since'
+                        ELSE 'unconditional' END AS mode,
+                   CASE WHEN has_etag THEN 'W/"e' || doc_id || '"'
+                        WHEN has_lm THEN 'lm-' || doc_id
+                        ELSE NULL END AS validator,
+                   CASE WHEN (has_etag OR has_lm) AND unchanged
+                        THEN 'not_modified' ELSE 'refetch' END AS outcome
+            FROM u
+        """,
         "crawl_charset_detect": """
             WITH u AS (
                 SELECT doc_id, doc_id % 4 AS b, doc_id % 3 AS h, doc_id % 5 AS m

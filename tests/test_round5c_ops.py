@@ -449,3 +449,56 @@ class TestDetectCharset:
         )
         plan = detect_charset(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+class TestRobotsMetaFlags:
+    def test_channels_shorthand_and_word_bounds(self, spark):
+        from webcrawler_woc_spark.operators.politeness import robots_meta_flags
+
+        def pg(meta, hdr=None):
+            html = f"<html><head>{meta}</head>".encode()
+            headers = {"x-robots-tag": hdr} if hdr else None
+            return (html, headers)
+
+        rows = [
+            (1, *pg('<meta name="robots" content="noindex, nofollow">')),
+            (2, *pg('<meta name=robots content="NOINDEX">')),  # case-insensitive
+            (3, *pg("", "nofollow")),  # header channel
+            (4, *pg("<meta name='robots' content='none'>")),  # shorthand = both
+            (5, *pg('<meta name="robots" content="noarchive">')),  # neither
+            (6, *pg('<meta name="description" content="noindex">')),  # wrong tag
+            (7, *pg("", "noindex, nofollow")),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, html binary, headers map<string,string>"
+        )
+        got = {r.doc_id: (r.noindex, r.nofollow) for r in robots_meta_flags(df).collect()}
+        assert got[1] == (1, 1)
+        assert got[2] == (1, 0)
+        assert got[3] == (0, 1)
+        assert got[4] == (1, 1)
+        assert got[5] == (0, 0)
+        assert got[6] == (0, 0)  # name=description must not match
+        assert got[7] == (1, 1)
+
+
+class TestPlanRevalidation:
+    def test_validator_preference_and_outcomes(self, spark):
+        from webcrawler_woc_spark.operators.recrawl import plan_revalidation
+
+        rows = [
+            ("u1", 'W/"x"', "lm1", 5, 5),   # both validators -> etag wins; unchanged
+            ("u2", None, "lm2", 5, 6),      # lm only; changed
+            ("u3", None, None, 5, 5),       # nothing to validate -> refetch anyway
+            ("u4", 'W/"y"', None, 7, 8),    # etag; changed
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, etag string, last_modified string,"
+                  " stored_digest bigint, current_digest bigint"
+        )
+        got = {r.url: (r.mode, r.validator, r.outcome)
+               for r in plan_revalidation(df).collect()}
+        assert got["u1"] == ("if-none-match", 'W/"x"', "not_modified")
+        assert got["u2"] == ("if-modified-since", "lm2", "refetch")
+        assert got["u3"] == ("unconditional", None, "refetch")
+        assert got["u4"] == ("if-none-match", 'W/"y"', "refetch")

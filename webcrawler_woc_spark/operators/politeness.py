@@ -330,3 +330,43 @@ def crawl_order(scheduled: DataFrame, wave: int) -> DataFrame:
         F.col("slot"),
         F.col("url"),
     )
+
+
+def robots_meta_flags(pages: DataFrame, body_col: str = "html") -> DataFrame:
+    """Per-page robots directives from the two in-band channels robots.txt
+    cannot express (RFC 9309 covers only URL-space access): the
+    ``<meta name="robots">`` tag and the ``X-Robots-Tag`` response header.
+    ``noindex`` pages must be dropped from the INDEX (but may still be
+    fetched and their links followed); ``nofollow`` pages contribute no
+    outlinks to the frontier. A crawler that ignores these republishes
+    content the site explicitly opted out of — a compliance gate, not an
+    optimization.
+
+    Adds ``noindex``/``nofollow`` (0/1 ints): a directive counts if it
+    appears in EITHER channel; ``none`` is shorthand for both (Google/
+    Bing-documented semantics). The meta probe scans the first 4096 bytes
+    decoded latin-1 (total over byte sequences, tag bytes are ASCII;
+    see detect_charset) — scan-only pure Catalyst, rides the fetch scan.
+
+    Expects the ``headers`` map column when present (the fetch schema's
+    map<string,string>); pass frames without it by selecting a NULL map.
+    """
+    head = F.lower(F.decode(F.substring(F.col(body_col), 1, 4096), "ISO-8859-1"))
+    meta_content = F.regexp_extract(
+        head,
+        r'<meta[^>]*name\s*=\s*["\']?robots["\']?[^>]*content\s*=\s*["\']([^"\']*)',
+        1,
+    )
+    hdr = F.lower(F.coalesce(F.element_at(F.col("headers"), "x-robots-tag"), F.lit("")))
+    both = F.concat_ws(",", meta_content, hdr)
+
+    def has(directive: str):
+        # word-bounded match: 'noindex' must not fire on 'no-noindex-ish'
+        # tokens; directives are comma/space separated in both channels
+        return both.rlike(rf"(^|[,\s]){directive}([,\s]|$)")
+
+    noindex = has("noindex") | has("none")
+    nofollow = has("nofollow") | has("none")
+    return pages.withColumn("noindex", noindex.cast("int")).withColumn(
+        "nofollow", nofollow.cast("int")
+    )

@@ -291,3 +291,42 @@ def resolve_redirects(redirects: DataFrame, max_rounds: int = 5) -> DataFrame:
             F.col("_m").isNotNull().cast("int").alias("is_cycle"),
         )
     )
+
+
+def plan_revalidation(captures: DataFrame) -> DataFrame:
+    """Conditional-request planning for a recrawl wave — the HTTP
+    revalidation step between "this URL is stale" (recrawl_schedule) and
+    "fetch it": RFC 9110 prefers the strong validator, so a stored ETag
+    plans an If-None-Match request, else a stored Last-Modified plans
+    If-Modified-Since, else the fetch is unconditional. A 304 costs
+    headers; a full refetch costs the body — at 10^10 URLs the validator
+    coverage ratio IS the recrawl bandwidth bill.
+
+    Input (url, etag, last_modified, stored_digest, current_digest) —
+    digests of the stored capture and the live content (the simulation
+    twin of the server's own comparison; a real deployment drops
+    current_digest and reads the response code instead). Output
+    (url, mode, validator, outcome):
+
+    * mode      — if-none-match | if-modified-since | unconditional;
+    * validator — the header value the request would carry (NULL when
+      unconditional);
+    * outcome   — not_modified (304: validator present AND content
+      unchanged) | refetch (changed, or nothing to validate against).
+
+    Scan-only projection; zero shuffle."""
+    has_etag = F.col("etag").isNotNull()
+    has_lm = F.col("last_modified").isNotNull()
+    mode = (
+        F.when(has_etag, F.lit("if-none-match"))
+        .when(has_lm, F.lit("if-modified-since"))
+        .otherwise(F.lit("unconditional"))
+    )
+    validator = F.when(has_etag, F.col("etag")).when(has_lm, F.col("last_modified"))
+    unchanged = F.col("stored_digest") == F.col("current_digest")
+    outcome = F.when(
+        (has_etag | has_lm) & unchanged, F.lit("not_modified")
+    ).otherwise(F.lit("refetch"))
+    return captures.select(
+        "url", mode.alias("mode"), validator.alias("validator"), outcome.alias("outcome")
+    )
