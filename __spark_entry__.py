@@ -2425,6 +2425,133 @@ def q_crawl_sitemap_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_canonical_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-canonical clustering (operators/canonical.canonical_clusters):
+    groups of 4 consecutive doc_ids share one canonical target — the
+    group leader declares nothing (it IS the clean URL), the other three
+    declare it via the <link> tag (absolute), the Link header, and a
+    root-relative href respectively, so every channel and the absolutizer
+    both fire. Arithmetic oracle (125 four-member clusters at sf0.001)."""
+    from webcrawler_woc_spark.operators.canonical import canonical_clusters
+
+    d = F.col("doc_id")
+    host = F.concat(F.lit("http://h"), ((d / 4).cast("bigint") % 10).cast("string"), F.lit(".example"))
+    url = F.concat(host, F.lit("/p"), d.cast("string"))
+    base = (d - d % 4).cast("string")
+    target_abs = F.concat(host, F.lit("/p"), base)
+    html_s = (
+        F.when(d % 4 == 1, F.concat(F.lit('<html><head><link rel="canonical" href="'), target_abs, F.lit('">')))
+        .when(d % 4 == 3, F.concat(F.lit("<html><head><link rel=canonical href='/p"), base, F.lit("'>")))
+        .otherwise(F.lit("<html><head>"))
+    )
+    headers = F.when(
+        d % 4 == 2,
+        F.create_map(F.lit("link"), F.concat(F.lit("<"), target_abs, F.lit('>; rel="canonical"'))),
+    ).otherwise(F.lit(None).cast("map<string,string>"))
+    pages = _docs(spark, sf_dir).select(
+        url.alias("url"), F.encode(html_s, "utf-8").alias("html"), headers.alias("headers")
+    )
+    return canonical_clusters(pages)
+
+
+def q_crawl_meta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Client-side redirects + resolution (operators/canonical.
+    meta_refresh_redirects ∘ recrawl.resolve_redirects): doc_id % 3 == 1
+    refreshes to p(d-1) (terminal), % 3 == 2 to p(d-1) which itself
+    refreshes — a 2-hop client chain the pointer-jumping resolver
+    collapses. One shared host so chains connect. Arithmetic oracle."""
+    from webcrawler_woc_spark.operators.canonical import meta_refresh_redirects
+    from webcrawler_woc_spark.operators.recrawl import resolve_redirects
+
+    d = F.col("doc_id")
+    url = F.concat(F.lit("http://site.example/p"), d.cast("string"))
+    html_s = F.when(
+        d % 3 != 0,
+        F.concat(
+            F.lit('<meta http-equiv="refresh" content="'),
+            (d % 30).cast("string"),
+            F.lit("; url=/p"),
+            (d - 1).cast("string"),
+            F.lit('">'),
+        ),
+    ).otherwise(F.lit("<html>"))
+    pages = _docs(spark, sf_dir).select(
+        url.alias("url"),
+        F.encode(html_s, "utf-8").alias("html"),
+        F.lit(None).cast("map<string,string>").alias("headers"),
+    )
+    edges = meta_refresh_redirects(pages)
+    resolved = resolve_redirects(
+        edges.select(F.col("url").alias("src"), F.col("refresh_target").alias("dst"))
+    )
+    return edges.join(resolved, edges["url"] == resolved["src"]).select(
+        edges["url"], "refresh_delay_s", "refresh_target", "final_url", "is_cycle"
+    )
+
+
+def q_crawl_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (operators/traps.soft404_flags): error phrase
+    injected on doc_id % 7 == 0, text truncated to 10 chars on % 11 == 0
+    (thin vs the host median), a REAL 404 status on % 17 == 0 (phrase
+    without soft404 — status gate). Host medians computed by both engines
+    over the same modified lengths."""
+    from webcrawler_woc_spark.operators.traps import soft404_flags
+
+    d = F.col("doc_id")
+    text_mod = (
+        F.when(d % 11 == 0, F.substring(F.col("text"), 1, 10))
+        .when(d % 7 == 0, F.concat(F.lit("Page not found. "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://h"), (d % 5).cast("string"), F.lit(".example/p"), d.cast("string")).alias("url"),
+        F.concat(F.lit("h"), (d % 5).cast("string")).alias("host"),
+        F.when(d % 17 == 0, F.lit(404)).otherwise(F.lit(200)).alias("http_status"),
+        text_mod.alias("text"),
+    )
+    return soft404_flags(pages)
+
+
+def q_text_template_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template structure clustering (operators/textstats.
+    template_fingerprints): pages carry 1 + (doc_id div 10) % 4 leading
+    <p> tags, so each host's 50 docs split into 4 structure clusters with
+    DIFFERENT text — the md5-of-tag-sequence key both engines compute
+    byte-identically."""
+    from webcrawler_woc_spark.operators.textstats import template_fingerprints
+
+    d = F.col("doc_id")
+    n_p = (1 + (d / 10).cast("bigint") % 4).cast("int")
+    html = F.concat(
+        F.lit("<html><head></head><body>"),
+        F.repeat(F.lit("<p>"), n_p),
+        F.col("text"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (d % 10).cast("string")).alias("host"),
+        d.alias("doc_id"),
+        html.alias("html"),
+    )
+    return template_fingerprints(pages, min_cluster=3)
+
+
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup (operators/dedup.cdc_chunk_dups):
+    the corpus is doubled with prefix-shifted wrappers (doc_id + 1000000,
+    3 injected header tokens) — fixed windows all shift but CDC boundaries
+    resync, so the shared chunks dedup across each (doc, wrapper) pair.
+    The DuckDB twin recomputes the identical boundary rule and chunk fold
+    as a pure list expression."""
+    from webcrawler_woc_spark.operators.dedup import cdc_chunk_dups
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    wrapped = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("injected header prefix "), F.col("text")).alias("text"),
+    )
+    return cdc_chunk_dups(docs.unionByName(wrapped), divisor=16)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -2586,6 +2713,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_charset_detect": q_crawl_charset_detect,
         "crawl_robots_meta": q_crawl_robots_meta,
         "crawl_revalidate_plan": q_crawl_revalidate_plan,
+        "crawl_canonical_cluster": q_crawl_canonical_cluster,
+        "crawl_meta_refresh": q_crawl_meta_refresh,
+        "crawl_soft404": q_crawl_soft404,
+        "text_template_fp": q_text_template_fp,
+        "dedup_cdc_chunks": q_dedup_cdc_chunks,
     }
 
 
@@ -4520,6 +4652,148 @@ def oracle_sql() -> dict[str, str]:
                    ((doc_id % 100 = doc_id % 10 AND doc_id >= 10)
                     OR doc_id % 100 = 10 + doc_id % 10) AS allowed
             FROM documents
+        """,
+        # each group of 4 consecutive ids declares one target (leader
+        # declares nothing => 3 declared); doc_ids are contiguous from 0 so
+        # the leader/target is always a member => rep == target
+        "crawl_canonical_cluster": """
+            WITH u AS (
+                SELECT doc_id,
+                       'http://h' || ((doc_id // 4) % 10) || '.example/p'
+                           || (doc_id - doc_id % 4) AS canonical_url
+                FROM documents
+            )
+            SELECT canonical_url,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_declared,
+                   min(canonical_url) AS rep_url
+            FROM u GROUP BY canonical_url
+        """,
+        # d%3==1 -> one hop to the terminal p(d-1); d%3==2 -> two client
+        # hops; final = p(d - d%3); targets are == 0 mod 3, never sources,
+        # so no cycles
+        "crawl_meta_refresh": """
+            SELECT 'http://site.example/p' || doc_id AS url,
+                   CAST(doc_id % 30 AS INT) AS refresh_delay_s,
+                   'http://site.example/p' || (doc_id - 1) AS refresh_target,
+                   'http://site.example/p' || (doc_id - doc_id % 3) AS final_url,
+                   CAST(0 AS INT) AS is_cycle
+            FROM documents WHERE doc_id % 3 <> 0
+        """,
+        "crawl_soft404": """
+            WITH p AS (
+                SELECT doc_id,
+                       'http://h' || (doc_id % 5) || '.example/p' || doc_id AS url,
+                       'h' || (doc_id % 5) AS host,
+                       CAST(CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END
+                            AS INT) AS http_status,
+                       CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, 10)
+                            WHEN doc_id % 7 = 0 THEN 'Page not found. ' || text
+                            ELSE text END AS text
+                FROM documents
+            ),
+            l AS (SELECT *, CAST(length(text) AS BIGINT) AS text_len FROM p),
+            m AS (
+                SELECT host, CAST(median(text_len) AS DOUBLE) AS host_median_len
+                FROM l GROUP BY host
+            ),
+            f AS (
+                SELECT l.url, l.host, l.http_status, l.text_len, m.host_median_len,
+                       CAST(regexp_matches(lower(substr(l.text, 1, 512)),
+                           '(page not found|404 not found|404 error|does not exist|no longer available|file not found)')
+                           AS INT) AS err_phrase,
+                       CAST(l.text_len * 1000000
+                            < 250000 * m.host_median_len AS INT) AS thin
+                FROM l JOIN m USING (host)
+            )
+            SELECT url, host, http_status, text_len, host_median_len,
+                   err_phrase, thin,
+                   CAST(http_status = 200 AND (err_phrase = 1 OR thin = 1)
+                        AS INT) AS soft404
+            FROM f
+        """,
+        "text_template_fp": """
+            WITH p AS (
+                SELECT 'h' || (doc_id % 10) AS host, doc_id,
+                       '<html><head></head><body>'
+                           || repeat('<p>', CAST(1 + (doc_id // 10) % 4 AS INT))
+                           || text AS html
+                FROM documents
+            ),
+            f AS (
+                SELECT host, doc_id,
+                       md5(array_to_string(
+                           regexp_extract_all(lower(html), '<([a-z][a-z0-9]*)', 1),
+                           ',')) AS structure_fp
+                FROM p
+            )
+            SELECT host, structure_fp,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(min(doc_id) AS BIGINT) AS rep_doc,
+                   CAST(count(*) >= 3 AS INT) AS is_template
+            FROM f GROUP BY host, structure_fp
+        """,
+        # identical boundary rule + chunk fold as cdc_chunk_dups, as one
+        # pure list expression: token hash = square-mod-M31 of the mult-31
+        # poly fold (== _np_token_hash31); boundary after 1-based pos i
+        # when hs[i] % 16 = 0; final chunk forced to end at n; chunk hash =
+        # mult-31 fold of the chunk's token hashes mod POLY_MOD
+        "dedup_cdc_chunks": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, 'injected header prefix ' || text
+                FROM documents
+            ),
+            th AS (
+                SELECT doc_id,
+                       list_transform({TOKENS_SQL}, tok ->
+                           (({_POLY31.format(col="tok", mult=31)} % 2147483647)
+                            * ({_POLY31.format(col="tok", mult=31)} % 2147483647))
+                           % 2147483647) AS hs
+                FROM corpus
+            ),
+            c AS (
+                SELECT doc_id, hs, len(hs) AS n FROM th WHERE len(hs) > 0
+            ),
+            cut AS (
+                SELECT doc_id, hs, n,
+                       list_filter(range(1, n + 1), i -> hs[i] % 16 = 0) AS cuts
+                FROM c
+            ),
+            e AS (
+                SELECT doc_id, hs,
+                       CASE WHEN len(cuts) > 0 AND cuts[-1] = n THEN cuts
+                            ELSE list_concat(cuts, [n]) END AS ends
+                FROM cut
+            ),
+            s AS (
+                SELECT doc_id, hs, ends,
+                       list_transform(
+                           list_prepend(0, list_slice(ends, 1, len(ends) - 1)),
+                           p -> p + 1) AS starts
+                FROM e
+            ),
+            ch AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ends) + 1), j ->
+                           list_reduce(
+                               list_prepend(CAST(0 AS BIGINT),
+                                            list_slice(hs, starts[j], ends[j])),
+                               (a, x) -> (a * 31 + x) % 999999999999989)))
+                           AS chunk_hash,
+                       unnest(list_transform(range(1, len(ends) + 1), j ->
+                           ends[j] - starts[j] + 1)) AS chunk_len
+                FROM s
+            )
+            SELECT chunk_hash,
+                   CAST(min(chunk_len) AS INT) AS chunk_len,
+                   CAST(count(DISTINCT doc_id) AS INT) AS n_docs,
+                   CAST(count(*) AS INT) AS n_occurrences,
+                   CAST(min(doc_id) AS BIGINT) AS first_doc
+            FROM ch GROUP BY chunk_hash
+            HAVING count(DISTINCT doc_id) >= 2
         """,
     }
 

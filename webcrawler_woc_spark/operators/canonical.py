@@ -1,0 +1,158 @@
+"""rel=canonical and meta-refresh extraction — the two in-band URL-aliasing
+channels a crawl must honor before dedup/indexing.
+
+The reference crawler (src/crawler.rs) follows only server-side redirects
+implicitly through reqwest; real webtext pipelines additionally collapse
+pages by their DECLARED canonical (the ``<link rel="canonical">`` tag and
+the ``Link: <...>; rel="canonical"`` response header) and follow
+client-side ``<meta http-equiv="refresh">`` redirects — both are how CMSes
+express "this URL is an alias". Ignoring them inflates the index with
+URL-level duplicates that no content-hash dedup catches cheaply (the bodies
+often differ by session tokens or timestamps).
+
+All extraction here is scan-only pure Catalyst (latin-1 prescan + regexp —
+see extract.detect_charset for why latin-1: total over byte sequences, tag
+bytes are ASCII). The clustering step is one groupBy on the canonical
+target — at 100 TB it shuffles one small row per page, same key the
+index/dedup layers already use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# WHATWG-ish prescan window for <head> probes, shared with robots_meta_flags.
+HEAD_SCAN_BYTES = 4096
+
+
+def _absolutize(target, page_url):
+    """Resolve an extracted href against the page URL — Catalyst-only form
+    covering the two shapes CMSes actually emit for canonicals: absolute
+    http(s) URLs (kept verbatim) and root-relative paths (joined to the
+    page's scheme://host). Anything else (protocol-relative, dot-relative,
+    javascript:) is NULL — a conservative gate, not a full RFC 3986
+    resolver; the crawl's link extractor owns general resolution."""
+    origin = F.regexp_extract(page_url, r"^(https?://[^/]+)", 1)
+    return (
+        F.when(target.rlike(r"^https?://"), target)
+        .when(target.startswith("/") & ~target.startswith("//"), F.concat(origin, target))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def canonical_links(pages: DataFrame, body_col: str = "html") -> DataFrame:
+    """Adds ``canonical_source`` ('header' | 'link' | NULL) and
+    ``canonical_url`` (absolutized, NULL when the page declares none or the
+    declaration is unresolvable).
+
+    Channels, transport-first precedence (mirrors detect_charset's
+    header-over-meta ordering; Google documents both channels as equivalent
+    hints, so a fixed precedence is required for determinism):
+
+    * ``Link: <url>; rel="canonical"`` response header (``headers`` map
+      column, lowercased keys as the fetch schema stores them);
+    * ``<link rel="canonical" href="...">`` probed in the first 4096
+      latin-1-decoded bytes.
+
+    A self-canonical (target == page url) is kept — it is an explicit
+    declaration, and the cluster step treats it identically to "none".
+    """
+    head = F.lower(F.decode(F.substring(F.col(body_col), 1, HEAD_SCAN_BYTES), "ISO-8859-1"))
+    # attribute order varies in the wild: match rel=canonical ... href= OR
+    # href= ... rel=canonical within one <link> tag
+    link_tag = F.coalesce(
+        F.when(
+            (t := F.regexp_extract(
+                head,
+                r'<link[^>]*rel\s*=\s*["\']?canonical["\']?[^>]*href\s*=\s*["\']([^"\'>\s]+)',
+                1,
+            )) != "",
+            t,
+        ),
+        F.when(
+            (t2 := F.regexp_extract(
+                head,
+                r'<link[^>]*href\s*=\s*["\']([^"\'>\s]+)["\'][^>]*rel\s*=\s*["\']?canonical',
+                1,
+            )) != "",
+            t2,
+        ),
+    )
+    hdr_raw = F.element_at(F.col("headers"), "link")
+    hdr_tgt = F.regexp_extract(
+        F.lower(F.coalesce(hdr_raw, F.lit(""))), r'<([^>]+)>\s*;\s*rel\s*=\s*"?canonical', 1
+    )
+    hdr_tgt = F.when(hdr_tgt == "", F.lit(None)).otherwise(hdr_tgt)
+
+    target = F.coalesce(hdr_tgt, link_tag)
+    source = (
+        F.when(hdr_tgt.isNotNull(), F.lit("header"))
+        .when(link_tag.isNotNull(), F.lit("link"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return pages.withColumn("canonical_source", source).withColumn(
+        "canonical_url", _absolutize(target, F.col("url"))
+    )
+
+
+def canonical_clusters(pages: DataFrame, body_col: str = "html") -> DataFrame:
+    """Collapse pages by declared canonical: every page maps to
+    ``coalesce(canonical_url, url)`` (a page with no declaration — or a
+    self-canonical — is its own target) and clusters are the groups.
+
+    Returns one row per cluster:
+    (canonical_url, n_members, n_declared, rep_url) where ``n_declared``
+    counts members that EXPLICITLY declared the target (self-canonicals
+    count: an explicit self-declaration is still a declaration) and
+    ``rep_url`` is the canonical target itself when it is a member, else
+    the lexicographic min member (the target may not have been fetched).
+
+    One groupBy on the target key — the same shuffle key the dedup/index
+    layers use downstream, so at scale this folds into their exchange.
+    """
+    with_canon = canonical_links(pages, body_col=body_col)
+    member_key = F.coalesce(F.col("canonical_url"), F.col("url"))
+    return (
+        with_canon.select(
+            member_key.alias("canonical_url"),
+            F.col("url"),
+            F.col("canonical_source").isNotNull().cast("int").alias("declared"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("declared").alias("n_declared"),
+            F.coalesce(
+                F.min(F.when(F.col("url") == F.col("canonical_url"), F.col("url"))),
+                F.min("url"),
+            ).alias("rep_url"),
+        )
+    )
+
+
+def meta_refresh_redirects(pages: DataFrame, body_col: str = "html") -> DataFrame:
+    """Client-side redirects: ``<meta http-equiv="refresh"
+    content="N; url=TARGET">`` probed in the head-scan window.
+
+    Returns only the redirecting rows, as (url, refresh_delay_s,
+    refresh_target) — a refresh with no url= part reloads itself and is
+    dropped (self-refresh is a liveness hint, not an alias). The output is
+    edge-shaped on purpose: union it with the 3xx redirect map and feed
+    ``recrawl.resolve_redirects`` so mixed server/client chains collapse in
+    the same pointer-jumping rounds.
+    """
+    head = F.lower(F.decode(F.substring(F.col(body_col), 1, HEAD_SCAN_BYTES), "ISO-8859-1"))
+    content = F.regexp_extract(
+        head,
+        r'<meta[^>]*http-equiv\s*=\s*["\']?refresh["\']?[^>]*content\s*=\s*["\']([^"\'>]*)',
+        1,
+    )
+    delay = F.regexp_extract(content, r"^\s*(\d+)", 1)
+    target = F.regexp_extract(content, r"(?:;|,)\s*url\s*=\s*[\"']?([^\"'>\s]+)", 1)
+    return (
+        pages.withColumn("refresh_delay_s", F.when(delay != "", delay.cast("int")))
+        .withColumn("refresh_target", _absolutize(F.when(target != "", target), F.col("url")))
+        .filter(F.col("refresh_delay_s").isNotNull() & F.col("refresh_target").isNotNull())
+        .select("url", "refresh_delay_s", "refresh_target")
+    )

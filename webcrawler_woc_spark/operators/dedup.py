@@ -758,3 +758,106 @@ def editdistance_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("doc_id_a", "doc_id_b", F.col("dist").cast("int").alias("dist"))
     )
+
+
+def cdc_chunk_dups(documents: DataFrame, divisor: int = 16, min_docs: int = 2) -> DataFrame:
+    """Content-defined-chunking dedup (the rsync/LBFS/FastCDC idea applied
+    at token granularity): chunk boundaries are declared wherever a TOKEN's
+    content hash satisfies ``hash % divisor == 0``, so boundaries move WITH
+    the content — an insertion near the head of a page re-aligns after the
+    next boundary and every later chunk hashes identically. Fixed k-token
+    windows (exact_substring_dups) catch shared spans but emit n windows
+    per doc; CDC emits ~n/divisor chunks and is the standard shape for
+    near-identical page VERSIONS (CMS edits, mirrored articles with
+    injected headers) where the shared suffix is the whole story.
+
+    Boundary rule (pinned): a boundary falls AFTER 1-based token position
+    i when token_hash(i) % divisor == 0; the final chunk always ends at
+    n_tokens. Chunk hash = the same mult-31 fold over the chunk's token
+    hashes (mod POLY_MOD) the substring pass uses; expected chunk length =
+    ``divisor`` tokens (production adds min/max clamps — FastCDC's
+    normalized chunking — which this gate omits so the DuckDB twin stays a
+    pure list expression; the clamp is a one-line mask in this kernel).
+
+    Output (chunk_hash, chunk_len, n_docs, n_occurrences, first_doc) for
+    chunks seen in >= ``min_docs`` distinct docs.
+
+    Plan shape: ONE Arrow-batched kernel (mapInPandas — the memoized
+    token-hash vectorization of exact_substring_dups, then a rounds-over-
+    max-chunk-len Horner identical in spirit to _np_poly_squares) emits
+    (doc_id, chunk_hash, chunk_len) already exploded, then one
+    partial-agg'd groupBy on the 8-byte hash — shuffle rows ~ corpus
+    tokens / divisor, an order of magnitude lighter than the substring
+    pass. At 100 TB the groupBy is the only exchange.
+    """
+    from pyspark.sql.types import LongType, IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("chunk_hash", LongType()),
+            StructField("chunk_len", IntegerType()),
+        ]
+    )
+    D = divisor
+
+    def chunk_batches(frames):
+        for pdf in frames:
+            rows_doc: list[int] = []
+            texts = pdf["text"].tolist()
+            ids = pdf["doc_id"].tolist()
+            toks_per_doc = [(t or "").split() for t in texts]
+            all_toks = [tok for toks in toks_per_doc for tok in toks]
+            if all_toks:
+                uniq, inverse = np.unique(
+                    np.array(all_toks, dtype=object), return_inverse=True
+                )
+                hs_all = _np_token_hash31(uniq)[inverse]
+            else:
+                hs_all = np.zeros(0, dtype=np.int64)
+            off = 0
+            starts_all: list[np.ndarray] = []
+            lens_all: list[np.ndarray] = []
+            for did, toks in zip(ids, toks_per_doc):
+                n = len(toks)
+                if n == 0:
+                    off += n
+                    continue
+                hs = hs_all[off : off + n]
+                off += n
+                # 0-based indices AFTER which a boundary falls, + forced end
+                cuts = np.flatnonzero(hs % D == 0) + 1
+                if len(cuts) == 0 or cuts[-1] != n:
+                    cuts = np.append(cuts, n)
+                starts = np.concatenate(([0], cuts[:-1]))
+                lens = cuts - starts
+                starts_all.append(starts + (off - n))
+                lens_all.append(lens)
+                rows_doc.extend([did] * len(cuts))
+            if rows_doc:
+                starts_cat = np.concatenate(starts_all)
+                lens_cat = np.concatenate(lens_all)
+                acc = np.zeros(len(starts_cat), dtype=np.int64)
+                for pos in range(int(lens_cat.max())):
+                    active = lens_cat > pos
+                    c = hs_all[starts_cat[active] + pos]
+                    acc[active] = (acc[active] * 31 + c) % POLY_MOD
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.asarray(rows_doc, dtype=np.int64),
+                        "chunk_hash": acc,
+                        "chunk_len": lens_cat.astype(np.int32),
+                    }
+                )
+
+    chunks = documents.select("doc_id", "text").mapInPandas(chunk_batches, out_schema)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.min("chunk_len").cast("int").alias("chunk_len"),
+            F.countDistinct("doc_id").cast("int").alias("n_docs"),
+            F.count("*").cast("int").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

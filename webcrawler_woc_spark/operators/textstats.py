@@ -700,3 +700,37 @@ def merge_inverted_index(
         .parquet(path)
     )
     return touched
+
+
+def template_fingerprints(pages: DataFrame, min_cluster: int = 3) -> DataFrame:
+    """Structure-hash template clustering: pages rendered from one CMS
+    template share their TAG SEQUENCE even when every word differs, so
+    hashing the sequence of opening-tag names clusters a host's pages by
+    layout. The boilerplate/line-dedup operators catch repeated TEXT; this
+    catches repeated STRUCTURE — the signal used to find index/listing/
+    pagination template families whose text dedup never converges (every
+    calendar page is "unique" text on one template).
+
+    Input (host, doc_id, html string). Per page: extract lowercase opening
+    tag names in document order (regexp over the markup — void/self-closing
+    tags count, closing tags don't add information), fingerprint with
+    md5(comma-join) — md5 because the oracle engine must reproduce it
+    byte-for-byte (no xxhash64 in DuckDB).
+
+    Returns one row per (host, template) cluster:
+    (host, structure_fp, n_pages, rep_doc, is_template 0/1 by
+    ``min_cluster``). One partial-agg'd groupBy(host, fp) — shuffle rows =
+    page count collapsing to cluster count; at 100 TB the fp projection
+    rides the extraction scan and the rollup is host-template-bounded.
+    """
+    tags = F.expr(r"regexp_extract_all(lower(html), '<([a-z][a-z0-9]*)', 1)")
+    fp = F.md5(F.concat_ws(",", tags))
+    return (
+        pages.select("host", "doc_id", fp.alias("structure_fp"))
+        .groupBy("host", "structure_fp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pages"),
+            F.min("doc_id").cast("bigint").alias("rep_doc"),
+        )
+        .withColumn("is_template", (F.col("n_pages") >= min_cluster).cast("int"))
+    )

@@ -129,6 +129,69 @@ def host_trap_stats(frontier: DataFrame, **thresholds) -> DataFrame:
     )
 
 
+# phrases that mark an error page served with a 200 (word-ish bounded,
+# probed over the page's leading text where titles/H1s land)
+SOFT404_PHRASES = (
+    "page not found",
+    "404 not found",
+    "404 error",
+    "does not exist",
+    "no longer available",
+    "file not found",
+)
+SOFT404_PROBE_CHARS = 512
+# thin-content gate: text_len < 25% of the host's median length
+SOFT404_THIN_PPM = 250_000
+
+
+def soft404_flags(
+    pages: DataFrame,
+    thin_ppm: int = SOFT404_THIN_PPM,
+    probe_chars: int = SOFT404_PROBE_CHARS,
+) -> DataFrame:
+    """Soft-404 detection: pages that return HTTP 200 but ARE the error
+    page — the single biggest source of junk rows a status-code gate
+    cannot catch (misconfigured CMSes serve their 404 template with 200;
+    Common Crawl carries millions). Two independent signals:
+
+    * ``err_phrase`` — a known error phrase in the first ``probe_chars``
+      characters of extracted text (where the title/H1 lands);
+    * ``thin``       — text length below ``thin_ppm``/1e6 of the HOST's
+      median text length (error templates are short relative to the
+      host's real pages; an absolute cutoff would misfire on terse hosts).
+
+    ``soft404`` = status 200 AND (err_phrase OR thin) — pinned composite.
+
+    Input: (url, host, http_status, text). The host medians are one
+    partial-agg'd groupBy(host) (host-cardinality rows, broadcast back —
+    never a corpus-sized shuffle); the flags are scan-side. Median is the
+    exact interpolated percentile on both engines so the double compares
+    value-hash identically.
+    """
+    phrase_re = "(" + "|".join(p.replace(" ", " ") for p in SOFT404_PHRASES) + ")"
+    probe = F.lower(F.substring(F.col("text"), 1, probe_chars))
+    lens = pages.withColumn("text_len", F.length("text").cast("bigint"))
+    medians = lens.groupBy("host").agg(
+        F.percentile(F.col("text_len"), F.lit(0.5)).alias("host_median_len")
+    )
+    out = (
+        lens.join(F.broadcast(medians), "host")
+        .withColumn("err_phrase", probe.rlike(phrase_re).cast("int"))
+        .withColumn(
+            "thin",
+            (F.col("text_len") * PPM < F.lit(thin_ppm) * F.col("host_median_len"))
+            .cast("int"),
+        )
+    )
+    soft = (F.col("http_status") == 200) & (
+        (F.col("err_phrase") == 1) | (F.col("thin") == 1)
+    )
+    return out.withColumn("soft404", soft.cast("int")).select(
+        "url", "host", "http_status", "text_len", "host_median_len",
+        "err_phrase", "thin", "soft404",
+    )
+
+
 def filter_traps(frontier: DataFrame, **thresholds) -> DataFrame:
     """Frontier rows whose URL is NOT a trap, original columns preserved —
     the wave-side gate (CrawlConfig.trap_filter / CLI --trap-filter): trap
