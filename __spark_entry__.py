@@ -2552,6 +2552,101 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunk_dups(docs.unionByName(wrapped), divisor=16)
 
 
+def q_crawl_hreflang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate extraction (operators/canonical.
+    hreflang_alternates): groups of 3 consecutive doc_ids are one document
+    in en/de/fr; every member lists all three alternates (root-relative,
+    mixed quoting) plus decoy non-alternate <link> tags — 3 edges per
+    page. Arithmetic oracle (docs × the 3 declared languages)."""
+    from webcrawler_woc_spark.operators.canonical import hreflang_alternates
+
+    d = F.col("doc_id")
+    g = (d / 3).cast("bigint").cast("string")
+    lang = F.when(d % 3 == 0, "en").when(d % 3 == 1, "de").otherwise("fr")
+    url = F.concat(F.lit("http://site.example/"), lang, F.lit("/p"), g)
+    html_s = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/css">'),
+        F.lit('<link rel="alternate" hreflang="en" href="/en/p'), g, F.lit('">'),
+        F.lit("<link rel=alternate hreflang=de href='/de/p"), g, F.lit("'>"),
+        F.lit('<link hreflang="fr" rel="alternate" href="/fr/p'), g, F.lit('">'),
+        F.lit("</head>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        url.alias("url"), F.encode(html_s, "utf-8").alias("html")
+    )
+    return hreflang_alternates(pages)
+
+
+def q_crawl_url_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-template mining (operators/traps.url_patterns): five path
+    families per host — numeric-id pair, 16-hex token, uuid, static, and
+    query-carrying — mask to five patterns whose per-(host, family)
+    counts and min-url examples the oracle predicts by construction."""
+    from webcrawler_woc_spark.operators.traps import url_patterns
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    host = F.concat(F.lit("http://h"), (d % 4).cast("string"), F.lit(".example"))
+    path = (
+        F.when(d % 5 == 0, F.concat(F.lit("/product/"), ds, F.lit("/review/"), (d * 7).cast("string")))
+        .when(d % 5 == 1, F.concat(F.lit("/s/deadbeef"), F.lpad(ds, 8, "0")))
+        .when(d % 5 == 2, F.concat(F.lit("/u/123e4567-e89b-12d3-a456-"), F.lpad(ds, 12, "0")))
+        .when(d % 5 == 3, F.lit("/about/team"))
+        .otherwise(F.concat(F.lit("/p"), ds, F.lit("?id="), ds))
+    )
+    frontier = _docs(spark, sf_dir).select(F.concat(host, path).alias("url"))
+    return url_patterns(frontier)
+
+
+def q_crawl_retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry/backoff planning (operators/politeness.plan_retries):
+    n_failures cycles 1..8, so the doubling, the 2^6 cap and the give-up
+    gate (> 5) all occur. Pure arithmetic oracle."""
+    from webcrawler_woc_spark.operators.politeness import plan_retries
+
+    d = F.col("doc_id")
+    failures = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://h"), (d % 10).cast("string"), F.lit(".example/p"), d.cast("string")).alias("url"),
+        (d % 8 + 1).cast("int").alias("n_failures"),
+        (d * 1000).cast("bigint").alias("last_attempt_ms"),
+    )
+    return plan_retries(failures)
+
+
+def q_text_content_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-density segmentation (operators/textstats.content_density):
+    every page is a nav line + a content line (the doc text wrapped in
+    <p>) + a footer line, so n_content_lines reflects whether the doc
+    text passes the 20-char / 50%-density gates. The DuckDB twin
+    recomputes the identical per-line strip over the same html."""
+    from webcrawler_woc_spark.operators.textstats import content_density
+
+    html = F.concat(
+        F.lit('<div class="nav"><a href="/">home</a><a href="/b">b</a></div>\n<p>'),
+        F.col("text"),
+        F.lit("</p>\n<footer><a>about</a><a>contact</a></footer>"),
+    )
+    pages = _docs(spark, sf_dir).select("doc_id", html.alias("html"))
+    return content_density(pages)
+
+
+def q_text_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering (operators/textstats.blocklist_filter):
+    gambling terms appended on doc_id % 13 == 0, pharma on % 17 == 0,
+    piracy on % 19 == 0 (overlaps at the lcms exercise multi-category
+    rows). The DuckDB twin independently counts token membership over the
+    same modified text."""
+    from webcrawler_woc_spark.operators.textstats import blocklist_filter
+
+    d = F.col("doc_id")
+    text = F.col("text")
+    text = F.when(d % 13 == 0, F.concat(text, F.lit(" casino jackpot"))).otherwise(text)
+    text = F.when(d % 17 == 0, F.concat(text, F.lit(" viagra"))).otherwise(text)
+    text = F.when(d % 19 == 0, F.concat(text, F.lit(" warez keygen"))).otherwise(text)
+    docs = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return blocklist_filter(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -2718,6 +2813,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_soft404": q_crawl_soft404,
         "text_template_fp": q_text_template_fp,
         "dedup_cdc_chunks": q_dedup_cdc_chunks,
+        "crawl_hreflang": q_crawl_hreflang,
+        "crawl_url_patterns": q_crawl_url_patterns,
+        "crawl_retry_backoff": q_crawl_retry_backoff,
+        "text_content_density": q_text_content_density,
+        "text_blocklist": q_text_blocklist,
     }
 
 
@@ -4794,6 +4894,136 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS first_doc
             FROM ch GROUP BY chunk_hash
             HAVING count(DISTINCT doc_id) >= 2
+        """,
+        # every page (member of a 3-doc language group) declares all three
+        # alternates -> docs x langs, targets absolutized to the one host
+        "crawl_hreflang": """
+            WITH l(alt_lang) AS (VALUES ('en'), ('de'), ('fr'))
+            SELECT 'http://site.example/'
+                       || (CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                           ELSE 'fr' END)
+                       || '/p' || (doc_id // 3) AS url,
+                   alt_lang AS hreflang,
+                   'http://site.example/' || alt_lang || '/p' || (doc_id // 3)
+                       AS alt_url
+            FROM documents CROSS JOIN l
+        """,
+        # patterns predicted by construction (family -> masked form); the
+        # engine derives them by regexp masking — independent paths
+        "crawl_url_patterns": """
+            WITH u AS (
+                SELECT doc_id, doc_id % 4 AS h, doc_id % 5 AS m,
+                       'http://h' || (doc_id % 4) || '.example' AS hostu
+                FROM documents
+            ),
+            urls AS (
+                SELECT h, m,
+                    CASE m WHEN 0 THEN hostu || '/product/' || doc_id
+                                || '/review/' || (doc_id * 7)
+                           WHEN 1 THEN hostu || '/s/deadbeef'
+                                || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                           WHEN 2 THEN hostu || '/u/123e4567-e89b-12d3-a456-'
+                                || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+                           WHEN 3 THEN hostu || '/about/team'
+                           ELSE hostu || '/p' || doc_id || '?id=' || doc_id
+                           END AS url
+                FROM u
+            )
+            SELECT 'h' || h || '.example' AS host,
+                   CASE m WHEN 0 THEN '/product/{n}/review/{n}'
+                          WHEN 1 THEN '/s/{hex}'
+                          WHEN 2 THEN '/u/{uuid}'
+                          WHEN 3 THEN '/about/team'
+                          ELSE '/p{n}' END AS pattern,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   min(url) AS example_url
+            FROM urls GROUP BY 1, 2
+        """,
+        "crawl_retry_backoff": """
+            WITH u AS (
+                SELECT doc_id,
+                       CAST(doc_id % 8 + 1 AS INT) AS n_failures,
+                       CAST(doc_id * 1000 AS BIGINT) AS last_attempt_ms
+                FROM documents
+            )
+            SELECT 'http://h' || (doc_id % 10) || '.example/p' || doc_id AS url,
+                   n_failures, last_attempt_ms,
+                   CAST(n_failures > 5 AS INT) AS give_up,
+                   CAST(CASE WHEN n_failures > 5 THEN 0
+                        ELSE 1000 * (1 << least(n_failures - 1, 6))
+                        END AS BIGINT) AS backoff_ms,
+                   CASE WHEN n_failures > 5 THEN NULL
+                        ELSE CAST(last_attempt_ms
+                             + 1000 * (1 << least(n_failures - 1, 6)) AS BIGINT)
+                        END AS next_attempt_ms
+            FROM u
+        """,
+        # identical per-line strip recomputed over the same html (the
+        # density thresholds are the engine's pinned constants)
+        "text_content_density": """
+            WITH p AS (
+                SELECT doc_id,
+                       '<div class="nav"><a href="/">home</a><a href="/b">b</a></div>'
+                           || chr(10) || '<p>' || text || '</p>' || chr(10)
+                           || '<footer><a>about</a><a>contact</a></footer>' AS html
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id,
+                       list_transform(string_split(html, chr(10)), ln ->
+                           struct_pack(raw := length(ln),
+                                       txt := length(regexp_replace(
+                                           ln, '<[^>]*>', '', 'g')))) AS ls
+                FROM p
+            ),
+            a AS (
+                SELECT doc_id, ls,
+                       list_filter(ls, s -> s.txt >= 20
+                           AND s.txt * 1000000 >= 500000 * s.raw) AS cl
+                FROM l
+            )
+            SELECT doc_id,
+                   CAST(len(ls) AS INT) AS n_lines,
+                   CAST(len(cl) AS INT) AS n_content_lines,
+                   CAST(coalesce(list_sum(list_transform(cl, s -> s.txt)), 0)
+                        AS BIGINT) AS content_chars,
+                   CAST(coalesce(list_sum(list_transform(ls, s -> s.txt)), 0)
+                        AS BIGINT) AS text_chars,
+                   CAST((coalesce(list_sum(list_transform(cl, s -> s.txt)), 0)
+                         * 1000000)
+                        // greatest(coalesce(list_sum(list_transform(ls,
+                               s -> s.txt)), 0), 1) AS BIGINT) AS density_ppm
+            FROM a
+        """,
+        "text_blocklist": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 13 = 0 THEN ' casino jackpot'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 17 = 0 THEN ' viagra' ELSE '' END
+                       || CASE WHEN doc_id % 19 = 0 THEN ' warez keygen'
+                               ELSE '' END AS text
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id,
+                       list_transform({TOKENS_SQL}, x -> lower(x)) AS lt
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(len(list_filter(lt, x -> x IN ('casino', 'poker',
+                        'betting', 'jackpot', 'roulette'))) AS INT)
+                       AS gambling_hits,
+                   CAST(len(list_filter(lt, x -> x IN ('viagra', 'cialis',
+                        'pharmacy-discount', 'pills-online'))) AS INT)
+                       AS pharma_hits,
+                   CAST(len(list_filter(lt, x -> x IN ('warez', 'keygen',
+                        'serialz', 'cracked-download'))) AS INT)
+                       AS piracy_hits,
+                   CAST(gambling_hits > 0 OR pharma_hits > 0
+                        OR piracy_hits > 0 AS INT) AS blocked
+            FROM tok
         """,
     }
 

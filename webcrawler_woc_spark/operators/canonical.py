@@ -156,3 +156,49 @@ def meta_refresh_redirects(pages: DataFrame, body_col: str = "html") -> DataFram
         .filter(F.col("refresh_delay_s").isNotNull() & F.col("refresh_target").isNotNull())
         .select("url", "refresh_delay_s", "refresh_target")
     )
+
+
+def hreflang_alternates(pages: DataFrame, body_col: str = "html") -> DataFrame:
+    """Language-variant edges from ``<link rel="alternate" hreflang="xx"
+    href="...">`` — how multilingual sites declare that /en/about and
+    /de/ueber-uns are ONE document in two languages. A multilingual corpus
+    builder needs these clusters for two jobs: language-balanced sampling
+    that doesn't count one document once per language, and
+    translation-pair mining (the declared alignment is the supervision
+    signal).
+
+    Emits one row per declared alternate: (url, hreflang, alt_url) —
+    lowercased BCP-47-ish tag (``x-default`` passes through), target
+    absolutized with the same conservative resolver as canonicals.
+    Extraction is two passes, both Catalyst-only: collect whole
+    ``<link ...rel=alternate...>`` tags that carry BOTH attributes
+    (either attribute order), then per-tag regexp for the two values —
+    the per-element transform stays inside the scan, nothing shuffles.
+    Cluster formation downstream is the canonical_clusters pattern:
+    group on the sorted alternate set or union-find over edges
+    (graph.connected_components composes directly).
+    """
+    head = F.lower(F.decode(F.substring(F.col(body_col), 1, HEAD_SCAN_BYTES), "ISO-8859-1"))
+    tags = F.regexp_extract_all(
+        head, F.lit(r'(<link[^>]*rel\s*=\s*["\']?alternate[^>]*>)'), F.lit(1)
+    )
+    pairs = F.filter(
+        F.transform(
+            tags,
+            lambda t: F.struct(
+                F.regexp_extract(t, r'hreflang\s*=\s*["\']?([A-Za-z0-9\-]+)', 1).alias(
+                    "hreflang"
+                ),
+                F.regexp_extract(t, r'href\s*=\s*["\']([^"\'>\s]+)', 1).alias("target"),
+            ),
+        ),
+        lambda s: (s["hreflang"] != "") & (s["target"] != ""),
+    )
+    exploded = pages.select(
+        F.col("url"), F.explode(pairs).alias("alt")
+    )
+    return exploded.select(
+        "url",
+        F.col("alt.hreflang").alias("hreflang"),
+        _absolutize(F.col("alt.target"), F.col("url")).alias("alt_url"),
+    ).filter(F.col("alt_url").isNotNull())

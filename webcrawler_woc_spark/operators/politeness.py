@@ -370,3 +370,60 @@ def robots_meta_flags(pages: DataFrame, body_col: str = "html") -> DataFrame:
     return pages.withColumn("noindex", noindex.cast("int")).withColumn(
         "nofollow", nofollow.cast("int")
     )
+
+
+# retry/backoff policy (pinned; callers override per deployment)
+RETRY_BASE_MS = 1_000
+RETRY_MAX_EXP = 6  # cap the doubling at base * 2^6 = 64 s
+RETRY_GIVE_UP = 5  # more than this many failures -> drop the URL
+
+
+def plan_retries(
+    failures: DataFrame,
+    base_ms: int = RETRY_BASE_MS,
+    max_exp: int = RETRY_MAX_EXP,
+    give_up_after: int = RETRY_GIVE_UP,
+) -> DataFrame:
+    """Exponential-backoff retry planning over the fetch-failure table —
+    the step between "this fetch failed" (fetch.py's fetch_failed rows)
+    and the next wave's frontier: a transient 5xx/timeout deserves a
+    retry, but retrying 10^8 failed URLs every wave IS a DDoS, so the
+    delay doubles per consecutive failure and permanently-failing URLs
+    age out. The reference drops failures on the floor
+    (crawler.rs: a failed fetch is logged and forgotten); any real
+    recrawl loop needs this table.
+
+    Input (url, n_failures >= 1, last_attempt_ms). Adds:
+
+    * ``give_up``       — 0/1: n_failures > ``give_up_after``;
+    * ``backoff_ms``    — base_ms * 2^min(n_failures - 1, max_exp)
+      (first retry waits base_ms); 0 for give-up rows;
+    * ``next_attempt_ms`` — last_attempt_ms + backoff_ms (NULL for
+      give-up rows: there is no next attempt).
+
+    Pure scan-side integer arithmetic (shiftleft, no floats — value-hash
+    stable); the wave loop anti-joins its frontier against give_up rows
+    and gates retry rows on next_attempt_ms <= now. Deterministic on
+    purpose: jitter belongs to the EXECUTOR at request time, not the
+    plan (a deterministic plan is what makes kill/resume replayable).
+    """
+    give_up = (F.col("n_failures") > give_up_after).cast("int")
+    # SQL shiftleft: the bit count can be an expression (the PySpark
+    # wrapper insists on a literal int)
+    backoff = F.when(give_up == 1, F.lit(0).cast("bigint")).otherwise(
+        F.expr(
+            f"CAST({base_ms} AS BIGINT)"
+            f" * shiftleft(CAST(1 AS BIGINT), least(n_failures - 1, {max_exp}))"
+        )
+    )
+    return (
+        failures.withColumn("give_up", give_up)
+        .withColumn("backoff_ms", backoff)
+        .withColumn(
+            "next_attempt_ms",
+            F.when(
+                F.col("give_up") == 0,
+                (F.col("last_attempt_ms") + F.col("backoff_ms")).cast("bigint"),
+            ),
+        )
+    )

@@ -734,3 +734,123 @@ def template_fingerprints(pages: DataFrame, min_cluster: int = 3) -> DataFrame:
         )
         .withColumn("is_template", (F.col("n_pages") >= min_cluster).cast("int"))
     )
+
+
+# content-density segmentation thresholds (pinned)
+DENSITY_MIN_TEXT_CHARS = 20
+DENSITY_MIN_RATIO_PPM = 500_000  # text chars >= 50% of the line
+
+
+def content_density(pages: DataFrame) -> DataFrame:
+    """Line-wise content-density segmentation (the Readability/boilerpipe
+    heuristic, aggregate form): markup lines are mostly tags, main-content
+    lines are mostly text, so per line the ratio
+    text_chars / line_chars separates chrome from content without a DOM.
+    The line-boilerplate dedup (dedup.line_boilerplate_dedup) removes text
+    REPEATED across pages; this scores markup density WITHIN one page —
+    the two compose into the standard main-content extraction stack.
+
+    Input (doc_id, html string). Per page, over newline-split lines with
+    tags stripped per line (global regexp_replace of <...>):
+
+    * ``n_lines`` / ``n_content_lines`` — a content line has stripped
+      length >= 20 chars AND stripped length >= 50% of the raw line;
+    * ``content_chars`` — total stripped chars over content lines;
+    * ``text_chars``    — total stripped chars over ALL lines;
+    * ``density_ppm``   — (content_chars * 1e6) div max(text_chars, 1):
+      how much of the page's text lives in dense lines — the page-level
+      quality signal (index pages and nav shells score near 0).
+
+    Pure Catalyst array math (split -> transform -> aggregate) — no
+    explode, no shuffle: each page folds to one row inside the scan, the
+    shape that matters when the input is 100 TB of raw HTML."""
+    stripped = F.transform(
+        F.split(F.col("html"), "\n"),
+        lambda ln: F.struct(
+            F.length(ln).alias("raw"),
+            F.length(F.regexp_replace(ln, "<[^>]*>", "")).alias("txt"),
+        ),
+    )
+    is_content = (
+        lambda s: (s["txt"] >= DENSITY_MIN_TEXT_CHARS)
+        & (s["txt"] * PPM_DENSITY >= DENSITY_MIN_RATIO_PPM * s["raw"])
+    )
+    agg0 = F.lit(0).cast("bigint")
+    out = pages.withColumn("_ls", stripped)
+    out = (
+        out.withColumn("n_lines", F.size("_ls").cast("int"))
+        .withColumn(
+            "n_content_lines",
+            F.size(F.filter(F.col("_ls"), is_content)).cast("int"),
+        )
+        .withColumn(
+            "content_chars",
+            F.aggregate(
+                F.filter(F.col("_ls"), is_content), agg0, lambda a, s: a + s["txt"]
+            ),
+        )
+        .withColumn(
+            "text_chars",
+            F.aggregate(F.col("_ls"), agg0, lambda a, s: a + s["txt"]),
+        )
+        .withColumn(
+            "density_ppm",
+            F.expr(f"(content_chars * {PPM_DENSITY}) div greatest(text_chars, 1)").cast(
+                "bigint"
+            ),
+        )
+    )
+    return out.select(
+        "doc_id", "n_lines", "n_content_lines", "content_chars", "text_chars",
+        "density_ppm",
+    )
+
+
+PPM_DENSITY = 1_000_000
+
+# spam-category blocklists (pinned, lowercased exact-token match). These are
+# the C4/CCNet-style quality blocklists in miniature: production swaps in
+# the full lists (same shape, a broadcast set per category); token match —
+# not substring — so 'scrabble' never fires on 'crab'.
+BLOCKLISTS = {
+    "gambling": ("casino", "poker", "betting", "jackpot", "roulette"),
+    "pharma": ("viagra", "cialis", "pharmacy-discount", "pills-online"),
+    "piracy": ("warez", "keygen", "serialz", "cracked-download"),
+}
+BLOCKLIST_MAX_HITS = 0  # any hit past this count flags the doc
+
+
+def blocklist_filter(documents: DataFrame, max_hits: int = BLOCKLIST_MAX_HITS) -> DataFrame:
+    """Category blocklist scoring — the safety/spam gate every webtext
+    pipeline runs between language-ID and quality scoring (C4 dropped any
+    page with one "bad word" hit; CCNet buckets instead). Exact
+    lowercased TOKEN membership per category (substring matching is the
+    classic false-positive bug), all inside the scan:
+
+    (doc_id, gambling_hits, pharma_hits, piracy_hits, blocked) — blocked
+    = 1 when ANY category exceeds ``max_hits`` (default: one hit blocks,
+    the C4 rule). Per-category counts rather than one flag so policy can
+    re-threshold per category WITHOUT rescanning the corpus — the counts
+    table is the expensive artifact at 100 TB, the policy is a cheap
+    projection over it. Pure Catalyst: size(filter(tokens IN set)); the
+    sets are literal arrays (production: broadcast)."""
+    toks = F.transform(_tokens(F.col("text")), lambda t: F.lower(t))
+    out = documents.withColumn("_lt", toks)
+    hit_cols = []
+    for cat, words in BLOCKLISTS.items():
+        wset = F.array(*[F.lit(w) for w in words])
+        col = f"{cat}_hits"
+        out = out.withColumn(
+            col,
+            F.size(F.filter(F.col("_lt"), lambda t: F.array_contains(wset, t))).cast(
+                "int"
+            ),
+        )
+        hit_cols.append(col)
+    blocked = None
+    for col in hit_cols:
+        c = F.col(col) > max_hits
+        blocked = c if blocked is None else (blocked | c)
+    return out.withColumn("blocked", blocked.cast("int")).select(
+        "doc_id", *hit_cols, "blocked"
+    )

@@ -205,3 +205,46 @@ def filter_traps(frontier: DataFrame, **thresholds) -> DataFrame:
         "has_session_param", "is_trap",
     ]
     return flagged.filter(F.col("is_trap") == 0).drop(*added)
+
+
+# masking order is pinned (uuid before hex before digits: a uuid IS hex
+# runs, a hex run often IS digits); both engines' regexp_replace are
+# global (DuckDB needs the explicit 'g' flag — the oracle passes it)
+URL_PATTERN_MASKS = (
+    (r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "{uuid}"),
+    (r"[0-9a-f]{16,}", "{hex}"),
+    (r"[0-9]+", "{n}"),
+)
+
+
+def url_patterns(frontier: DataFrame) -> DataFrame:
+    """Per-host URL-template mining: mask the variable parts of every
+    path (numeric ids, hex tokens, uuids) and count URLs per residual
+    pattern — ``/product/{n}/review/{n}`` at 40M URLs and ``/static/css``
+    at 3 is the shape of a site, and the shape is what a frontier
+    scheduler budgets on: patterns with unbounded {n} cardinality are the
+    crawl-space; singleton patterns are the site chrome. The trap flags
+    (url_trap_flags) judge ONE url; this judges the host's URL SPACE.
+
+    Returns (host, pattern, n_urls, example_url) — pattern is the masked
+    path (query dropped: param VALUES are masked by definition and
+    param-set explosion is already n_params' job). One scan-side
+    projection + one partial-agg'd groupBy (host, pattern): shuffle rows
+    collapse from URL count to pattern count, tiny. Masking is pinned
+    lowercase-path, uuid > hex > digit order (each later mask would eat
+    the earlier's token otherwise)."""
+    host = F.lower(F.regexp_extract(F.col("url"), r"^https?://([^/?#]+)", 1))
+    path = F.lower(F.regexp_extract(F.col("url"), r"^https?://[^/?#]+([^?#]*)", 1))
+    pattern = F.when(path == "", F.lit("/")).otherwise(path)
+    for mask_re, token in URL_PATTERN_MASKS:
+        pattern = F.regexp_replace(pattern, mask_re, token)
+    return (
+        frontier.select(
+            host.alias("host"), pattern.alias("pattern"), F.col("url")
+        )
+        .groupBy("host", "pattern")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.min("url").alias("example_url"),
+        )
+    )
