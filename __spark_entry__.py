@@ -2647,6 +2647,59 @@ def q_text_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_filter(docs)
 
 
+def q_graph_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-mass-weighted host PageRank (operators/graph.
+    host_pagerank_int): synthetic host edges h(d%10) -> h((7d+3)%10) with
+    weight d%5+1 (never self-loops: 6d ≡ 7 mod 10 has no solution),
+    pre-aggregated as host_link_graph emits them; 2 rounds. The oracle
+    chains the identical integer rounds in SQL."""
+    from webcrawler_woc_spark.operators.graph import host_pagerank_int
+
+    d = F.col("doc_id")
+    raw = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (d % 10).cast("string")).alias("src_host"),
+        F.concat(F.lit("h"), ((d * 7 + 3) % 10).cast("string")).alias("dst_host"),
+        (d % 5 + 1).cast("bigint").alias("w"),
+    )
+    edges = raw.groupBy("src_host", "dst_host").agg(F.sum("w").alias("n_links"))
+    return host_pagerank_int(edges, iterations=2)
+
+
+def q_crawl_alias_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-alias composition (operators/canonical.alias_final_keys):
+    doc_id % 4 families — clean / redirect-only / canonical-only /
+    redirect-THEN-canonical (the landed page declares the canonical, so
+    the order of layers is exercised). Every family resolves to
+    u(d - d%4); arithmetic oracle."""
+    from webcrawler_woc_spark.operators.canonical import alias_final_keys
+
+    d = F.col("doc_id")
+    u = lambda expr: F.concat(F.lit("http://x.example/u"), expr.cast("string"))  # noqa: E731
+    docs = _docs(spark, sf_dir)
+    frontier = docs.select(u(d).alias("url"))
+    redirects = docs.filter((d % 4 == 1) | (d % 4 == 3)).select(
+        u(d).alias("src"), u(d - 1).alias("dst")
+    )
+    canon = docs.filter(d % 4 == 2).select(
+        u(d).alias("url"), u(d - 2).alias("canonical_url")
+    )
+    return alias_final_keys(frontier, redirects, canon)
+
+
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer char-distribution surprisal (operators/textstats.
+    char_entropy): doc_id % 10 == 0 docs are replaced by degenerate
+    'abab...' repetition (low surprisal), the rest keep natural text. The
+    DuckDB twin independently recomputes the same ilog2 fold."""
+    from webcrawler_woc_spark.operators.textstats import char_entropy
+
+    d = F.col("doc_id")
+    text = F.when(
+        d % 10 == 0, F.repeat(F.lit("ab"), (100 + d % 7).cast("int"))
+    ).otherwise(F.col("text"))
+    return char_entropy(_docs(spark, sf_dir).select("doc_id", text.alias("text")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -2818,6 +2871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_retry_backoff": q_crawl_retry_backoff,
         "text_content_density": q_text_content_density,
         "text_blocklist": q_text_blocklist,
+        "graph_host_pagerank": q_graph_host_pagerank,
+        "crawl_alias_resolve": q_crawl_alias_resolve,
+        "text_char_entropy": q_text_char_entropy,
     }
 
 
@@ -4994,6 +5050,92 @@ def oracle_sql() -> dict[str, str]:
                         // greatest(coalesce(list_sum(list_transform(ls,
                                s -> s.txt)), 0), 1) AS BIGINT) AS density_ppm
             FROM a
+        """,
+        "graph_host_pagerank": """
+            WITH e0 AS (
+                SELECT 'h' || (doc_id % 10) AS src,
+                       'h' || ((doc_id * 7 + 3) % 10) AS dst,
+                       doc_id % 5 + 1 AS w
+                FROM documents
+            ),
+            e AS (
+                SELECT src, dst, CAST(sum(w) AS BIGINT) AS n_links
+                FROM e0 GROUP BY src, dst
+            ),
+            nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+            outw AS (
+                SELECT src, CAST(sum(n_links) AS BIGINT) AS ow
+                FROM e GROUP BY src
+            ),
+            r0 AS (
+                SELECT host, CAST(1000000 AS BIGINT) AS rank_ppm FROM nodes
+            ),
+            r1 AS (
+                SELECT n.host,
+                       CAST(150000 + (85 * coalesce(i.s, 0)) // 100 AS BIGINT)
+                           AS rank_ppm
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS host,
+                           sum((r.rank_ppm * e.n_links) // o.ow) AS s
+                    FROM e JOIN outw o USING (src)
+                           JOIN r0 r ON r.host = e.src
+                    GROUP BY e.dst) i ON i.host = n.host
+            ),
+            r2 AS (
+                SELECT n.host,
+                       CAST(150000 + (85 * coalesce(i.s, 0)) // 100 AS BIGINT)
+                           AS rank_ppm
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS host,
+                           sum((r.rank_ppm * e.n_links) // o.ow) AS s
+                    FROM e JOIN outw o USING (src)
+                           JOIN r1 r ON r.host = e.src
+                    GROUP BY e.dst) i ON i.host = n.host
+            ),
+            fin AS (SELECT 1)
+            SELECT host, rank_ppm FROM r2
+        """,
+        "crawl_alias_resolve": """
+            SELECT 'http://x.example/u' || doc_id AS url,
+                   'http://x.example/u' || (doc_id - doc_id % 4) AS final_key,
+                   CAST(doc_id % 4 IN (1, 3) AS INT) AS via_redirect,
+                   CAST(doc_id % 4 IN (2, 3) AS INT) AS via_canonical
+            FROM documents
+        """,
+        "text_char_entropy": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 0
+                            THEN repeat('ab', CAST(100 + doc_id % 7 AS INT))
+                            ELSE text END AS text
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ''), x -> x <> '') AS chars
+                FROM t
+            ),
+            u AS (
+                SELECT doc_id, chars, len(chars) AS n,
+                       list_distinct(chars) AS uniq
+                FROM c
+            ),
+            k AS (
+                SELECT doc_id, n, len(uniq) AS nd,
+                       coalesce(list_sum(list_transform(uniq, ch ->
+                           len(list_filter(chars, x -> x = ch))
+                           * ((length(bin(n)) - 1)
+                              - (length(bin(len(list_filter(chars,
+                                    x -> x = ch)))) - 1)))), 0) AS bits
+                FROM u
+            )
+            SELECT doc_id,
+                   CAST(n AS INT) AS n_chars,
+                   CAST(nd AS INT) AS n_distinct_chars,
+                   CAST(bits AS BIGINT) AS surprisal_bits,
+                   CAST((bits * 100) // greatest(n, 1) AS BIGINT)
+                       AS centibits_per_char
+            FROM k
         """,
         "text_blocklist": f"""
             WITH t AS (

@@ -45,6 +45,11 @@ SMJ_OK = {
     # cannot broadcast-hash, and both sides are vocabulary-sized aggregates
     # (never the corpora) — SMJ is the right plan
     "text_term_drift",
+    # frontier ⋈ redirect-map ⋈ canonical-map: the alias tables' sizes are
+    # data-dependent (10^9-row redirect maps exist at the design point —
+    # not broadcastable), every join is keyed on the url the frontier is
+    # already partitioned by; AQE may downgrade to broadcast when small
+    "crawl_alias_resolve",
 }
 # BNLJ allowlist: the exact cosine baseline broadcasts the tiny query set
 # into a crossJoin by design; IVF broadcasts the tiny centroid table into

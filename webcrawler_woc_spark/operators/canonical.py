@@ -202,3 +202,45 @@ def hreflang_alternates(pages: DataFrame, body_col: str = "html") -> DataFrame:
         F.col("alt.hreflang").alias("hreflang"),
         _absolutize(F.col("alt.target"), F.col("url")).alias("alt_url"),
     ).filter(F.col("alt_url").isNotNull())
+
+
+def alias_final_keys(
+    frontier: DataFrame, redirects: DataFrame, canonical_map: DataFrame,
+    max_rounds: int = 5,
+) -> DataFrame:
+    """The full URL-aliasing composition a dedup/index layer keys on:
+    frontier url -> transitive redirect resolution (server 3xx + client
+    meta-refresh edges, pointer-jumped) -> declared-canonical mapping of
+    the LANDED url (a canonical is declared by the page that finally
+    renders, so it applies after redirects — the order is load-bearing).
+
+    Inputs: ``redirects`` (src, dst) raw hop map; ``canonical_map``
+    (url, canonical_url) — canonical_links output rows that declared one.
+    Output per frontier row: (url, final_key, via_redirect 0/1,
+    via_canonical 0/1). Grouping by final_key is alias-aware dedup; the
+    n_aliases-per-key rollup is one groupBy downstream.
+
+    Scale shape: two left equi-joins against alias tables that are tiny
+    relative to the corpus (only REDIRECTING and DECLARING rows appear),
+    after a fixed number of self-joins inside resolve_redirects — every
+    join keyed on the url, the partitioning the frontier already has.
+    """
+    from .recrawl import resolve_redirects
+
+    resolved = resolve_redirects(redirects, max_rounds=max_rounds).select(
+        F.col("src").alias("url"), F.col("final_url")
+    )
+    f1 = frontier.join(resolved, "url", "left").select(
+        "url",
+        F.coalesce(F.col("final_url"), F.col("url")).alias("_landed"),
+        F.col("final_url").isNotNull().cast("int").alias("via_redirect"),
+    )
+    cm = canonical_map.select(
+        F.col("url").alias("_landed"), F.col("canonical_url").alias("_canon")
+    )
+    return f1.join(cm, "_landed", "left").select(
+        "url",
+        F.coalesce(F.col("_canon"), F.col("_landed")).alias("final_key"),
+        "via_redirect",
+        F.col("_canon").isNotNull().cast("int").alias("via_canonical"),
+    )

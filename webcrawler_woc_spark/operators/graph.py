@@ -523,3 +523,51 @@ def cocitation_topk(edges: DataFrame, per_target_cap: int = 5, k: int = 20) -> D
     return counts.orderBy(
         F.col("n_shared").desc(), F.col("src_a").asc(), F.col("src_b").asc()
     ).limit(k)
+
+
+def host_pagerank_int(host_edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """Link-mass-WEIGHTED PageRank over the inter-host graph
+    (host_link_graph output): each host's rank flows out proportionally to
+    n_links per edge, not split equally — 10,000 editorial links to one
+    neighbor and 1 footer link to another are not the same endorsement.
+    This is the domain-authority signal the frontier scorer
+    (crawl_frontier_score) and TrustRank seeding consume: host-level, so
+    the whole computation runs on a graph orders of magnitude smaller
+    than the page graph.
+
+    rank_0 = 10^6 ppm; rank_{i+1}(v) = 150000 +
+    (85 * Σ_{u→v} (rank_i(u) * w(u,v)) div outw(u)) div 100 — all-integer
+    (div before damping, same contract as pagerank_int; dangling hosts
+    keep only the teleport term). Per round: one edge ⋈ outw ⋈ rank join
+    chain + one groupBy(dst) — shuffle rows = host-edge count; lineage
+    cut per round (localCheckpoint, the pagerank pattern). Output
+    (host, rank_ppm).
+    """
+    edges = host_edges.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst"),
+        F.col("n_links").cast("bigint").alias("w"),
+    )
+    nodes = edges.select(F.col("src").alias("host")).union(
+        edges.select(F.col("dst").alias("host"))
+    ).distinct()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ranks = nodes.select("host", F.lit(PPM).cast("bigint").alias("rank_ppm"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(outw, "src")
+            .join(ranks, edges["src"] == ranks["host"])
+            .select(F.col("dst"), F.expr("(rank_ppm * w) div ow").alias("c"))
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(inflow, nodes["host"] == inflow["dst"], "left")
+            .withColumn("s", F.coalesce(F.col("s"), F.lit(0).cast("bigint")))
+            .select(
+                "host",
+                (F.lit(150_000).cast("bigint") + F.expr("(85 * s) div 100")).alias(
+                    "rank_ppm"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -854,3 +854,47 @@ def blocklist_filter(documents: DataFrame, max_hits: int = BLOCKLIST_MAX_HITS) -
     return out.withColumn("blocked", blocked.cast("int")).select(
         "doc_id", *hit_cols, "blocked"
     )
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """Character-distribution surprisal — the gibberish/low-diversity gate
+    (base64 blobs, keyboard mash, 'aaaa...' padding all have degenerate
+    char distributions; natural language sits in a stable band). Exact
+    INTEGER form of Shannon entropy, the same ilog2 trick as
+    lm_quality_scores: per distinct char c with count k in a doc of n
+    chars, surprisal_bits += k * (ilog2(n) - ilog2(k)), where
+    ilog2(x) = length(bin(x)) - 1 = floor(log2 x). No floats anywhere, so
+    the fold is commutative-exact and NO cross-engine ordering or IEEE
+    concerns exist (why there is no sort before the fold).
+
+    Output (doc_id, n_chars, n_distinct_chars, surprisal_bits,
+    centibits_per_char = 100 * bits div max(n, 1)).
+
+    Pure Catalyst per-doc array math (distinct chars x count-scan — the
+    char alphabet is small so the quadratic term is bounded); scan-only,
+    no shuffle. At 100 TB the same fold runs as-is; if alphabets blow up
+    (CJK) swap the inner count-scan for one explode + groupBy(doc_id,
+    char), the lm-score shape."""
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != "")
+    docs = documents.withColumn("_chars", chars).withColumn(
+        "_n", F.size("_chars").cast("bigint")
+    )
+    ilog2 = lambda c: (F.length(F.bin(c)) - 1).cast("bigint")  # noqa: E731
+    counts = F.transform(
+        F.array_distinct(F.col("_chars")),
+        lambda ch: F.size(F.filter(F.col("_chars"), lambda x: x == ch)).cast("bigint"),
+    )
+    bits = F.aggregate(
+        counts,
+        F.lit(0).cast("bigint"),
+        lambda a, k: a + k * (ilog2(F.col("_n")) - ilog2(k)),
+    )
+    return docs.select(
+        "doc_id",
+        F.col("_n").cast("int").alias("n_chars"),
+        F.size(F.array_distinct(F.col("_chars"))).cast("int").alias("n_distinct_chars"),
+        bits.alias("surprisal_bits"),
+        F.expr("(surprisal_bits * 100) div greatest(_n, 1)")
+        .cast("bigint")
+        .alias("centibits_per_char"),
+    )
