@@ -2700,6 +2700,98 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(_docs(spark, sf_dir).select("doc_id", text.alias("text")))
 
 
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPA communities (operators/graph.label_propagation): rings of 5
+    consecutive doc_ids (one per group) plus a chord from position 2 to
+    the group leader — dense-enough clusters that 3 self-inclusive mode
+    rounds converge within each group. The oracle chains the identical
+    rounds (MATERIALIZED CTEs, QUALIFY argmax with the same pinned
+    count-desc/label-asc tiebreak)."""
+    from webcrawler_woc_spark.operators.graph import label_propagation
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select("doc_id")
+    g5 = (d / 5).cast("bigint") * 5
+    ring = docs.select(d.alias("src"), (g5 + (d + 1) % 5).alias("dst"))
+    chord = docs.filter(d % 5 == 2).select(d.alias("src"), g5.alias("dst"))
+    return label_propagation(nodes, ring.unionByName(chord), iterations=3)
+
+
+def q_crawl_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured page metadata (operators/extract.page_metadata): title
+    always present, meta description on doc_id % 3 == 0, og:title on
+    % 4 == 0, html lang on % 5 (en / de / absent) — presence and NULL
+    paths all arithmetic-predicted."""
+    from webcrawler_woc_spark.operators.extract import page_metadata
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    html_s = F.concat(
+        F.lit("<html"),
+        F.when(d % 5 == 0, F.lit(' lang="en"'))
+        .when(d % 5 == 1, F.lit(" lang='de'"))
+        .otherwise(F.lit("")),
+        F.lit("><head><title>Doc "), ds, F.lit("</title>"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit('<meta name="description" content="About doc '), ds, F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit('<meta property="og:title" content="OG '), ds, F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.lit("</head>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(html_s, "utf-8").alias("html")
+    )
+    return page_metadata(pages).select(
+        "doc_id", "title", "meta_description", "og_title", "html_lang"
+    )
+
+
+def q_crawl_nofollow_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nofollow outlink profile (operators/extract.nofollow_stats): pages
+    carry 1 + doc_id % 4 anchor tags — positions 1 and 2 nofollow'd (one
+    with a multi-token rel, exercising the word boundary), position 3 a
+    decoy 'nofollowish'. Arithmetic oracle."""
+    from webcrawler_woc_spark.operators.extract import nofollow_stats
+
+    d = F.col("doc_id")
+    html_s = F.concat(
+        F.lit('<p><a href="/l0">x</a>'),
+        F.when(d % 4 >= 1, F.lit('<a rel="nofollow" href="/l1">x</a>')).otherwise(F.lit("")),
+        F.when(d % 4 >= 2, F.lit("<a href='/l2' rel='nofollow noopener'>x</a>")).otherwise(F.lit("")),
+        F.when(d % 4 >= 3, F.lit('<a rel="nofollowish" href="/l3">x</a>')).otherwise(F.lit("")),
+    )
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(html_s, "utf-8").alias("html")
+    )
+    return nofollow_stats(pages).select(
+        "doc_id", "n_links", "n_nofollow", "follow_ratio_ppm"
+    )
+
+
+def q_crawl_adaptive_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-host timeout planning (operators/politeness.
+    plan_adaptive_timeouts): synthetic latencies (d*37) % 20000 + 100 ms
+    across 10 hosts with a 45 s outlier on every 50th doc — nearest-rank
+    p95, x2, clamped to [1s, 30s]; the outliers show up in
+    n_would_timeout. The oracle recomputes the identical order
+    statistics."""
+    from webcrawler_woc_spark.operators.politeness import plan_adaptive_timeouts
+
+    d = F.col("doc_id")
+    fetches = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (d % 10).cast("string")).alias("host"),
+        F.when(d % 50 == 0, F.lit(45000).cast("bigint"))
+        .otherwise(((d * 37) % 20000 + 100).cast("bigint"))
+        .alias("fetch_ms"),
+    )
+    return plan_adaptive_timeouts(fetches)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -2874,6 +2966,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_host_pagerank": q_graph_host_pagerank,
         "crawl_alias_resolve": q_crawl_alias_resolve,
         "text_char_entropy": q_text_char_entropy,
+        "graph_label_prop": q_graph_label_prop,
+        "crawl_page_metadata": q_crawl_page_metadata,
+        "crawl_nofollow_links": q_crawl_nofollow_links,
+        "crawl_adaptive_timeout": q_crawl_adaptive_timeout,
     }
 
 
@@ -5135,6 +5231,121 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bits AS BIGINT) AS surprisal_bits,
                    CAST((bits * 100) // greatest(n, 1) AS BIGINT)
                        AS centibits_per_char
+            FROM k
+        """,
+        "graph_label_prop": """
+            WITH e0 AS (
+                SELECT doc_id AS src,
+                       (doc_id // 5) * 5 + (doc_id + 1) % 5 AS dst
+                FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id // 5) * 5 FROM documents
+                WHERE doc_id % 5 = 2
+            ),
+            und AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM e0
+                    UNION ALL SELECT dst, src FROM e0)
+            ),
+            l0 AS MATERIALIZED (
+                SELECT doc_id, doc_id AS label FROM documents
+            ),
+            r1 AS MATERIALIZED (
+                SELECT node AS doc_id, label FROM (
+                    SELECT node, label, cnt,
+                           row_number() OVER (PARTITION BY node
+                               ORDER BY cnt DESC, label ASC) AS rn
+                    FROM (
+                        SELECT node, label, count(*) AS cnt FROM (
+                            SELECT e.dst AS node, l.label
+                            FROM und e JOIN l0 l ON l.doc_id = e.src
+                            UNION ALL
+                            SELECT doc_id AS node, label FROM l0
+                        ) v GROUP BY node, label
+                    )
+                ) WHERE rn = 1
+            ),
+            r2 AS MATERIALIZED (
+                SELECT node AS doc_id, label FROM (
+                    SELECT node, label, cnt,
+                           row_number() OVER (PARTITION BY node
+                               ORDER BY cnt DESC, label ASC) AS rn
+                    FROM (
+                        SELECT node, label, count(*) AS cnt FROM (
+                            SELECT e.dst AS node, l.label
+                            FROM und e JOIN r1 l ON l.doc_id = e.src
+                            UNION ALL
+                            SELECT doc_id AS node, label FROM r1
+                        ) v GROUP BY node, label
+                    )
+                ) WHERE rn = 1
+            ),
+            r3 AS MATERIALIZED (
+                SELECT node AS doc_id, label FROM (
+                    SELECT node, label, cnt,
+                           row_number() OVER (PARTITION BY node
+                               ORDER BY cnt DESC, label ASC) AS rn
+                    FROM (
+                        SELECT node, label, count(*) AS cnt FROM (
+                            SELECT e.dst AS node, l.label
+                            FROM und e JOIN r2 l ON l.doc_id = e.src
+                            UNION ALL
+                            SELECT doc_id AS node, label FROM r2
+                        ) v GROUP BY node, label
+                    )
+                ) WHERE rn = 1
+            ),
+            fin AS (SELECT 1)
+            SELECT doc_id, label FROM r3
+        """,
+        "crawl_page_metadata": """
+            SELECT doc_id,
+                   'Doc ' || doc_id AS title,
+                   CASE WHEN doc_id % 3 = 0 THEN 'About doc ' || doc_id
+                        ELSE NULL END AS meta_description,
+                   CASE WHEN doc_id % 4 = 0 THEN 'OG ' || doc_id
+                        ELSE NULL END AS og_title,
+                   CASE doc_id % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                        ELSE NULL END AS html_lang
+            FROM documents
+        """,
+        "crawl_nofollow_links": """
+            WITH u AS (SELECT doc_id, doc_id % 4 AS m FROM documents)
+            SELECT doc_id,
+                   CAST(m + 1 AS INT) AS n_links,
+                   CAST(CASE WHEN m >= 2 THEN 2 WHEN m >= 1 THEN 1
+                        ELSE 0 END AS INT) AS n_nofollow,
+                   CAST(((m + 1 - CASE WHEN m >= 2 THEN 2 WHEN m >= 1 THEN 1
+                          ELSE 0 END) * 1000000) // (m + 1) AS BIGINT)
+                       AS follow_ratio_ppm
+            FROM u
+        """,
+        "crawl_adaptive_timeout": """
+            WITH f AS (
+                SELECT 'h' || (doc_id % 10) AS host,
+                       CAST(CASE WHEN doc_id % 50 = 0 THEN 45000
+                            ELSE (doc_id * 37) % 20000 + 100 END AS BIGINT)
+                           AS fetch_ms
+                FROM documents
+            ),
+            g AS (
+                SELECT host, list_sort(list(fetch_ms)) AS ms
+                FROM f GROUP BY host
+            ),
+            k AS (
+                SELECT host, ms, len(ms) AS n,
+                       ms[CAST(greatest((len(ms) * 95 + 99) // 100, 1)
+                               AS INT)] AS p95
+                FROM g
+            )
+            SELECT host,
+                   CAST(n AS INT) AS n_fetches,
+                   CAST(p95 AS BIGINT) AS p95_ms,
+                   CAST(least(greatest(p95 * 2, 1000), 30000) AS BIGINT)
+                       AS timeout_ms,
+                   CAST(len(list_filter(ms, x ->
+                        x > least(greatest(p95 * 2, 1000), 30000))) AS INT)
+                       AS n_would_timeout
             FROM k
         """,
         "text_blocklist": f"""

@@ -187,3 +187,65 @@ def detect_charset(pages: DataFrame, body_col: str = "html") -> DataFrame:
             ),
         )
     )
+
+
+def page_metadata(pages: DataFrame, body_col: str = "html") -> DataFrame:
+    """Structured page metadata — the five fields every index/quality
+    layer wants without parsing a DOM: ``title`` (first <title> in the
+    head window), ``meta_description``, ``og_title`` (social-graph title,
+    often cleaner than <title>), ``html_lang`` (the declared lang
+    attribute — the PRIOR the statistical lang-id gate should be checked
+    against; disagreement is itself a spam signal), all lowercase-matched
+    but emitted with original casing preserved from the latin-1 prescan.
+    Empty extraction -> NULL, never ''. Scan-only pure Catalyst, rides
+    the same decode as detect_charset/robots_meta_flags."""
+    head = F.decode(F.substring(F.col(body_col), 1, 4096), "ISO-8859-1")
+
+    def _first(pattern: str):
+        v = F.regexp_extract(head, pattern, 1)
+        return F.when(v != "", v)
+
+    return (
+        pages.withColumn("title", _first(r"(?is)<title[^>]*>\s*(.*?)\s*</title>"))
+        .withColumn(
+            "meta_description",
+            _first(
+                r'(?is)<meta[^>]*name\s*=\s*["\']?description["\']?[^>]*content\s*=\s*["\']([^"\']*)'
+            ),
+        )
+        .withColumn(
+            "og_title",
+            _first(
+                r'(?is)<meta[^>]*property\s*=\s*["\']og:title["\'][^>]*content\s*=\s*["\']([^"\']*)'
+            ),
+        )
+        .withColumn("html_lang", _first(r'(?is)<html[^>]*\slang\s*=\s*["\']?([A-Za-z\-]+)'))
+    )
+
+
+def nofollow_stats(pages: DataFrame, body_col: str = "html") -> DataFrame:
+    """Per-page outlink rel=nofollow profile: (n_links, n_nofollow,
+    follow_ratio_ppm). A page's nofollow'd links must not pass rank
+    (graph edges from them are endorsement-free) and a page whose links
+    are MOSTLY nofollow is usually a UGC/comment farm — the page-level
+    twin of the robots-meta nofollow gate (which kills ALL outlinks).
+    Word-bounded match inside the rel attribute value ('nofollow
+    noopener' counts, 'nofollowish' does not). Whole-body scan (links are
+    not confined to the head), pure Catalyst: one regexp_extract_all +
+    two sizes."""
+    body = F.lower(F.decode(F.col(body_col), "ISO-8859-1"))
+    atags = F.regexp_extract_all(body, F.lit(r"(<a\s[^>]*>)"), F.lit(1))
+    nofollow = F.filter(
+        atags,
+        lambda t: t.rlike(r'rel\s*=\s*["\']?[^"\'>]*\bnofollow\b'),
+    )
+    return (
+        pages.withColumn("n_links", F.size(atags).cast("int"))
+        .withColumn("n_nofollow", F.size(nofollow).cast("int"))
+        .withColumn(
+            "follow_ratio_ppm",
+            F.expr("((n_links - n_nofollow) * 1000000) div greatest(n_links, 1)").cast(
+                "bigint"
+            ),
+        )
+    )

@@ -571,3 +571,54 @@ def host_pagerank_int(host_edges: DataFrame, iterations: int = 2) -> DataFrame:
             .localCheckpoint()
         )
     return ranks
+
+
+def label_propagation(nodes: DataFrame, edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA,
+    Raghavan et al. 2007) over the UNDIRECTED graph: every node starts as
+    its own label and repeatedly adopts the MODE label among its
+    neighbors AND itself (the self-inclusive vote — without it,
+    synchronous updates oscillate forever on bipartite structures: a
+    single edge swaps two labels every round; tiebreak: smallest label —
+    pinned, so rounds are deterministic); isolated nodes keep their
+    label. Communities are what link-farm and
+    mirror-cluster analysis runs on — connected_components merges
+    everything reachable, LPA splits a component into its densely-linked
+    cores, which is the granularity spam rings actually have.
+
+    Output (doc_id, label) after ``iterations`` synchronous rounds.
+
+    Per round: one edge ⋈ label join + one groupBy(node, label) count +
+    one max_by per node — shuffle rows = edge count then node count;
+    lineage cut per round (localCheckpoint, the pagerank pattern). The
+    mode vote uses max_by over a (count, -label) struct rather than a
+    window sort: one aggregate, no per-partition sort."""
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(iterations):
+        votes = (
+            und.join(labels, und["src"] == labels["doc_id"])
+            .select(F.col("dst").alias("node"), F.col("label"))
+            # the self-vote: each node's own current label counts once
+            .union(labels.select(F.col("doc_id").alias("node"), F.col("label")))
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # mode with min-label tiebreak: max_by over (cnt, -label) — the
+        # struct comparison is lexicographic, so larger cnt wins, then
+        # smaller label (negated) wins
+        winners = votes.groupBy("node").agg(
+            F.max_by("label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl")))
+            .alias("new_label")
+        )
+        labels = (
+            labels.join(winners, labels["doc_id"] == winners["node"], "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels

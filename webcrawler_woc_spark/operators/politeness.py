@@ -427,3 +427,56 @@ def plan_retries(
             ),
         )
     )
+
+
+# adaptive-timeout clamps (pinned)
+TIMEOUT_MIN_MS = 1_000
+TIMEOUT_MAX_MS = 30_000
+TIMEOUT_P = 95  # nearest-rank percentile, integer percent
+
+
+def plan_adaptive_timeouts(
+    fetches: DataFrame,
+    min_ms: int = TIMEOUT_MIN_MS,
+    max_ms: int = TIMEOUT_MAX_MS,
+    p: int = TIMEOUT_P,
+) -> DataFrame:
+    """Per-host adaptive timeout planning: one global --timeout (the
+    reference's 10 s, cli.rs:34-35) wastes budget both ways — it aborts
+    slow-but-healthy hosts and waits far too long on fast hosts' stragglers.
+    The standard fix: timeout(host) = clamp(2 * p95(latency), floor, cap),
+    recomputed per crawl wave from observed fetch_ms.
+
+    NEAREST-RANK p95 (the ceil(p*n/100)-th order statistic) — an actual
+    observed value, all-integer, so both engines agree exactly
+    (interpolated percentiles differ in IEEE op order across engines and
+    a floor() at an integer boundary amplifies a 1-ulp difference into
+    an off-by-one).
+
+    Output (host, n_fetches, p95_ms, timeout_ms, n_would_timeout — how
+    many observed fetches the NEW timeout would have aborted: the
+    self-consistency readout, <= 5% by construction).
+
+    Shape: per-host sorted collect_list — host groups are politeness-
+    bounded (a wave fetches a capped number of pages per host), so the
+    arrays are small by the same invariant that bounds the scheduler;
+    for uncapped offline analysis swap in approx_percentile (sketch
+    merges map-side)."""
+    grouped = fetches.groupBy("host").agg(
+        F.sort_array(F.collect_list(F.col("fetch_ms").cast("bigint"))).alias("_ms"),
+    )
+    n = F.size("_ms")
+    # integer ceil: ceil(n*p/100) == (n*p + 99) div 100 — no doubles anywhere
+    idx = F.expr(f"(size(_ms) * {p} + 99) div 100").cast("int")
+    p95 = F.element_at(F.col("_ms"), F.greatest(idx, F.lit(1)))
+    timeout = F.least(F.greatest(p95 * 2, F.lit(min_ms).cast("bigint")), F.lit(max_ms).cast("bigint"))
+    return (
+        grouped.withColumn("n_fetches", n.cast("int"))
+        .withColumn("p95_ms", p95)
+        .withColumn("timeout_ms", timeout)
+        .withColumn(
+            "n_would_timeout",
+            F.size(F.filter(F.col("_ms"), lambda v: v > F.col("timeout_ms"))).cast("int"),
+        )
+        .select("host", "n_fetches", "p95_ms", "timeout_ms", "n_would_timeout")
+    )
