@@ -2792,6 +2792,58 @@ def q_crawl_adaptive_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_adaptive_timeouts(fetches)
 
 
+def q_dedup_cdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC version-pair detection (operators/dedup.cdc_version_pairs)
+    over the same prefix-shifted doubled corpus as dedup_cdc_chunks:
+    every (doc, wrapper) pair shares its post-resync chunks and scores
+    past the containment threshold; hub-capped pairing. The DuckDB twin
+    recomputes chunks, the df cap, and the pair join."""
+    from webcrawler_woc_spark.operators.dedup import cdc_version_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    wrapped = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("injected header prefix "), F.col("text")).alias("text"),
+    )
+    return cdc_version_pairs(docs.unionByName(wrapped), divisor=16)
+
+
+def q_crawl_ip_cohost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-IP co-hosting (operators/dns.cohost_clusters): synthetic
+    resolutions cluster hosts on ip (doc_id % 23, doc_id % 7) — ~3 hosts
+    per address — with resolution failures (NULL ip) on % 17 == 0
+    passing through unflagged."""
+    from webcrawler_woc_spark.operators.dns import cohost_clusters
+
+    d = F.col("doc_id")
+    resolved = _docs(spark, sf_dir).select(
+        F.concat(F.lit("host"), d.cast("string"), F.lit(".example")).alias("host"),
+        F.when(
+            d % 17 != 0,
+            F.concat(
+                F.lit("10.0."), (d % 23).cast("string"), F.lit("."), (d % 7).cast("string")
+            ),
+        ).alias("ip"),
+    )
+    return cohost_clusters(resolved)
+
+
+def q_crawl_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-coverage audit (operators/sitemaps.sitemap_coverage):
+    hosts declare doc_id % 3 != 2 and crawled doc_id % 2 == 0, so every
+    host has declared-only, crawled-only and both populations; per-host
+    rollup with coverage_ppm."""
+    from webcrawler_woc_spark.operators.sitemaps import sitemap_coverage
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir)
+    host = F.concat(F.lit("h"), (d % 10).cast("string"))
+    url = F.concat(F.lit("/p"), d.cast("string"))
+    declared = docs.filter(d % 3 != 2).select(host.alias("host"), url.alias("url"))
+    crawled = docs.filter(d % 2 == 0).select(host.alias("host"), url.alias("url"))
+    return sitemap_coverage(declared, crawled)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -2970,6 +3022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_page_metadata": q_crawl_page_metadata,
         "crawl_nofollow_links": q_crawl_nofollow_links,
         "crawl_adaptive_timeout": q_crawl_adaptive_timeout,
+        "dedup_cdc_pairs": q_dedup_cdc_pairs,
+        "crawl_ip_cohost": q_crawl_ip_cohost,
+        "crawl_sitemap_coverage": q_crawl_sitemap_coverage,
     }
 
 
@@ -5347,6 +5402,132 @@ def oracle_sql() -> dict[str, str]:
                         x > least(greatest(p95 * 2, 1000), 30000))) AS INT)
                        AS n_would_timeout
             FROM k
+        """,
+        "dedup_cdc_pairs": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, 'injected header prefix ' || text
+                FROM documents
+            ),
+            th AS (
+                SELECT doc_id,
+                       list_transform({TOKENS_SQL}, tok ->
+                           (({_POLY31.format(col="tok", mult=31)} % 2147483647)
+                            * ({_POLY31.format(col="tok", mult=31)} % 2147483647))
+                           % 2147483647) AS hs
+                FROM corpus
+            ),
+            c AS (
+                SELECT doc_id, hs, len(hs) AS n FROM th WHERE len(hs) > 0
+            ),
+            cut AS (
+                SELECT doc_id, hs, n,
+                       list_filter(range(1, n + 1), i -> hs[i] % 16 = 0) AS cuts
+                FROM c
+            ),
+            e AS (
+                SELECT doc_id, hs,
+                       CASE WHEN len(cuts) > 0 AND cuts[-1] = n THEN cuts
+                            ELSE list_concat(cuts, [n]) END AS ends
+                FROM cut
+            ),
+            st AS (
+                SELECT doc_id, hs, ends,
+                       list_transform(
+                           list_prepend(0, list_slice(ends, 1, len(ends) - 1)),
+                           p -> p + 1) AS starts
+                FROM e
+            ),
+            ch AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ends) + 1), j ->
+                           list_reduce(
+                               list_prepend(CAST(0 AS BIGINT),
+                                            list_slice(hs, starts[j], ends[j])),
+                               (a, x) -> (a * 31 + x) % 999999999999989)))
+                           AS chunk_hash
+                FROM st
+            ),
+            dc AS (SELECT DISTINCT doc_id, chunk_hash FROM ch),
+            sizes AS (
+                SELECT doc_id, CAST(count(*) AS INT) AS n_chunks
+                FROM dc GROUP BY doc_id
+            ),
+            freq AS (
+                SELECT chunk_hash, count(*) AS df FROM dc GROUP BY chunk_hash
+            ),
+            rare AS (
+                SELECT dc.doc_id, dc.chunk_hash
+                FROM dc JOIN freq USING (chunk_hash) WHERE df <= 32
+            ),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(count(*) AS INT) AS n_shared
+                FROM rare a JOIN rare b
+                     ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_shared,
+                   sa.n_chunks AS n_a, sb.n_chunks AS n_b,
+                   CAST((n_shared * 1000000)
+                        // least(sa.n_chunks, sb.n_chunks) AS BIGINT) AS sim_ppm
+            FROM pairs
+                 JOIN sizes sa ON sa.doc_id = doc_a
+                 JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE (n_shared * 1000000)
+                  // least(sa.n_chunks, sb.n_chunks) >= 500000
+        """,
+        "crawl_ip_cohost": """
+            WITH r AS (
+                SELECT 'host' || doc_id || '.example' AS host,
+                       CASE WHEN doc_id % 17 <> 0
+                            THEN '10.0.' || (doc_id % 23) || '.' || (doc_id % 7)
+                            ELSE NULL END AS ip
+                FROM documents
+            ),
+            g AS (
+                SELECT ip, CAST(count(DISTINCT host) AS INT) AS n_cohosts,
+                       min(host) AS rep_host
+                FROM r WHERE ip IS NOT NULL GROUP BY ip
+            )
+            SELECT r.host, r.ip,
+                   CAST(coalesce(g.n_cohosts, 0) AS INT) AS n_cohosts,
+                   g.rep_host,
+                   CAST(coalesce(g.n_cohosts, 0) >= 2 AS INT) AS co_hosted
+            FROM r LEFT JOIN g ON g.ip = r.ip
+        """,
+        "crawl_sitemap_coverage": """
+            WITH d AS (
+                SELECT DISTINCT 'h' || (doc_id % 10) AS host,
+                       '/p' || doc_id AS url
+                FROM documents WHERE doc_id % 3 <> 2
+            ),
+            c AS (
+                SELECT DISTINCT 'h' || (doc_id % 10) AS host,
+                       '/p' || doc_id AS url
+                FROM documents WHERE doc_id % 2 = 0
+            ),
+            j AS (
+                SELECT coalesce(d.host, c.host) AS host,
+                       CASE WHEN d.url IS NOT NULL THEN 1 ELSE 0 END AS dd,
+                       CASE WHEN c.url IS NOT NULL THEN 1 ELSE 0 END AS cc
+                FROM d FULL OUTER JOIN c
+                     ON d.host = c.host AND d.url = c.url
+            ),
+            a AS (
+                SELECT host,
+                       CAST(sum(dd) AS BIGINT) AS n_declared,
+                       CAST(sum(cc) AS BIGINT) AS n_crawled,
+                       CAST(sum(dd * cc) AS BIGINT) AS n_both
+                FROM j GROUP BY host
+            )
+            SELECT host, n_declared, n_crawled, n_both,
+                   CAST(n_declared - n_both AS BIGINT) AS n_declared_only,
+                   CAST(n_crawled - n_both AS BIGINT) AS n_crawled_only,
+                   CAST((n_both * 1000000) // greatest(n_declared, 1)
+                        AS BIGINT) AS coverage_ppm
+            FROM a
         """,
         "text_blocklist": f"""
             WITH t AS (

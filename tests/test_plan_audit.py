@@ -50,6 +50,9 @@ SMJ_OK = {
     # not broadcastable), every join is keyed on the url the frontier is
     # already partitioned by; AQE may downgrade to broadcast when small
     "crawl_alias_resolve",
+    # FULL OUTER of declared-vs-crawled URL sets: full outer cannot
+    # broadcast-hash and both sides are URL-cardinality (snapshot-diff shape)
+    "crawl_sitemap_coverage",
 }
 # BNLJ allowlist: the exact cosine baseline broadcasts the tiny query set
 # into a crossJoin by design; IVF broadcasts the tiny centroid table into

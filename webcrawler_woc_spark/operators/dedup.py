@@ -760,36 +760,10 @@ def editdistance_pairs(
     )
 
 
-def cdc_chunk_dups(documents: DataFrame, divisor: int = 16, min_docs: int = 2) -> DataFrame:
-    """Content-defined-chunking dedup (the rsync/LBFS/FastCDC idea applied
-    at token granularity): chunk boundaries are declared wherever a TOKEN's
-    content hash satisfies ``hash % divisor == 0``, so boundaries move WITH
-    the content — an insertion near the head of a page re-aligns after the
-    next boundary and every later chunk hashes identically. Fixed k-token
-    windows (exact_substring_dups) catch shared spans but emit n windows
-    per doc; CDC emits ~n/divisor chunks and is the standard shape for
-    near-identical page VERSIONS (CMS edits, mirrored articles with
-    injected headers) where the shared suffix is the whole story.
-
-    Boundary rule (pinned): a boundary falls AFTER 1-based token position
-    i when token_hash(i) % divisor == 0; the final chunk always ends at
-    n_tokens. Chunk hash = the same mult-31 fold over the chunk's token
-    hashes (mod POLY_MOD) the substring pass uses; expected chunk length =
-    ``divisor`` tokens (production adds min/max clamps — FastCDC's
-    normalized chunking — which this gate omits so the DuckDB twin stays a
-    pure list expression; the clamp is a one-line mask in this kernel).
-
-    Output (chunk_hash, chunk_len, n_docs, n_occurrences, first_doc) for
-    chunks seen in >= ``min_docs`` distinct docs.
-
-    Plan shape: ONE Arrow-batched kernel (mapInPandas — the memoized
-    token-hash vectorization of exact_substring_dups, then a rounds-over-
-    max-chunk-len Horner identical in spirit to _np_poly_squares) emits
-    (doc_id, chunk_hash, chunk_len) already exploded, then one
-    partial-agg'd groupBy on the 8-byte hash — shuffle rows ~ corpus
-    tokens / divisor, an order of magnitude lighter than the substring
-    pass. At 100 TB the groupBy is the only exchange.
-    """
+def _cdc_chunk_frame(documents: DataFrame, divisor: int) -> DataFrame:
+    """The shared CDC kernel: (doc_id, chunk_hash, chunk_len) rows, one
+    Arrow-batched mapInPandas pass (see cdc_chunk_dups for the boundary
+    rule and scale notes); consumed by cdc_chunk_dups and cdc_version_pairs."""
     from pyspark.sql.types import LongType, IntegerType, StructField, StructType
 
     out_schema = StructType(
@@ -850,7 +824,40 @@ def cdc_chunk_dups(documents: DataFrame, divisor: int = 16, min_docs: int = 2) -
                     }
                 )
 
-    chunks = documents.select("doc_id", "text").mapInPandas(chunk_batches, out_schema)
+    return documents.select("doc_id", "text").mapInPandas(chunk_batches, out_schema)
+
+
+def cdc_chunk_dups(documents: DataFrame, divisor: int = 16, min_docs: int = 2) -> DataFrame:
+    """Content-defined-chunking dedup (the rsync/LBFS/FastCDC idea applied
+    at token granularity): chunk boundaries are declared wherever a TOKEN's
+    content hash satisfies ``hash % divisor == 0``, so boundaries move WITH
+    the content — an insertion near the head of a page re-aligns after the
+    next boundary and every later chunk hashes identically. Fixed k-token
+    windows (exact_substring_dups) catch shared spans but emit n windows
+    per doc; CDC emits ~n/divisor chunks and is the standard shape for
+    near-identical page VERSIONS (CMS edits, mirrored articles with
+    injected headers) where the shared suffix is the whole story.
+
+    Boundary rule (pinned): a boundary falls AFTER 1-based token position
+    i when token_hash(i) % divisor == 0; the final chunk always ends at
+    n_tokens. Chunk hash = the same mult-31 fold over the chunk's token
+    hashes (mod POLY_MOD) the substring pass uses; expected chunk length =
+    ``divisor`` tokens (production adds min/max clamps — FastCDC's
+    normalized chunking — which this gate omits so the DuckDB twin stays a
+    pure list expression; the clamp is a one-line mask in this kernel).
+
+    Output (chunk_hash, chunk_len, n_docs, n_occurrences, first_doc) for
+    chunks seen in >= ``min_docs`` distinct docs.
+
+    Plan shape: ONE Arrow-batched kernel (mapInPandas — the memoized
+    token-hash vectorization of exact_substring_dups, then a rounds-over-
+    max-chunk-len Horner identical in spirit to _np_poly_squares) emits
+    (doc_id, chunk_hash, chunk_len) already exploded, then one
+    partial-agg'd groupBy on the 8-byte hash — shuffle rows ~ corpus
+    tokens / divisor, an order of magnitude lighter than the substring
+    pass. At 100 TB the groupBy is the only exchange.
+    """
+    chunks = _cdc_chunk_frame(documents, divisor)
     return (
         chunks.groupBy("chunk_hash")
         .agg(
@@ -860,4 +867,57 @@ def cdc_chunk_dups(documents: DataFrame, divisor: int = 16, min_docs: int = 2) -
             F.min("doc_id").alias("first_doc"),
         )
         .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def cdc_version_pairs(
+    documents: DataFrame,
+    divisor: int = 16,
+    threshold_ppm: int = 500_000,
+    hub_cap: int = 32,
+) -> DataFrame:
+    """Versioned-page pair detection over the CDC chunk sets: two captures
+    of one evolving page (a CMS edit, a mirrored article with an injected
+    header) share most of their content-defined chunks even though no
+    full-document hash and few fixed windows survive the edit. Pair score
+    = |shared distinct chunks| / min(|chunks_a|, |chunks_b|) in ppm — the
+    containment form, so a small doc embedded in a rework still scores
+    high.
+
+    The pair join goes through the chunk inverted index with a HUB CAP:
+    chunks appearing in more than ``hub_cap`` docs (site boilerplate —
+    the same nav paragraph chunks on every page of a host) are excluded
+    from PAIRING (they would emit O(df^2) pairs each and assert nothing
+    about versionhood); they still count in each doc's denominator.
+    Same discipline as cocitation_topk's per-target cap — the quadratic
+    term is bounded by hub_cap x chunk count, never by corpus size.
+
+    Output (doc_a, doc_b, n_shared, n_a, n_b, sim_ppm) for pairs at or
+    above ``threshold_ppm``, doc_a < doc_b.
+    """
+    chunks = (
+        _cdc_chunk_frame(documents, divisor).select("doc_id", "chunk_hash").distinct()
+    )
+    sizes = chunks.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_chunks"))
+    freq = chunks.groupBy("chunk_hash").agg(F.count("*").alias("df"))
+    rare = chunks.join(freq.filter(F.col("df") <= hub_cap), "chunk_hash")
+    a = rare.select("chunk_hash", F.col("doc_id").alias("doc_a"))
+    b = rare.select("chunk_hash", F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, "chunk_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("int").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_chunks").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_chunks").alias("n_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "sim_ppm",
+            F.expr("(n_shared * 1000000) div least(n_a, n_b)").cast("bigint"),
+        )
+        .filter(F.col("sim_ppm") >= threshold_ppm)
+        .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "sim_ppm")
     )

@@ -41,6 +41,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 RESOLVE_SCHEMA = "host string, ipv4 string, ipv6 string"
 
@@ -161,4 +162,41 @@ def resolve_hosts(
         .distinct()
         .repartition("host")
         .mapInPandas(gen, schema=RESOLVE_SCHEMA)
+    )
+
+
+def cohost_clusters(resolved: DataFrame, min_cohosts: int = 2) -> DataFrame:
+    """Shared-IP host clustering over the DNS-enrichment output: spam and
+    link farms run hundreds of "independent" domains off one box, so the
+    resolved address is the cheapest farm signal there is — hosts behind
+    one IP inherit each other's reputation (TrustRank seeds, trap ratios,
+    domain quality all propagate along co-hosting). CDNs co-host
+    legitimately; that is why the output is a SIGNAL table (count + flag)
+    for the policy layer, not a blocklist.
+
+    Input (host, ip) — one row per host (resolve_hosts emits the first
+    A record). Output per host: (host, ip, n_cohosts — total hosts on
+    the ip INCLUDING this one, rep_host — min host on the ip,
+    co_hosted 0/1 by ``min_cohosts``). NULL ips (resolution failures)
+    pass through with n_cohosts 0 and no flag: unresolvable is not
+    co-hosted.
+
+    One groupBy(ip) to the ip-cardinality rollup + one broadcast join
+    back — the host table is already orders smaller than the corpus, the
+    rollup smaller still."""
+    groups = (
+        resolved.filter(F.col("ip").isNotNull())
+        .groupBy("ip")
+        .agg(
+            F.countDistinct("host").cast("int").alias("n_cohosts"),
+            F.min("host").alias("rep_host"),
+        )
+    )
+    return (
+        resolved.join(F.broadcast(groups), "ip", "left")
+        .withColumn("n_cohosts", F.coalesce(F.col("n_cohosts"), F.lit(0)).cast("int"))
+        .withColumn(
+            "co_hosted", (F.col("n_cohosts") >= min_cohosts).cast("int")
+        )
+        .select("host", "ip", "n_cohosts", "rep_host", "co_hosted")
     )

@@ -219,3 +219,44 @@ def parse_sitemap_entries(sitemaps: DataFrame) -> DataFrame:
         .cast("int")
         .alias("priority_ppm"),
     )
+
+
+def sitemap_coverage(declared: DataFrame, crawled: DataFrame) -> DataFrame:
+    """Per-host sitemap-coverage audit — the readout every crawl-ops team
+    watches: of the URLs a host DECLARES in its sitemaps, how many did we
+    actually capture, and how much did we crawl that the host never
+    declared? Low coverage means the scheduler starves the host (budget /
+    politeness misconfiguration); a large undeclared share means trap
+    subtrees or parameter explosions are eating the budget the declared
+    pages should get.
+
+    Inputs: ``declared`` (host, url) from parse_sitemap_entries /
+    sitemap_children; ``crawled`` (host, url) from the capture table.
+    Output per host: (host, n_declared, n_crawled, n_both,
+    n_declared_only, n_crawled_only, coverage_ppm = n_both * 1e6 div
+    max(n_declared, 1)).
+
+    One full-outer join on (host, url) — both sides URL-cardinality,
+    pre-deduped here; then a host-cardinality rollup. The full outer
+    cannot broadcast-hash and both sides are corpus-scale: SMJ on the
+    (host, url) key is the right plan (allowlisted, the snapshot-diff
+    shape)."""
+    d = declared.select("host", "url").distinct().withColumn("_d", F.lit(1))
+    c = crawled.select("host", "url").distinct().withColumn("_c", F.lit(1))
+    joined = d.join(c, ["host", "url"], "full_outer")
+    return (
+        joined.groupBy("host")
+        .agg(
+            F.sum(F.coalesce("_d", F.lit(0))).cast("bigint").alias("n_declared"),
+            F.sum(F.coalesce("_c", F.lit(0))).cast("bigint").alias("n_crawled"),
+            F.sum((F.col("_d").isNotNull() & F.col("_c").isNotNull()).cast("int"))
+            .cast("bigint")
+            .alias("n_both"),
+        )
+        .withColumn("n_declared_only", (F.col("n_declared") - F.col("n_both")).cast("bigint"))
+        .withColumn("n_crawled_only", (F.col("n_crawled") - F.col("n_both")).cast("bigint"))
+        .withColumn(
+            "coverage_ppm",
+            F.expr("(n_both * 1000000) div greatest(n_declared, 1)").cast("bigint"),
+        )
+    )
