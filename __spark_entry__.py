@@ -5008,7 +5008,7 @@ def oracle_sql() -> dict[str, str]:
             f AS (
                 SELECT l.url, l.host, l.http_status, l.text_len, m.host_median_len,
                        CAST(regexp_matches(lower(substr(l.text, 1, 512)),
-                           '(page not found|404 not found|404 error|does not exist|no longer available|file not found)')
+                           '(page\s+not\s+found|404\s+not\s+found|404\s+error|does\s+not\s+exist|no\s+longer\s+available|file\s+not\s+found)')
                            AS INT) AS err_phrase,
                        CAST(l.text_len * 1000000
                             < 250000 * m.host_median_len AS INT) AS thin
@@ -5319,6 +5319,7 @@ def oracle_sql() -> dict[str, str]:
                         ) v GROUP BY node, label
                     )
                 ) WHERE rn = 1
+                  AND node IN (SELECT doc_id FROM documents)
             ),
             r2 AS MATERIALIZED (
                 SELECT node AS doc_id, label FROM (
@@ -5334,6 +5335,7 @@ def oracle_sql() -> dict[str, str]:
                         ) v GROUP BY node, label
                     )
                 ) WHERE rn = 1
+                  AND node IN (SELECT doc_id FROM documents)
             ),
             r3 AS MATERIALIZED (
                 SELECT node AS doc_id, label FROM (
@@ -5349,6 +5351,7 @@ def oracle_sql() -> dict[str, str]:
                         ) v GROUP BY node, label
                     )
                 ) WHERE rn = 1
+                  AND node IN (SELECT doc_id FROM documents)
             ),
             fin AS (SELECT 1)
             SELECT doc_id, label FROM r3

@@ -58,14 +58,17 @@ def canonical_links(pages: DataFrame, body_col: str = "html") -> DataFrame:
     A self-canonical (target == page url) is kept — it is an explicit
     declaration, and the cluster step treats it identically to "none".
     """
-    head = F.lower(F.decode(F.substring(F.col(body_col), 1, HEAD_SCAN_BYTES), "ISO-8859-1"))
+    # UN-lowered head with (?i) matching: URL paths are case-sensitive, so
+    # lowering the head before extraction would emit targets that 404 on
+    # case-sensitive servers and break self-canonical detection
+    head = F.decode(F.substring(F.col(body_col), 1, HEAD_SCAN_BYTES), "ISO-8859-1")
     # attribute order varies in the wild: match rel=canonical ... href= OR
     # href= ... rel=canonical within one <link> tag
     link_tag = F.coalesce(
         F.when(
             (t := F.regexp_extract(
                 head,
-                r'<link[^>]*rel\s*=\s*["\']?canonical["\']?[^>]*href\s*=\s*["\']([^"\'>\s]+)',
+                r'(?is)<link[^>]*rel\s*=\s*["\']?canonical["\']?[^>]*href\s*=\s*["\']([^"\'>\s]+)',
                 1,
             )) != "",
             t,
@@ -73,7 +76,7 @@ def canonical_links(pages: DataFrame, body_col: str = "html") -> DataFrame:
         F.when(
             (t2 := F.regexp_extract(
                 head,
-                r'<link[^>]*href\s*=\s*["\']([^"\'>\s]+)["\'][^>]*rel\s*=\s*["\']?canonical',
+                r'(?is)<link[^>]*href\s*=\s*["\']([^"\'>\s]+)["\'][^>]*rel\s*=\s*["\']?canonical',
                 1,
             )) != "",
             t2,
@@ -81,7 +84,7 @@ def canonical_links(pages: DataFrame, body_col: str = "html") -> DataFrame:
     )
     hdr_raw = F.element_at(F.col("headers"), "link")
     hdr_tgt = F.regexp_extract(
-        F.lower(F.coalesce(hdr_raw, F.lit(""))), r'<([^>]+)>\s*;\s*rel\s*=\s*"?canonical', 1
+        F.coalesce(hdr_raw, F.lit("")), r'(?i)<([^>]+)>\s*;\s*rel\s*=\s*"?canonical', 1
     )
     hdr_tgt = F.when(hdr_tgt == "", F.lit(None)).otherwise(hdr_tgt)
 
@@ -142,14 +145,15 @@ def meta_refresh_redirects(pages: DataFrame, body_col: str = "html") -> DataFram
     ``recrawl.resolve_redirects`` so mixed server/client chains collapse in
     the same pointer-jumping rounds.
     """
-    head = F.lower(F.decode(F.substring(F.col(body_col), 1, HEAD_SCAN_BYTES), "ISO-8859-1"))
+    # un-lowered head, (?i) matching: the refresh TARGET's casing matters
+    head = F.decode(F.substring(F.col(body_col), 1, HEAD_SCAN_BYTES), "ISO-8859-1")
     content = F.regexp_extract(
         head,
-        r'<meta[^>]*http-equiv\s*=\s*["\']?refresh["\']?[^>]*content\s*=\s*["\']([^"\'>]*)',
+        r'(?is)<meta[^>]*http-equiv\s*=\s*["\']?refresh["\']?[^>]*content\s*=\s*["\']([^"\'>]*)',
         1,
     )
     delay = F.regexp_extract(content, r"^\s*(\d+)", 1)
-    target = F.regexp_extract(content, r"(?:;|,)\s*url\s*=\s*[\"']?([^\"'>\s]+)", 1)
+    target = F.regexp_extract(content, r"(?i)(?:;|,)\s*url\s*=\s*[\"']?([^\"'>\s]+)", 1)
     return (
         pages.withColumn("refresh_delay_s", F.when(delay != "", delay.cast("int")))
         .withColumn("refresh_target", _absolutize(F.when(target != "", target), F.col("url")))
@@ -178,18 +182,20 @@ def hreflang_alternates(pages: DataFrame, body_col: str = "html") -> DataFrame:
     group on the sorted alternate set or union-find over edges
     (graph.connected_components composes directly).
     """
-    head = F.lower(F.decode(F.substring(F.col(body_col), 1, HEAD_SCAN_BYTES), "ISO-8859-1"))
+    # un-lowered head, (?i) matching: alt_url casing must survive; only the
+    # BCP-47 tag is normalized to lowercase below (tags are case-insensitive)
+    head = F.decode(F.substring(F.col(body_col), 1, HEAD_SCAN_BYTES), "ISO-8859-1")
     tags = F.regexp_extract_all(
-        head, F.lit(r'(<link[^>]*rel\s*=\s*["\']?alternate[^>]*>)'), F.lit(1)
+        head, F.lit(r'(?is)(<link[^>]*rel\s*=\s*["\']?alternate[^>]*>)'), F.lit(1)
     )
     pairs = F.filter(
         F.transform(
             tags,
             lambda t: F.struct(
-                F.regexp_extract(t, r'hreflang\s*=\s*["\']?([A-Za-z0-9\-]+)', 1).alias(
-                    "hreflang"
-                ),
-                F.regexp_extract(t, r'href\s*=\s*["\']([^"\'>\s]+)', 1).alias("target"),
+                F.lower(
+                    F.regexp_extract(t, r'(?i)hreflang\s*=\s*["\']?([A-Za-z0-9\-]+)', 1)
+                ).alias("hreflang"),
+                F.regexp_extract(t, r'(?i)href\s*=\s*["\']([^"\'>\s]+)', 1).alias("target"),
             ),
         ),
         lambda s: (s["hreflang"] != "") & (s["target"] != ""),

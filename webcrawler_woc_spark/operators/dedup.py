@@ -895,8 +895,14 @@ def cdc_version_pairs(
     Output (doc_a, doc_b, n_shared, n_a, n_b, sim_ppm) for pairs at or
     above ``threshold_ppm``, doc_a < doc_b.
     """
+    # localCheckpoint: chunks feed sizes, freq AND both sides of the pair
+    # self-join — without materialization the Arrow kernel re-chunks the
+    # whole corpus four times per action
     chunks = (
-        _cdc_chunk_frame(documents, divisor).select("doc_id", "chunk_hash").distinct()
+        _cdc_chunk_frame(documents, divisor)
+        .select("doc_id", "chunk_hash")
+        .distinct()
+        .localCheckpoint()
     )
     sizes = chunks.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_chunks"))
     freq = chunks.groupBy("chunk_hash").agg(F.count("*").alias("df"))

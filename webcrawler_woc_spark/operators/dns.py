@@ -174,8 +174,8 @@ def cohost_clusters(resolved: DataFrame, min_cohosts: int = 2) -> DataFrame:
     legitimately; that is why the output is a SIGNAL table (count + flag)
     for the policy layer, not a blocklist.
 
-    Input (host, ip) — one row per host (resolve_hosts emits the first
-    A record). Output per host: (host, ip, n_cohosts — total hosts on
+    Input (host, ip) — one row per host; a resolve_hosts frame
+    (host, ipv4, ipv6) is accepted directly, ip = coalesce(ipv4, ipv6). Output per host: (host, ip, n_cohosts — total hosts on
     the ip INCLUDING this one, rep_host — min host on the ip,
     co_hosted 0/1 by ``min_cohosts``). NULL ips (resolution failures)
     pass through with n_cohosts 0 and no flag: unresolvable is not
@@ -184,6 +184,8 @@ def cohost_clusters(resolved: DataFrame, min_cohosts: int = 2) -> DataFrame:
     One groupBy(ip) to the ip-cardinality rollup + one broadcast join
     back — the host table is already orders smaller than the corpus, the
     rollup smaller still."""
+    if "ip" not in resolved.columns:
+        resolved = resolved.withColumn("ip", F.coalesce("ipv4", "ipv6"))
     groups = (
         resolved.filter(F.col("ip").isNotNull())
         .groupBy("ip")

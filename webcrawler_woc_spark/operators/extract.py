@@ -199,7 +199,9 @@ def page_metadata(pages: DataFrame, body_col: str = "html") -> DataFrame:
     but emitted with original casing preserved from the latin-1 prescan.
     Empty extraction -> NULL, never ''. Scan-only pure Catalyst, rides
     the same decode as detect_charset/robots_meta_flags."""
-    head = F.decode(F.substring(F.col(body_col), 1, 4096), "ISO-8859-1")
+    from .canonical import HEAD_SCAN_BYTES
+
+    head = F.decode(F.substring(F.col(body_col), 1, HEAD_SCAN_BYTES), "ISO-8859-1")
 
     def _first(pattern: str):
         v = F.regexp_extract(head, pattern, 1)
@@ -244,8 +246,9 @@ def nofollow_stats(pages: DataFrame, body_col: str = "html") -> DataFrame:
         .withColumn("n_nofollow", F.size(nofollow).cast("int"))
         .withColumn(
             "follow_ratio_ppm",
-            F.expr("((n_links - n_nofollow) * 1000000) div greatest(n_links, 1)").cast(
-                "bigint"
+            F.expr(
+                "((CAST(n_links AS BIGINT) - n_nofollow) * 1000000)"
+                " div greatest(n_links, 1)"
             ),
         )
     )

@@ -764,11 +764,13 @@ def content_density(pages: DataFrame) -> DataFrame:
     Pure Catalyst array math (split -> transform -> aggregate) — no
     explode, no shuffle: each page folds to one row inside the scan, the
     shape that matters when the input is 100 TB of raw HTML."""
+    # bigint line lengths: the ppm comparison multiplies by 1e6/5e5 — int32
+    # lengths overflow (ANSI crash) on any line past ~4 KB (minified HTML)
     stripped = F.transform(
         F.split(F.col("html"), "\n"),
         lambda ln: F.struct(
-            F.length(ln).alias("raw"),
-            F.length(F.regexp_replace(ln, "<[^>]*>", "")).alias("txt"),
+            F.length(ln).cast("bigint").alias("raw"),
+            F.length(F.regexp_replace(ln, "<[^>]*>", "")).cast("bigint").alias("txt"),
         ),
     )
     is_content = (

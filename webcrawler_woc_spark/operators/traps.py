@@ -168,7 +168,9 @@ def soft404_flags(
     exact interpolated percentile on both engines so the double compares
     value-hash identically.
     """
-    phrase_re = "(" + "|".join(p.replace(" ", " ") for p in SOFT404_PHRASES) + ")"
+    # \s+ between words: HTML-to-text extraction leaves double spaces and
+    # newlines inside the phrases ('page not\nfound')
+    phrase_re = "(" + "|".join(p.replace(" ", r"\s+") for p in SOFT404_PHRASES) + ")"
     probe = F.lower(F.substring(F.col("text"), 1, probe_chars))
     lens = pages.withColumn("text_len", F.length("text").cast("bigint"))
     medians = lens.groupBy("host").agg(
