@@ -2844,6 +2844,63 @@ def q_crawl_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_coverage(declared, crawled)
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (operators/graph.kcore_nodes): each group of
+    10 doc_ids is a K5 clique (positions 0-4, degree 4) plus a dangling
+    chain (positions 5-9, degrees <= 2) — at k=3 the chain peels away in
+    the first rounds and exactly the cliques survive at degree 4.
+    Arithmetic oracle."""
+    from webcrawler_woc_spark.operators.graph import kcore_nodes
+
+    d = F.col("doc_id")
+    p = d % 10
+    g10 = (d / 10).cast("bigint") * 10
+    clique = (
+        _docs(spark, sf_dir)
+        .filter(p < 4)
+        .select(d.alias("src"), F.explode(F.sequence(p + 1, F.lit(4))).alias("q"), g10.alias("g"))
+        .select("src", (F.col("g") + F.col("q")).alias("dst"))
+    )
+    chain = (
+        _docs(spark, sf_dir)
+        .filter((p >= 5) & (p < 9))
+        .select(d.alias("src"), (d + 1).alias("dst"))
+    )
+    return kcore_nodes(clique.unionByName(chain), k=3)
+
+
+def q_graph_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hop seed expansion (operators/graph.seed_expansion): a 20-host
+    graph h(d%20) -> h((3d+1)%20) with weight d%7+1; seeds h0-h4. The
+    oracle mirrors the aggregation and the (mass desc, host asc) ranking."""
+    from webcrawler_woc_spark.operators.graph import seed_expansion
+
+    d = F.col("doc_id")
+    raw = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (d % 20).cast("string")).alias("src_host"),
+        F.concat(F.lit("h"), ((d * 3 + 1) % 20).cast("string")).alias("dst_host"),
+        (d % 7 + 1).cast("bigint").alias("w"),
+    )
+    edges = raw.groupBy("src_host", "dst_host").agg(F.sum("w").alias("n_links"))
+    seeds = (
+        _docs(spark, sf_dir)
+        .filter(d < 5)
+        .select(F.concat(F.lit("h"), d.cast("string")).alias("host"))
+    )
+    return seed_expansion(edges, seeds, top_k=10)
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability ratios (operators/textstats.readability_stats) over
+    text given sentence structure (text + '. ' + text + '! Done.'); the
+    DuckDB twin independently recomputes the same splits and integer ppm
+    ratios."""
+    from webcrawler_woc_spark.operators.textstats import readability_stats
+
+    text = F.concat(F.col("text"), F.lit(". "), F.col("text"), F.lit("! Done."))
+    return readability_stats(_docs(spark, sf_dir).select("doc_id", text.alias("text")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -3025,6 +3082,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cdc_pairs": q_dedup_cdc_pairs,
         "crawl_ip_cohost": q_crawl_ip_cohost,
         "crawl_sitemap_coverage": q_crawl_sitemap_coverage,
+        "graph_kcore": q_graph_kcore,
+        "graph_seed_expansion": q_graph_seed_expansion,
+        "text_readability": q_text_readability,
     }
 
 
@@ -5531,6 +5591,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n_both * 1000000) // greatest(n_declared, 1)
                         AS BIGINT) AS coverage_ppm
             FROM a
+        """,
+        "graph_kcore": """
+            SELECT doc_id, CAST(4 AS INT) AS degree
+            FROM documents WHERE doc_id % 10 < 5
+        """,
+        "graph_seed_expansion": """
+            WITH e0 AS (
+                SELECT 'h' || (doc_id % 20) AS src_host,
+                       'h' || ((doc_id * 3 + 1) % 20) AS dst_host,
+                       doc_id % 7 + 1 AS w
+                FROM documents
+            ),
+            e AS (
+                SELECT src_host, dst_host, CAST(sum(w) AS BIGINT) AS n_links
+                FROM e0 GROUP BY src_host, dst_host
+            ),
+            seeds AS (
+                SELECT 'h' || doc_id AS host FROM documents WHERE doc_id < 5
+            ),
+            cand AS (
+                SELECT e.dst_host,
+                       CAST(sum(e.n_links) AS BIGINT) AS seed_links,
+                       CAST(count(DISTINCT e.src_host) AS INT) AS n_seed_sources
+                FROM e
+                WHERE e.src_host IN (SELECT host FROM seeds)
+                  AND e.dst_host NOT IN (SELECT host FROM seeds)
+                GROUP BY e.dst_host
+            ),
+            r AS (
+                SELECT dst_host AS host, seed_links, n_seed_sources,
+                       CAST(row_number() OVER (
+                           ORDER BY seed_links DESC, dst_host ASC) AS INT)
+                           AS rank
+                FROM cand
+            )
+            SELECT host, seed_links, n_seed_sources, rank
+            FROM r WHERE rank <= 10
+        """,
+        "text_readability": f"""
+            WITH t AS (
+                SELECT doc_id, text || '. ' || text || '! Done.' AS text
+                FROM documents
+            ),
+            k AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(text, '[.!?]+'),
+                           x -> trim(x) <> '')) AS ns,
+                       {TOKENS_SQL} AS toks
+                FROM t
+            ),
+            m AS (
+                SELECT doc_id, ns, len(toks) AS nw,
+                       coalesce(list_sum(list_transform(toks,
+                           t -> length(t))), 0) AS wc,
+                       len(list_filter(toks, t -> length(t) > 6)) AS lw
+                FROM k
+            )
+            SELECT doc_id,
+                   CAST(ns AS INT) AS n_sents,
+                   CAST(nw AS INT) AS n_words,
+                   CAST((nw * 1000000) // greatest(ns, 1) AS BIGINT)
+                       AS words_per_sent_ppm,
+                   CAST((wc * 1000000) // greatest(nw, 1) AS BIGINT)
+                       AS chars_per_word_ppm,
+                   CAST((lw * 1000000) // greatest(nw, 1) AS BIGINT)
+                       AS long_word_ratio_ppm
+            FROM m
         """,
         "text_blocklist": f"""
             WITH t AS (

@@ -22,7 +22,7 @@ plans stay constant-size (cache() alone would not).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PPM = 1_000_000
@@ -622,3 +622,76 @@ def label_propagation(nodes: DataFrame, edges: DataFrame, iterations: int = 3) -
             .localCheckpoint()
         )
     return labels
+
+
+def kcore_nodes(edges: DataFrame, k: int = 3, max_rounds: int = 3) -> DataFrame:
+    """Bounded k-core peeling over the UNDIRECTED graph: repeatedly drop
+    nodes with degree < k (each removal lowers neighbors' degrees, hence
+    the iteration). The k-core is the standard link-farm locator — a spam
+    ring is a dense subgraph that SURVIVES peeling, while organically
+    linked pages shed. ``max_rounds`` bounds the rounds: the result after
+    r rounds is a SUPERSET of the true k-core that shrinks monotonically
+    per round (exact once a round removes nothing — the common case by
+    round 3 on web graphs; callers needing certainty raise max_rounds
+    and compare successive counts).
+
+    Output (doc_id, degree) for surviving nodes, degree = the count
+    within the surviving subgraph.
+
+    Per round: one groupBy(node) degree count + one semi-join restricting
+    edges to survivors — shuffle rows = edge count; lineage cut per round.
+    """
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    for _ in range(max_rounds):
+        deg = und.groupBy("src").agg(F.count("*").alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("src")
+        und = (
+            und.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .localCheckpoint()
+        )
+    return (
+        und.groupBy("src")
+        .agg(F.count("*").cast("int").alias("degree"))
+        .select(F.col("src").alias("doc_id"), "degree")
+        .filter(F.col("degree") >= k)
+    )
+
+
+def seed_expansion(host_edges: DataFrame, seeds: DataFrame, top_k: int = 50) -> DataFrame:
+    """Crawl-frontier host discovery: rank the hosts the SEED set links to
+    most heavily — the "where to crawl next" query a focused crawl runs
+    after every wave (the seeds are the trusted/on-topic hosts; their
+    aggregate outbound link mass is the endorsement signal, the same
+    intuition TrustRank propagates transitively, computed here as the
+    cheap one-hop form).
+
+    Inputs: ``host_edges`` (src_host, dst_host, n_links) from
+    host_link_graph; ``seeds`` (host). Candidates are non-seed dst hosts
+    reached from seeds; output (host, seed_links — total link mass from
+    seeds, n_seed_sources — distinct seeds linking, rank) for the top
+    ``top_k`` by (mass desc, host asc — full tiebreak, deterministic).
+
+    One semi-join (edges ⋈ broadcast seeds), one anti-join (drop seed
+    targets), one candidate-bounded rollup + window rank. Seeds are
+    policy-sized — broadcast both ways."""
+    s = F.broadcast(seeds.select("host").distinct())
+    cand = (
+        host_edges.join(s.withColumnRenamed("host", "src_host"), "src_host")
+        .join(
+            s.withColumnRenamed("host", "dst_host"), "dst_host", "left_anti"
+        )
+        .groupBy("dst_host")
+        .agg(
+            F.sum("n_links").cast("bigint").alias("seed_links"),
+            F.countDistinct("src_host").cast("int").alias("n_seed_sources"),
+        )
+    )
+    w = Window.orderBy(F.col("seed_links").desc(), F.col("dst_host").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select(F.col("dst_host").alias("host"), "seed_links", "n_seed_sources", "rank")
+    )

@@ -900,3 +900,46 @@ def char_entropy(documents: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("centibits_per_char"),
     )
+
+
+def readability_stats(documents: DataFrame) -> DataFrame:
+    """Sentence/word-shape readability profile — the Flesch-Kincaid-class
+    signal without the pseudo-science constants: the raw ratios the
+    formulas combine, in exact integer ppm, so policy can threshold them
+    directly (very long sentences + very long words = legalese/SEO sludge;
+    very short everything = listicles/nav dumps; both are curriculum
+    signals, not just filters).
+
+    Per doc: sentences split on [.!?]+ runs (empties dropped — a trailing
+    '.' adds no sentence), words by the whitespace tokenizer shared with
+    every text op. Output (doc_id, n_sents, n_words,
+    words_per_sent_ppm = n_words * 1e6 div max(n_sents, 1),
+    chars_per_word_ppm — over word chars, not raw text (whitespace and
+    punctuation-only tokens count as their literal chars — pinned),
+    long_word_ratio_ppm — words > 6 chars, the LIX measure's term).
+    Scan-only array math, no shuffle."""
+    toks = _tokens(F.col("text"))
+    sents = F.filter(F.split(F.col("text"), r"[.!?]+"), lambda x: F.trim(x) != "")
+    n_words = F.size(toks).cast("bigint")
+    n_sents = F.size(sents).cast("bigint")
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+    )
+    long_words = F.size(F.filter(toks, lambda t: F.length(t) > 6)).cast("bigint")
+    ppm = lambda num, den: F.expr(  # noqa: E731 — exact integer div, repo-wide ppm style
+        f"({num} * 1000000) div greatest({den}, 1)"
+    ).cast("bigint")
+    return (
+        documents.withColumn("_nw", n_words)
+        .withColumn("_ns", n_sents)
+        .withColumn("_wc", word_chars)
+        .withColumn("_lw", long_words)
+        .select(
+            "doc_id",
+            F.col("_ns").cast("int").alias("n_sents"),
+            F.col("_nw").cast("int").alias("n_words"),
+            ppm("_nw", "_ns").alias("words_per_sent_ppm"),
+            ppm("_wc", "_nw").alias("chars_per_word_ppm"),
+            ppm("_lw", "_nw").alias("long_word_ratio_ppm"),
+        )
+    )
