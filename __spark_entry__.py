@@ -2901,6 +2901,40 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability_stats(_docs(spark, sf_dir).select("doc_id", text.alias("text")))
 
 
+def q_pipeline_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host quota sampling (operators/sampling.host_cap_sample): 7
+    hosts of ~70 docs capped at 20 — the keep set is the square-mod
+    sample-hash order, not arrival order. The oracle replays the same
+    window rank in SQL."""
+    from webcrawler_woc_spark.operators.sampling import host_cap_sample
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.lit("h"), (d % 7).cast("string")).alias("host")
+    )
+    return host_cap_sample(docs, cap=20)
+
+
+def q_crawl_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-block parsing (operators/extract.parse_header_block):
+    synthetic response blocks with a status line (skipped), cased names
+    and values (names lowercase, values preserved), and an obs-fold
+    continuation on doc_id % 5 == 0. Arithmetic oracle."""
+    from webcrawler_woc_spark.operators.extract import parse_header_block
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    block = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/HTML; v="), ds,
+        F.lit('\r\nETag: "e'), ds, F.lit('"\r\n'),
+        F.when(d % 5 == 0, F.lit("X-Note: part\r\n  more bit\r\n")).otherwise(F.lit("")),
+    )
+    responses = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://h/p"), ds).alias("url"), block.alias("header_block")
+    )
+    return parse_header_block(responses)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -3085,6 +3119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "graph_seed_expansion": q_graph_seed_expansion,
         "text_readability": q_text_readability,
+        "pipeline_host_cap": q_pipeline_host_cap,
+        "crawl_http_headers": q_crawl_http_headers,
     }
 
 
@@ -5658,6 +5694,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST((lw * 1000000) // greatest(nw, 1) AS BIGINT)
                        AS long_word_ratio_ppm
             FROM m
+        """,
+        "pipeline_host_cap": """
+            WITH r AS (
+                SELECT doc_id, 'h' || (doc_id % 7) AS host,
+                       ((doc_id % 2147483647) * (doc_id % 2147483647))
+                           % 2147483647 AS sh
+                FROM documents
+            ),
+            k AS (
+                SELECT doc_id, host,
+                       CAST(row_number() OVER (PARTITION BY host
+                           ORDER BY sh ASC, doc_id ASC) AS INT) AS host_rank
+                FROM r
+            )
+            SELECT doc_id, host, host_rank FROM k WHERE host_rank <= 20
+        """,
+        "crawl_http_headers": """
+            SELECT 'http://h/p' || doc_id AS url,
+                   CAST(1 AS INT) AS header_pos,
+                   'content-type' AS header_name,
+                   'text/HTML; v=' || doc_id AS header_value,
+                   CAST(0 AS INT) AS is_fold
+            FROM documents
+            UNION ALL
+            SELECT 'http://h/p' || doc_id, 2, 'etag', '"e' || doc_id || '"', 0
+            FROM documents
+            UNION ALL
+            SELECT 'http://h/p' || doc_id, 3, 'x-note', 'part', 0
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT 'http://h/p' || doc_id, 4, 'x-note', 'more bit', 1
+            FROM documents WHERE doc_id % 5 = 0
         """,
         "text_blocklist": f"""
             WITH t AS (

@@ -7,7 +7,7 @@ with the Python kernels confined to Arrow-batched pandas UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.udfs import (
@@ -252,3 +252,56 @@ def nofollow_stats(pages: DataFrame, body_col: str = "html") -> DataFrame:
             ),
         )
     )
+
+
+def parse_header_block(responses: DataFrame, block_col: str = "header_block") -> DataFrame:
+    """Raw HTTP header-block parsing — WARC response records and most
+    fetch logs carry headers as one CRLF text block, not a map; every
+    header-driven operator upstream (charset, robots-meta, canonical Link,
+    revalidation) wants them split. Emits one row per header line:
+    (url, header_name lowercased — field names are case-insensitive per
+    RFC 9110, header_value trimmed with original casing — values are
+    not), in document order via posexplode (``header_pos``) so "first
+    header wins" policies are expressible downstream.
+
+    Folded continuation lines (obs-fold, leading SP/HTAB — deprecated but
+    present in old WARCs) are appended to the PREVIOUS header by masking:
+    a continuation's bytes merge at the parse level is not expressible
+    row-wise, so folds are emitted as their own row with the name of the
+    preceding header and ``is_fold`` = 1 — the consumer groupBy
+    (url, header_pos of the parent) can reassemble; unparseable lines
+    (no colon, not a fold) are dropped. Status line (HTTP/...) skipped.
+    Scan-only: split + posexplode, no Python."""
+    lines = F.split(F.col(block_col), "\r?\n")
+    exploded = responses.select(
+        "url", F.posexplode(lines).alias("header_pos", "_line")
+    ).filter(
+        (F.col("_line") != "") & ~F.col("_line").rlike(r"^HTTP/")
+    )
+    is_fold = F.col("_line").rlike(r"^[ \t]")
+    name = F.lower(F.trim(F.substring_index(F.col("_line"), ":", 1)))
+    value = F.trim(
+        F.substr(
+            F.col("_line"), F.locate(":", F.col("_line")) + F.lit(1)
+        )
+    )
+    out = exploded.withColumn("is_fold", is_fold.cast("int")).filter(
+        F.col("_line").contains(":") | (F.col("is_fold") == 1)
+    )
+    # a fold row inherits the nearest preceding non-fold name via a
+    # last-value window over document order (per url)
+    w = Window.partitionBy("url").orderBy("header_pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    parent_name = F.last(
+        F.when(F.col("is_fold") == 0, name), ignorenulls=True
+    ).over(w)
+    return out.select(
+        "url",
+        F.col("header_pos").cast("int").alias("header_pos"),
+        parent_name.alias("header_name"),
+        F.when(F.col("is_fold") == 1, F.trim(F.col("_line")))
+        .otherwise(value)
+        .alias("header_value"),
+        "is_fold",
+    ).filter(F.col("header_name").isNotNull())

@@ -255,3 +255,30 @@ def rendezvous_shards(df: DataFrame, n_shards: int, key_col: str = "doc_id") -> 
         (F.expr("array_position(_w, array_max(_w))") - 1).cast("int").alias("shard"),
         F.expr("array_max(_w)").alias("weight"),
     )
+
+
+def host_cap_sample(documents: DataFrame, host_col: str = "host", cap: int = 100) -> DataFrame:
+    """Per-host document quota — the C4-style domain cap: without one, a
+    handful of mega-hosts (wikis, forums, e-commerce catalogs) dominate
+    the training mix and the model learns their template instead of the
+    web. Keep at most ``cap`` docs per host, chosen DETERMINISTICALLY by
+    the square-mod sample hash (not "first N seen" — arrival order is a
+    crawl-schedule artifact and would bias toward each host's homepage
+    neighborhood) with doc_id as the total tiebreak.
+
+    Returns surviving rows with a ``host_rank`` column (1-based position
+    in the host's keep order — downstream quota tightening filters on it
+    WITHOUT re-ranking).
+
+    One window rank per host partition. Hot hosts make hot partitions:
+    at 100 TB pre-aggregate with a two-level trick — a first pass counts
+    per (host, hash-bucket) so only buckets straddling the cap boundary
+    need the exact sort; the gate form is the exact single-window plan.
+    """
+    w = Window.partitionBy(host_col).orderBy(
+        _sample_hash(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        documents.withColumn("host_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("host_rank") <= cap)
+    )
