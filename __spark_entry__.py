@@ -2935,6 +2935,37 @@ def q_crawl_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_header_block(responses)
 
 
+def q_text_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion (operators/textstats.
+    lang_agreement) over the raw documents table — its lang column is the
+    declared signal, the stopword-vote lang_id the detected one; 'hi'
+    declarations can never agree (not in the stopword set), exercising
+    the off-diagonal."""
+    from webcrawler_woc_spark.operators.textstats import lang_agreement
+
+    return lang_agreement(_docs(spark, sf_dir))
+
+
+def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log2 degree histogram (operators/graph.degree_histogram): edges
+    d -> 2^ilog2(d) (d >= 2, self-hub rows dropped) build hubs with
+    exponentially growing degrees — a synthetic power law whose histogram
+    fills every bucket. The oracle mirrors the und/degree/bucket rollup."""
+    from webcrawler_woc_spark.operators.graph import degree_histogram
+
+    d = F.col("doc_id")
+    hub = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(length(bin(doc_id)) AS INT) - 1)"
+    )
+    edges = (
+        _docs(spark, sf_dir)
+        .filter(d >= 2)
+        .select(d.alias("src"), hub.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return degree_histogram(edges)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -3121,6 +3152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": q_text_readability,
         "pipeline_host_cap": q_pipeline_host_cap,
         "crawl_http_headers": q_crawl_http_headers,
+        "text_lang_agreement": q_text_lang_agreement,
+        "graph_degree_hist": q_graph_degree_hist,
     }
 
 
@@ -5726,6 +5759,35 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'http://h/p' || doc_id, 4, 'x-note', 'more bit', 1
             FROM documents WHERE doc_id % 5 = 0
+        """,
+        "text_lang_agreement": f"""
+            SELECT coalesce(d.lang, 'und') AS declared,
+                   p.lang_pred,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(d.lang, 'und') = p.lang_pred AS INT) AS agree
+            FROM documents d JOIN ({_lang_id_sql()}) p USING (doc_id)
+            GROUP BY 1, 2
+        """,
+        "graph_degree_hist": """
+            WITH e0 AS (
+                SELECT doc_id AS src,
+                       CAST(1 AS BIGINT) << (length(bin(doc_id)) - 1) AS dst
+                FROM documents WHERE doc_id >= 2
+            ),
+            e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+            und AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+            ),
+            deg AS (
+                SELECT src, CAST(count(*) AS BIGINT) AS degree
+                FROM und GROUP BY src
+            )
+            SELECT CAST(length(bin(degree)) - 1 AS INT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_nodes,
+                   min(degree) AS min_degree,
+                   max(degree) AS max_degree
+            FROM deg GROUP BY 1
         """,
         "text_blocklist": f"""
             WITH t AS (

@@ -695,3 +695,30 @@ def seed_expansion(host_edges: DataFrame, seeds: DataFrame, top_k: int = 50) -> 
         .filter(F.col("rank") <= top_k)
         .select(F.col("dst_host").alias("host"), "seed_links", "n_seed_sources", "rank")
     )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """log2-bucketed degree distribution over the UNDIRECTED graph — the
+    one-glance health check of a crawl's link structure: web graphs are
+    power laws (straight line in log-log), so a missing tail means the
+    crawler never escaped its seeds' neighborhoods and a bulging head
+    means trap subtrees inflated degree-1 leaves. Buckets by
+    ilog2(degree) (= length(bin(degree)) - 1, the repo's integer-log
+    idiom), with exact min/max inside each bucket.
+
+    Output (bucket, n_nodes, min_degree, max_degree), bucket k covering
+    degrees [2^k, 2^{k+1}). One degree count + one bucket-cardinality
+    groupBy (<= 64 rows out)."""
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = und.groupBy("src").agg(F.count("*").cast("bigint").alias("degree"))
+    bucket = (F.length(F.bin(F.col("degree"))) - 1).cast("int")
+    return (
+        deg.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+        )
+    )

@@ -943,3 +943,28 @@ def readability_stats(documents: DataFrame) -> DataFrame:
             ppm("_lw", "_nw").alias("long_word_ratio_ppm"),
         )
     )
+
+
+def lang_agreement(documents: DataFrame, declared_col: str = "lang") -> DataFrame:
+    """Declared-vs-detected language confusion rollup — the check
+    page_metadata's html_lang exists to feed: a host whose declared lang
+    disagrees with the statistical lang-id at scale is machine-translated,
+    scraped-and-rebadged, or keyword-stuffed (all spam classes), and a
+    multilingual sampler trusting EITHER signal alone inherits its
+    failure mode. Composes lang_id (stopword-vote, deterministic
+    tiebreak) with the declared column and rolls up:
+
+    (declared, lang_pred, n_docs, agree 0/1) — one row per observed
+    (declared, predicted) pair; ``agree`` marks the diagonal. NULL
+    declared rolls up as 'und' (undeclared is a real population, not a
+    dropped row). One corpus-scan lang-id + one pair-cardinality groupBy."""
+    pred = lang_id(documents).select("doc_id", "lang_pred")
+    declared = documents.select(
+        "doc_id", F.coalesce(F.col(declared_col), F.lit("und")).alias("declared")
+    )
+    return (
+        declared.join(pred, "doc_id")
+        .groupBy("declared", "lang_pred")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .withColumn("agree", (F.col("declared") == F.col("lang_pred")).cast("int"))
+    )
