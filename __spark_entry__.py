@@ -2966,6 +2966,32 @@ def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_histogram(edges)
 
 
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct sketch (operators/sketches.kmv_distinct):
+    five hosts see 'u' || (doc_id % 150) values (≈30 distinct each — past
+    k=16, the estimator path) plus a 'tiny' group under k (the exact
+    path). The oracle recomputes the identical bottom-k arithmetic."""
+    from webcrawler_woc_spark.operators.sketches import kmv_distinct
+
+    d = F.col("doc_id")
+    values = _docs(spark, sf_dir).select(
+        F.when(d < 8, F.lit("tiny"))
+        .otherwise(F.concat(F.lit("h"), (d % 5).cast("string")))
+        .alias("host"),
+        F.concat(F.lit("u"), (d % 150).cast("string")).alias("value"),
+    )
+    return kmv_distinct(values, k=16)
+
+
+def q_pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (operators/sampling.epoch_shuffle) at
+    epoch 3 — position is a pure function of (doc_id, epoch); the oracle
+    replays the same hash-ordered row_number."""
+    from webcrawler_woc_spark.operators.sampling import epoch_shuffle
+
+    return epoch_shuffle(_docs(spark, sf_dir), epoch=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -3154,6 +3180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_http_headers": q_crawl_http_headers,
         "text_lang_agreement": q_text_lang_agreement,
         "graph_degree_hist": q_graph_degree_hist,
+        "sketch_kmv_distinct": q_sketch_kmv_distinct,
+        "pipeline_epoch_shuffle": q_pipeline_epoch_shuffle,
     }
 
 
@@ -5788,6 +5816,51 @@ def oracle_sql() -> dict[str, str]:
                    min(degree) AS min_degree,
                    max(degree) AS max_degree
             FROM deg GROUP BY 1
+        """,
+        "sketch_kmv_distinct": f"""
+            WITH v AS (
+                SELECT CASE WHEN doc_id < 8 THEN 'tiny'
+                       ELSE 'h' || (doc_id % 5) END AS grp,
+                       'u' || (doc_id % 150) AS value
+                FROM documents
+            ),
+            h AS (
+                SELECT DISTINCT grp,
+                       (({_POLY31.format(col="value", mult=31)} % 2147483647)
+                        * ({_POLY31.format(col="value", mult=31)} % 2147483647))
+                       % 2147483647 AS h31
+                FROM v
+            ),
+            r AS (
+                SELECT grp, h31,
+                       row_number() OVER (PARTITION BY grp ORDER BY h31 ASC)
+                           AS rn
+                FROM h
+            ),
+            k AS (
+                SELECT grp, CAST(count(*) AS INT) AS n_kept,
+                       max(h31) AS kth_min
+                FROM r WHERE rn <= 16 GROUP BY grp
+            )
+            SELECT grp AS host, n_kept, kth_min,
+                   CASE WHEN n_kept < 16 THEN CAST(n_kept AS BIGINT)
+                        ELSE (CAST(15 AS BIGINT) * 2147483647) // kth_min
+                        END AS est_distinct
+            FROM k
+        """,
+        "pipeline_epoch_shuffle": """
+            WITH h AS (
+                SELECT doc_id,
+                       ((doc_id * 2654435761 + 3 * 40503) % 2147483647) AS m
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, (m * m) % 2147483647 AS hh FROM h
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY hh ASC, doc_id ASC)
+                        AS BIGINT) AS position
+            FROM r
         """,
         "text_blocklist": f"""
             WITH t AS (

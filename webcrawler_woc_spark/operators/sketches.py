@@ -234,3 +234,55 @@ def log2_quantile_sketch(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), p{q}_bucket)").alias(f"p{q}_lo")
         )
     return out.select(*cols)
+
+
+def kmv_distinct(values: DataFrame, group_col: str = "host",
+                 value_col: str = "value", k: int = 64) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch per group —
+    Bar-Yossef et al. 2002 (public algorithm): keep the k smallest DISTINCT
+    hash values of a stream; if the kth-smallest is h_k over a hash space
+    of size M, the stream held ~ (k-1) * M / h_k distinct values. The
+    property that matters at 100 TB: the sketch is a bottom-k SET, so it
+    merges by union+truncate — per-partition bottom-k then one tiny
+    combine, the key space never shuffles (same story as count-min; HLL
+    trades accuracy shape for even less state, KMV gives an unbiased
+    estimator AND a uniform sample of the distinct values for free).
+
+    Hash = the square-mod rolling-poly over the value string (the
+    MinHash/count-min hash — DuckDB-reproducible, which is what makes the
+    ESTIMATE value-exact across engines, not just close). Output per
+    group: (group, n_seen_distinct_hashes capped at k, kth_min,
+    est_distinct — exact count when the group holds < k distinct hashes,
+    else the KMV formula in integer arithmetic).
+
+    Plan: hash projection -> distinct -> per-group bottom-k via window
+    row_number (partial: at scale swap for groupBy + sort_array(slice)
+    partial-agg form; window form is the exact gate plan).
+    """
+    from pyspark.sql import Window
+
+    h = _sql_str_hash31(F.col(value_col))
+    hashes = values.select(
+        F.col(group_col).alias("grp"), h.alias("h31")
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy(F.col("h31").asc())
+    topk = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("int").alias("n_kept"),
+            F.max("h31").alias("kth_min"),
+        )
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("bigint")
+    ).otherwise(
+        F.expr(f"(CAST({k - 1} AS BIGINT) * {MERSENNE31}) div kth_min")
+    )
+    return topk.select(
+        F.col("grp").alias(group_col),
+        "n_kept",
+        "kth_min",
+        est.alias("est_distinct"),
+    )
