@@ -5776,16 +5776,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INT) AS header_pos,
                    'content-type' AS header_name,
                    'text/HTML; v=' || doc_id AS header_value,
-                   CAST(0 AS INT) AS is_fold
+                   CAST(0 AS INT) AS is_fold,
+                   CAST(1 AS INT) AS parent_pos
             FROM documents
             UNION ALL
-            SELECT 'http://h/p' || doc_id, 2, 'etag', '"e' || doc_id || '"', 0
+            SELECT 'http://h/p' || doc_id, 2, 'etag', '"e' || doc_id || '"', 0, 2
             FROM documents
             UNION ALL
-            SELECT 'http://h/p' || doc_id, 3, 'x-note', 'part', 0
+            SELECT 'http://h/p' || doc_id, 3, 'x-note', 'part', 0, 3
             FROM documents WHERE doc_id % 5 = 0
             UNION ALL
-            SELECT 'http://h/p' || doc_id, 4, 'x-note', 'more bit', 1
+            SELECT 'http://h/p' || doc_id, 4, 'x-note', 'more bit', 1, 3
             FROM documents WHERE doc_id % 5 = 0
         """,
         "text_lang_agreement": f"""

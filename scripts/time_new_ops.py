@@ -30,6 +30,11 @@ DEFAULT_KEYS = [
     "pipeline_host_cap",
     "text_readability",
     "graph_kcore",
+    "graph_seed_expansion",
+    "text_lang_agreement",
+    "graph_degree_hist",
+    "sketch_kmv_distinct",
+    "pipeline_epoch_shuffle",
 ]
 
 

@@ -60,11 +60,37 @@ class TestParseHeaderBlock:
         block = "A: one\r\n continued bit\r\nnocolonline\r\nB: two\r\n"
         df = spark.createDataFrame([("u", block)], "url string, header_block string")
         rows = sorted(parse_header_block(df).collect(), key=lambda r: r.header_pos)
-        assert [(r.header_name, r.header_value, r.is_fold) for r in rows] == [
-            ("a", "one", 0),
-            ("a", "continued bit", 1),
-            ("b", "two", 0),
+        assert [(r.header_name, r.header_value, r.is_fold, r.parent_pos) for r in rows] == [
+            ("a", "one", 0, 0),
+            ("a", "continued bit", 1, 0),
+            ("b", "two", 0, 3),
         ]
+
+    def test_tab_ows_stripped_and_tab_fold(self, spark):
+        from webcrawler_woc_spark.operators.extract import parse_header_block
+
+        block = "Content-Type:\ttext/html\t\r\n\tfolded\r\n"
+        df = spark.createDataFrame([("u", block)], "url string, header_block string")
+        rows = sorted(parse_header_block(df).collect(), key=lambda r: r.header_pos)
+        assert rows[0].header_value == "text/html"
+        assert (rows[1].header_value, rows[1].is_fold, rows[1].parent_pos) == ("folded", 1, 0)
+
+    def test_duplicate_urls_fold_attribution(self, spark):
+        """Two captures of one url must not cross-attribute folds."""
+        from webcrawler_woc_spark.operators.extract import parse_header_block
+
+        b1 = "A: x\r\n fold1\r\n"
+        b2 = "B: y\r\nC: z\r\n"
+        df = spark.createDataFrame(
+            [("u", b1, 1), ("u", b2, 2)], "url string, header_block string, cap int"
+        )
+        rows = parse_header_block(df, capture_col="cap").collect()
+        folds = [r for r in rows if r.is_fold == 1]
+        assert len(folds) == 1 and folds[0].header_name == "a"
+        # and the block-text fallback partitioning gives the same attribution
+        rows2 = parse_header_block(df.drop("cap")).collect()
+        folds2 = [r for r in rows2 if r.is_fold == 1]
+        assert len(folds2) == 1 and folds2[0].header_name == "a"
 
     def test_value_with_colons(self, spark):
         from webcrawler_woc_spark.operators.extract import parse_header_block

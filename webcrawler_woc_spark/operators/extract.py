@@ -254,33 +254,49 @@ def nofollow_stats(pages: DataFrame, body_col: str = "html") -> DataFrame:
     )
 
 
-def parse_header_block(responses: DataFrame, block_col: str = "header_block") -> DataFrame:
+def parse_header_block(
+    responses: DataFrame,
+    block_col: str = "header_block",
+    capture_col: str | None = None,
+) -> DataFrame:
     """Raw HTTP header-block parsing — WARC response records and most
     fetch logs carry headers as one CRLF text block, not a map; every
     header-driven operator upstream (charset, robots-meta, canonical Link,
     revalidation) wants them split. Emits one row per header line:
-    (url, header_name lowercased — field names are case-insensitive per
-    RFC 9110, header_value trimmed with original casing — values are
-    not), in document order via posexplode (``header_pos``) so "first
-    header wins" policies are expressible downstream.
+    (url, header_pos, header_name, header_value, is_fold, parent_pos), in
+    document order via posexplode so "first header wins" policies are
+    expressible downstream. Names lowercased (RFC 9110 field names are
+    case-insensitive), values keep original casing with OWS stripped —
+    BOTH SP and HTAB (Spark's trim is space-only, hence the regexp trim).
 
     Folded continuation lines (obs-fold, leading SP/HTAB — deprecated but
-    present in old WARCs) are appended to the PREVIOUS header by masking:
-    a continuation's bytes merge at the parse level is not expressible
-    row-wise, so folds are emitted as their own row with the name of the
-    preceding header and ``is_fold`` = 1 — the consumer groupBy
-    (url, header_pos of the parent) can reassemble; unparseable lines
-    (no colon, not a fold) are dropped. Status line (HTTP/...) skipped.
-    Scan-only: split + posexplode, no Python."""
+    present in old WARCs) are emitted as their own row carrying the
+    PRECEDING header's name and that header's position as ``parent_pos``
+    (their own ``header_pos`` keeps document order), so a consumer
+    reassembles by groupBy(url, parent_pos). Non-fold rows carry their own
+    position as parent_pos. Unparseable lines (no colon, not a fold) are
+    dropped; the status line (HTTP/...) is skipped.
+
+    Duplicate urls (multiple captures of one page — the normal recrawl
+    shape) need a distinguishing ``capture_col``; without one the window
+    partitions on the block text itself, which keeps fold attribution
+    correct per capture (identical blocks parse identically) at the cost
+    of carrying the block through the exchange — pass a capture key for
+    the cheap form. Scan-only otherwise: split + posexplode, no Python.
+    """
+    part_cols = ["url", capture_col] if capture_col else ["url", block_col]
     lines = F.split(F.col(block_col), "\r?\n")
     exploded = responses.select(
-        "url", F.posexplode(lines).alias("header_pos", "_line")
+        "url",
+        *([capture_col] if capture_col else [block_col]),
+        F.posexplode(lines).alias("header_pos", "_line"),
     ).filter(
         (F.col("_line") != "") & ~F.col("_line").rlike(r"^HTTP/")
     )
+    ows_trim = lambda c: F.regexp_replace(c, r"^[ \t]+|[ \t]+$", "")  # noqa: E731
     is_fold = F.col("_line").rlike(r"^[ \t]")
-    name = F.lower(F.trim(F.substring_index(F.col("_line"), ":", 1)))
-    value = F.trim(
+    name = F.lower(ows_trim(F.substring_index(F.col("_line"), ":", 1)))
+    value = ows_trim(
         F.substr(
             F.col("_line"), F.locate(":", F.col("_line")) + F.lit(1)
         )
@@ -288,20 +304,24 @@ def parse_header_block(responses: DataFrame, block_col: str = "header_block") ->
     out = exploded.withColumn("is_fold", is_fold.cast("int")).filter(
         F.col("_line").contains(":") | (F.col("is_fold") == 1)
     )
-    # a fold row inherits the nearest preceding non-fold name via a
-    # last-value window over document order (per url)
-    w = Window.partitionBy("url").orderBy("header_pos").rowsBetween(
+    # a fold row inherits the nearest preceding non-fold name and position
+    # via a last-value window over document order (per capture)
+    w = Window.partitionBy(*part_cols).orderBy("header_pos").rowsBetween(
         Window.unboundedPreceding, 0
     )
     parent_name = F.last(
         F.when(F.col("is_fold") == 0, name), ignorenulls=True
     ).over(w)
+    parent_pos = F.last(
+        F.when(F.col("is_fold") == 0, F.col("header_pos")), ignorenulls=True
+    ).over(w)
     return out.select(
         "url",
         F.col("header_pos").cast("int").alias("header_pos"),
         parent_name.alias("header_name"),
-        F.when(F.col("is_fold") == 1, F.trim(F.col("_line")))
+        F.when(F.col("is_fold") == 1, ows_trim(F.col("_line")))
         .otherwise(value)
         .alias("header_value"),
         "is_fold",
+        parent_pos.cast("int").alias("parent_pos"),
     ).filter(F.col("header_name").isNotNull())

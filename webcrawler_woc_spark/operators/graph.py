@@ -264,6 +264,21 @@ def _pagerank_rounds(
     return ranks
 
 
+def _undirected(edges: DataFrame, drop_self: bool = False) -> DataFrame:
+    """Symmetrized, deduped (src, dst) edge set. ``drop_self`` removes
+    self-loops — degree-semantics operators (k-core, degree histogram)
+    must not let a page's self-reference count toward its own degree;
+    label/rank propagation keeps them (a self-edge is a deliberate vote).
+    connected_components keeps its own non-deduped union: min-agg is
+    duplicate-idempotent and the extra distinct would be a wasted shuffle."""
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    if drop_self:
+        und = und.filter(F.col("src") != F.col("dst"))
+    return und
+
+
 def connected_components(nodes: DataFrame, edges: DataFrame, iterations: int = 5) -> DataFrame:
     """Min-label propagation over the UNDIRECTED link graph, fixed rounds.
     Output (doc_id, component) where component = min doc_id reachable within
@@ -593,9 +608,7 @@ def label_propagation(nodes: DataFrame, edges: DataFrame, iterations: int = 3) -
     lineage cut per round (localCheckpoint, the pagerank pattern). The
     mode vote uses max_by over a (count, -label) struct rather than a
     window sort: one aggregate, no per-partition sort."""
-    und = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    und = _undirected(edges)
     labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(iterations):
         votes = (
@@ -635,15 +648,16 @@ def kcore_nodes(edges: DataFrame, k: int = 3, max_rounds: int = 3) -> DataFrame:
     round 3 on web graphs; callers needing certainty raise max_rounds
     and compare successive counts).
 
-    Output (doc_id, degree) for surviving nodes, degree = the count
-    within the surviving subgraph.
+    Output (doc_id, degree) for surviving nodes, degree = the INDUCED
+    degree within the returned node set (self-loops excluded — a page's
+    self-reference must not count toward its own core survival); on a
+    non-converged run some survivors may report degree < k, consistent
+    with the superset caveat.
 
     Per round: one groupBy(node) degree count + one semi-join restricting
     edges to survivors — shuffle rows = edge count; lineage cut per round.
     """
-    und = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    und = _undirected(edges, drop_self=True)
     for _ in range(max_rounds):
         deg = und.groupBy("src").agg(F.count("*").alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("src")
@@ -652,11 +666,17 @@ def kcore_nodes(edges: DataFrame, k: int = 3, max_rounds: int = 3) -> DataFrame:
             .join(keep.select(F.col("src").alias("dst")), "dst")
             .localCheckpoint()
         )
+    # one more restriction so the REPORTED degree is the induced degree
+    # within the returned node set (not a count toward just-dropped
+    # neighbors); on non-converged runs some survivors may report < k —
+    # the documented superset caveat, never an inconsistent count
+    deg = und.groupBy("src").agg(F.count("*").alias("degree"))
+    keep = deg.filter(F.col("degree") >= k).select("src")
+    final = und.join(keep, "src").join(keep.select(F.col("src").alias("dst")), "dst")
     return (
-        und.groupBy("src")
+        final.groupBy("src")
         .agg(F.count("*").cast("int").alias("degree"))
         .select(F.col("src").alias("doc_id"), "degree")
-        .filter(F.col("degree") >= k)
     )
 
 
@@ -709,9 +729,7 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
     Output (bucket, n_nodes, min_degree, max_degree), bucket k covering
     degrees [2^k, 2^{k+1}). One degree count + one bucket-cardinality
     groupBy (<= 64 rows out)."""
-    und = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    und = _undirected(edges, drop_self=True)
     deg = und.groupBy("src").agg(F.count("*").cast("bigint").alias("degree"))
     bucket = (F.length(F.bin(F.col("degree"))) - 1).cast("int")
     return (
