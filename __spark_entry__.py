@@ -2992,6 +2992,36 @@ def q_pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_shuffle(_docs(spark, sf_dir), epoch=3)
 
 
+def q_decon_url_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level decontamination (operators/decontaminate.
+    url_decontaminate): corpus urls carry utm noise on doc_id % 3 == 0,
+    the eval set (doc_id % 7 == 0) carries fbclid noise — matches must go
+    through the tracking-stripped key on BOTH sides. Arithmetic oracle."""
+    from webcrawler_woc_spark.operators.decontaminate import url_decontaminate
+
+    d = F.col("doc_id")
+    base = F.concat(F.lit("http://s.example/p"), d.cast("string"))
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(d % 3 == 0, F.concat(base, F.lit("?utm_source=a"))).otherwise(base).alias("url"),
+    )
+    evalset = (
+        _docs(spark, sf_dir)
+        .filter(d % 7 == 0)
+        .select(F.concat(base, F.lit("?fbclid=z")).alias("url"))
+    )
+    return url_decontaminate(corpus, evalset)
+
+
+def q_text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed PMI collocations (operators/textstats.pmi_pairs) over the
+    raw documents (window 3, min count 3); the DuckDB twin independently
+    regenerates the forward-window pairs and the integer ilog2 PMI."""
+    from webcrawler_woc_spark.operators.textstats import pmi_pairs
+
+    return pmi_pairs(_docs(spark, sf_dir), window=3, min_count=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -3182,6 +3212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_hist": q_graph_degree_hist,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "pipeline_epoch_shuffle": q_pipeline_epoch_shuffle,
+        "decon_url_overlap": q_decon_url_overlap,
+        "text_pmi_pairs": q_text_pmi_pairs,
     }
 
 
@@ -5862,6 +5894,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY hh ASC, doc_id ASC)
                         AS BIGINT) AS position
             FROM r
+        """,
+        "decon_url_overlap": """
+            SELECT doc_id,
+                   'http://s.example/p' || doc_id
+                       || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=a'
+                          ELSE '' END AS url,
+                   'http://s.example/p' || doc_id AS matched_key
+            FROM documents WHERE doc_id % 7 = 0
+        """,
+        "text_pmi_pairs": f"""
+            WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+            pairs AS (
+                SELECT unnest(flatten(list_transform(range(1, len(toks) + 1),
+                    i -> list_transform(
+                        range(1, least(3, len(toks) - i) + 1),
+                        k -> struct_pack(
+                            a := least(toks[i], toks[i + k]),
+                            b := greatest(toks[i], toks[i + k])))))) AS p
+                FROM t WHERE len(toks) > 0
+            ),
+            pc AS (
+                SELECT p.a AS tok_a, p.b AS tok_b,
+                       CAST(count(*) AS BIGINT) AS c_ab
+                FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3
+            ),
+            tcc AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+                    SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+            ),
+            tot AS (
+                SELECT CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n_total
+                FROM t
+            )
+            SELECT tok_a, tok_b, CAST(c_ab AS INT) AS c_ab,
+                   CAST((length(bin(c_ab * n_total)) - 1)
+                        - (length(bin(ca.c * cb.c)) - 1) AS BIGINT)
+                       AS pmi_bits
+            FROM pc
+                 JOIN tcc ca ON ca.tok = pc.tok_a
+                 JOIN tcc cb ON cb.tok = pc.tok_b
+                 CROSS JOIN tot
         """,
         "text_blocklist": f"""
             WITH t AS (

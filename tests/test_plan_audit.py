@@ -66,6 +66,7 @@ BNLJ_OK = {
     "dedup_semantic",  # inherits the k-means assignment scan
     "graph_hits",  # per-normalization 1-row max broadcast crossJoin
     "pipeline_domain_mixture",  # group-counts x 1-row weight-total crossJoin
+    "text_pmi_pairs",  # pair-counts x 1-row corpus-total crossJoin
 }
 # streaming queries execute a StreamingQuery, not a single batch plan
 SKIP = {

@@ -57,3 +57,34 @@ def decontaminate(
             (F.coalesce(F.col("n_hit_shingles"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def url_decontaminate(corpus: DataFrame, evalset: DataFrame) -> DataFrame:
+    """URL-level decontamination — the FIRST decon pass, before any n-gram
+    overlap runs: if an eval benchmark was scraped from known URLs (most
+    web-derived benchmarks publish their source URLs), any corpus row from
+    those URLs is contaminated BY PROVENANCE, no text comparison needed —
+    and the text pass alone misses paraphrased/truncated re-crawls of the
+    same page. Matching is on the tracking-stripped form of BOTH sides
+    (the same canonicalization the frontier dedups on: an eval URL logged
+    with utm_* noise must still hit the clean corpus capture and vice
+    versa).
+
+    Inputs: ``corpus`` (doc_id, url), ``evalset`` (url). Output: the
+    contaminated (doc_id, url, matched_key) rows — feed the doc_ids to an
+    anti-join upstream exactly like decontaminate()'s n-gram hits.
+
+    One semi-shaped inner join on the canonical key; the eval URL set is
+    benchmark-sized — broadcast. At 100 TB this is a scan + broadcast
+    probe, by far the cheapest decon stage, which is why it runs first."""
+    from ..functions.urlnorm import strip_tracking_params_col
+
+    key = strip_tracking_params_col(F.col("url"))
+    ev = F.broadcast(
+        evalset.select(strip_tracking_params_col(F.col("url")).alias("matched_key")).distinct()
+    )
+    return (
+        corpus.withColumn("matched_key", key)
+        .join(ev, "matched_key")
+        .select("doc_id", "url", "matched_key")
+    )

@@ -968,3 +968,77 @@ def lang_agreement(documents: DataFrame, declared_col: str = "lang") -> DataFram
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .withColumn("agree", (F.col("declared") == F.col("lang_pred")).cast("int"))
     )
+
+
+def pmi_pairs(
+    documents: DataFrame, window: int = 3, min_count: int = 3
+) -> DataFrame:
+    """Windowed co-occurrence with integer PMI — the collocation signal
+    ("new york", "click here") used for phrase mining AND for boilerplate
+    spotting (navigation collocations have freakish PMI at corpus scale).
+    A pair is one token co-occurring with another at distance 1..window
+    AHEAD (forward window — each unordered pair is counted once per
+    occurrence, keyed with the two tokens sorted so (a,b) == (b,a)).
+
+    pmi_bits = ilog2(c_ab * n_tokens) - ilog2(c_a * c_b) — the lm-score
+    integer-surprisal idiom: exact, engine-independent, and monotone in
+    the real PMI (floor-log loses < 1 bit, irrelevant for thresholding).
+    Output (tok_a, tok_b, c_ab, pmi_bits) for pairs with c_ab >=
+    ``min_count``; tok_a < tok_b.
+
+    Plan: pair generation is a per-doc array expression (flattened
+    transform over positions x offsets — no self-join on positions, the
+    naive shape), then ONE corpus-sized explode + partial-agg'd groupBy
+    on the pair; the two count joins after are vocab-sized. Shuffle rows
+    = token count x window — the window factor is the honest cost, same
+    as any n-gram pass."""
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(window)),
+                    lambda k: F.when(
+                        i + k <= n,
+                        F.struct(
+                            F.least(
+                                F.element_at(toks, i), F.element_at(toks, i + k)
+                            ).alias("tok_a"),
+                            F.greatest(
+                                F.element_at(toks, i), F.element_at(toks, i + k)
+                            ).alias("tok_b"),
+                        ),
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    exploded = documents.select(F.explode(pairs).alias("p")).select(
+        F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b")
+    )
+    pair_counts = exploded.groupBy("tok_a", "tok_b").agg(
+        F.count("*").cast("bigint").alias("c_ab")
+    ).filter(F.col("c_ab") >= min_count)
+    tok_counts = (
+        documents.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    total = documents.select(F.sum(F.size(_tokens(F.col("text")))).cast("bigint").alias("n_total"))
+    ilog2 = lambda c: (F.length(F.bin(c)) - 1).cast("bigint")  # noqa: E731
+    ca = tok_counts.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    cb = tok_counts.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    return (
+        pair_counts.join(ca, "tok_a")
+        .join(cb, "tok_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok_a", "tok_b",
+            F.col("c_ab").cast("int").alias("c_ab"),
+            (ilog2(F.col("c_ab") * F.col("n_total"))
+             - ilog2(F.col("c_a") * F.col("c_b"))).alias("pmi_bits"),
+        )
+    )
