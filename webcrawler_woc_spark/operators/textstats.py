@@ -994,28 +994,25 @@ def pmi_pairs(
     as any n-gram pass."""
     toks = _tokens(F.col("text"))
     n = F.size(toks)
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-            lambda i: F.filter(
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(window)),
-                    lambda k: F.when(
-                        i + k <= n,
-                        F.struct(
-                            F.least(
-                                F.element_at(toks, i), F.element_at(toks, i + k)
-                            ).alias("tok_a"),
-                            F.greatest(
-                                F.element_at(toks, i), F.element_at(toks, i + k)
-                            ).alias("tok_b"),
-                        ),
-                    ),
+    # one zip_with per offset k over sliced arrays — vectorized array ops,
+    # NOT a per-position lambda over element_at (the naive nested-transform
+    # form was ~30x slower at 10x gate scale: per-position struct lambdas
+    # defeat codegen the same way the substring pass's first kernel did)
+    parts = []
+    for k in range(1, window + 1):
+        length = F.greatest(n - k, F.lit(0))
+        a = F.slice(toks, 1, length)
+        b = F.slice(toks, k + 1, length)
+        parts.append(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: F.struct(
+                    F.least(x, y).alias("tok_a"), F.greatest(x, y).alias("tok_b")
                 ),
-                lambda s: s.isNotNull(),
-            ),
+            )
         )
-    )
+    pairs = F.concat(*parts)
     exploded = documents.select(F.explode(pairs).alias("p")).select(
         F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b")
     )
