@@ -3022,6 +3022,36 @@ def q_text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_pairs(_docs(spark, sf_dir), window=3, min_count=3)
 
 
+def q_crawl_schedule_makespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness makespan analysis (operators/politeness.
+    schedule_makespan): ten hosts with arithmetic url counts and delays
+    (every third host undeclared → default 500 ms); the critical host and
+    the shared makespan column are arithmetic-predicted."""
+    from webcrawler_woc_spark.operators.politeness import schedule_makespan
+
+    h = F.col("h")
+    hosts = (
+        _docs(spark, sf_dir)
+        .select((F.col("doc_id") % 10).alias("h"))
+        .distinct()
+        .select(
+            F.concat(F.lit("host"), h.cast("string")).alias("host"),
+            (10 + (h * 7) % 13).cast("int").alias("n_urls"),
+            F.when(h % 3 != 0, (h + 1) * 100).cast("bigint").alias("delay_ms"),
+        )
+    )
+    return schedule_makespan(hosts)
+
+
+def q_text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing embedding (operators/textstats.hash_embedding) over
+    the raw documents, 64 dims, sparse (doc_id, dim, cnt) rows; the
+    DuckDB twin recomputes the same square-mod bucket hash."""
+    from webcrawler_woc_spark.operators.textstats import hash_embedding
+
+    return hash_embedding(_docs(spark, sf_dir), dims=64)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -3214,6 +3244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_epoch_shuffle": q_pipeline_epoch_shuffle,
         "decon_url_overlap": q_decon_url_overlap,
         "text_pmi_pairs": q_text_pmi_pairs,
+        "crawl_schedule_makespan": q_crawl_schedule_makespan,
+        "text_hash_embedding": q_text_hash_embedding,
     }
 
 
@@ -5935,6 +5967,47 @@ def oracle_sql() -> dict[str, str]:
                  JOIN tcc ca ON ca.tok = pc.tok_a
                  JOIN tcc cb ON cb.tok = pc.tok_b
                  CROSS JOIN tot
+        """,
+        "crawl_schedule_makespan": """
+            WITH h AS (
+                SELECT DISTINCT doc_id % 10 AS h FROM documents
+            ),
+            t AS (
+                SELECT 'host' || h AS host,
+                       CAST(10 + (h * 7) % 13 AS INT) AS n_urls,
+                       CAST(CASE WHEN h % 3 <> 0 THEN (h + 1) * 100
+                            ELSE 500 END AS BIGINT) AS delay_ms,
+                       CASE WHEN h % 3 <> 0 THEN NULL ELSE 1 END AS defaulted
+                FROM h
+            ),
+            x AS (
+                SELECT host, n_urls, delay_ms,
+                       CAST(greatest(n_urls - 1, 0) * delay_ms AS BIGINT)
+                           AS host_time_ms
+                FROM t
+            )
+            SELECT host, n_urls,
+                   delay_ms,
+                   host_time_ms,
+                   CAST(max(host_time_ms) OVER () AS BIGINT) AS makespan_ms,
+                   CAST(host_time_ms = max(host_time_ms) OVER () AS INT)
+                       AS is_critical
+            FROM x
+        """,
+        "text_hash_embedding": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       (({_POLY31.format(col="tok", mult=31)} % 2147483647)
+                        * ({_POLY31.format(col="tok", mult=31)} % 2147483647))
+                       % 2147483647 % 64 AS dim
+                FROM tok
+            )
+            SELECT doc_id, CAST(dim AS INT) AS dim,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM h GROUP BY 1, 2
         """,
         "text_blocklist": f"""
             WITH t AS (

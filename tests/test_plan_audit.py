@@ -67,6 +67,7 @@ BNLJ_OK = {
     "graph_hits",  # per-normalization 1-row max broadcast crossJoin
     "pipeline_domain_mixture",  # group-counts x 1-row weight-total crossJoin
     "text_pmi_pairs",  # pair-counts x 1-row corpus-total crossJoin
+    "crawl_schedule_makespan",  # host table x 1-row makespan-max crossJoin
 }
 # streaming queries execute a StreamingQuery, not a single batch plan
 SKIP = {

@@ -480,3 +480,36 @@ def plan_adaptive_timeouts(
         )
         .select("host", "n_fetches", "p95_ms", "timeout_ms", "n_would_timeout")
     )
+
+
+def schedule_makespan(frontier: DataFrame, default_delay_ms: int = 500) -> DataFrame:
+    """Wave-schedule makespan analysis — the capacity-planning readout for
+    a politeness-bound crawl: a host's wave time is (n_urls - 1) * delay
+    (requests are serialized per host; the first fires at t=0), and the
+    WAVE's wall time is the slowest host — so one hot host with a long
+    Crawl-delay dominates wall-clock no matter how many executors exist.
+    This query is how an operator decides between splitting a host's
+    budget across waves and negotiating its delay.
+
+    Input (host, n_urls, delay_ms nullable — robots Crawl-delay where
+    declared, else ``default_delay_ms``). Output per host: (host, n_urls,
+    delay_ms, host_time_ms, is_critical 0/1 — on the makespan, ties all
+    flagged) plus the makespan as a column (same value every row — the
+    1-row max broadcast crossJoin, the hits_int normalization pattern).
+    Host-cardinality all the way; the crossJoin is 1-row."""
+    hosts = frontier.select(
+        "host",
+        F.col("n_urls").cast("bigint").alias("n_urls"),
+        F.coalesce(F.col("delay_ms"), F.lit(default_delay_ms)).cast("bigint").alias("delay_ms"),
+    ).withColumn(
+        "host_time_ms",
+        (F.greatest(F.col("n_urls") - 1, F.lit(0)) * F.col("delay_ms")).cast("bigint"),
+    )
+    mk = hosts.agg(F.max("host_time_ms").alias("makespan_ms"))
+    return (
+        hosts.crossJoin(F.broadcast(mk))
+        .withColumn(
+            "is_critical", (F.col("host_time_ms") == F.col("makespan_ms")).cast("int")
+        )
+        .select("host", "n_urls", "delay_ms", "host_time_ms", "makespan_ms", "is_critical")
+    )

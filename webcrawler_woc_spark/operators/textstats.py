@@ -1039,3 +1039,33 @@ def pmi_pairs(
              - ilog2(F.col("c_a") * F.col("c_b"))).alias("pmi_bits"),
         )
     )
+
+
+def hash_embedding(documents: DataFrame, dims: int = 64) -> DataFrame:
+    """Feature-hashing bag-of-words embedding (Weinberger et al. 2009):
+    each token hashes to one of ``dims`` buckets and the document's
+    vector is the bucket-count histogram — the embedding you get WITHOUT
+    a model, dimensionality fixed by construction, exactly mergeable
+    (vectors of doc halves sum), and the standard cheap input to the ANN/
+    clustering stack when no learned embeddings exist yet. Sign-hash
+    variants reduce bias; the unsigned count form is pinned here because
+    the oracle must be value-exact and counts are the interpretable form
+    for corpus diagnostics.
+
+    Output EXPLODED as (doc_id, dim, cnt) with zero buckets absent — the
+    sparse form: at 100 TB the dense array column wastes storage on
+    zeros and the sparse rows feed groupBy-style aggregation directly
+    (pivot to dense is one groupBy when a consumer wants vectors).
+    Hash = the DuckDB-reproducible square-mod poly (the MinHash hash)
+    mod dims. One explode + partial-agg'd groupBy(doc_id, dim)."""
+    from ..operators.dedup import _sql_str_hash31
+
+    toks = documents.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    dim = F.pmod(_sql_str_hash31(F.col("tok")), F.lit(dims)).cast("int")
+    return (
+        toks.select("doc_id", dim.alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
