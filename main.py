@@ -95,6 +95,12 @@ def main(argv: list[str] | None = None) -> int:
         help="enforce robots.txt Disallow rules on the frontier",
     )
     ap.add_argument(
+        "--strip-tracking", action="store_true",
+        help="canonicalize frontier URLs by stripping tracking query params "
+             "(utm_*/fbclid/gclid/...) so ad-tagged variants of one page "
+             "collapse to one fetch; default off = reference parity",
+    )
+    ap.add_argument(
         "--trap-filter", action="store_true",
         help="drop crawler-trap URLs (segment loops, calendar lattices, "
              "session-id params, param explosions, over-deep paths) from "
@@ -204,6 +210,7 @@ def main(argv: list[str] | None = None) -> int:
         timeout_ms=int(args.timeout * 1000) if args.timeout else None,
         respect_disallow=args.respect_disallow,
         trap_filter=args.trap_filter,
+        strip_tracking=args.strip_tracking,
         n_buckets=args.n_buckets,
         use_bloom=not args.no_bloom,
         seen_filter=args.seen_filter,

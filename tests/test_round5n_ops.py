@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -63,3 +64,67 @@ class TestHashEmbedding:
         rows = hash_embedding(docs, dims=16).collect()
         assert all(0 <= r.dim < 16 for r in rows)
         assert sum(r.cnt for r in rows) == 200
+
+
+class TestStripTrackingWired:
+    """Opt-in frontier canonicalization: utm-tagged variants of one page
+    must collapse to one frontier entry / one seen row; default off keeps
+    the raw extracted URLs (reference parity)."""
+
+    @pytest.fixture(scope="class")
+    def tiny(self, spark):
+        def page(body):
+            return f"<html><body>{body}</body></html>".encode()
+
+        pages_dict = {
+            "http://h0.example/page/0": page(
+                '<a href="/page/1?utm_source=feed">a</a>'
+                '<a href="/page/1">b</a>'
+                '<a href="/page/2?id=5">real param</a>'
+            ),
+            "http://h0.example/page/1": page("clean target"),
+            "http://h0.example/page/2?id=5": page("param page"),
+        }
+        rows = [(u, b, b.decode()) for u, b in pages_dict.items()]
+        return spark.createDataFrame(rows, "url string, html binary, text string")
+
+    def _run(self, spark, pages, tmp, strip):
+        from pyspark.sql import functions as F
+
+        from webcrawler_woc_spark.config import CrawlConfig
+        from webcrawler_woc_spark.plans.crawl import crawl
+        from webcrawler_woc_spark.plans.state import Warehouse
+
+        cfg = CrawlConfig(
+            whitelist=["h0.example"], depth=2, strip_tracking=strip, use_bloom=True
+        )
+        wh = Warehouse(spark, tmp, n_buckets=4)
+        crawl(
+            spark, wh, pages,
+            [("http://h0.example/page/0?utm_campaign=x", 1.0)], cfg,
+            content_type_expr=lambda url: F.lit("text/html"),
+        )
+        seen = wh.read_waves("seen", up_to_wave=99)
+        return {r["url"] for r in seen.collect()}
+
+    def test_strip_collapses_variants_and_seed(self, spark, tiny):
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            seen = self._run(spark, tiny, tmp, strip=True)
+        # the tagged seed was stripped and fetched as the clean page
+        assert "http://h0.example/page/0" in seen
+        assert not any("utm" in u for u in seen)
+        # both link variants collapsed to the one clean target
+        assert "http://h0.example/page/1" in seen
+        # a REAL query param is untouched
+        assert "http://h0.example/page/2?id=5" in seen
+
+    def test_default_off_keeps_raw_urls(self, spark, tiny):
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            seen = self._run(spark, tiny, tmp, strip=False)
+        # raw tagged seed fails the corpus fetch (not present) but IS seen
+        assert "http://h0.example/page/0?utm_campaign=x" in seen
+        assert "http://h0.example/page/0" not in seen

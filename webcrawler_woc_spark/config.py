@@ -76,6 +76,13 @@ class CrawlConfig:
     # session-id params, param explosions, over-deep paths) are dropped
     # before scheduling/fetch; default off preserves reference parity
     trap_filter: bool = False
+    # opt-in: canonicalize frontier URLs by stripping tracking query params
+    # (utm_*/fbclid/gclid/... — functions/urlnorm.strip_tracking_params_col)
+    # at extraction time AND on the seeds, so ?utm_source variants of one
+    # page collapse to one frontier entry / one fetch / one seen row;
+    # default off preserves reference parity (the reference keeps URLs as
+    # extracted)
+    strip_tracking: bool = False
     # opt-in: no-depth mode's wave-0 sitemap discovery also parses XML
     # sitemaps (urlset + one-level sitemapindex recursion) — the real-web
     # format; default off preserves reference parity (text/plain only,

@@ -49,17 +49,22 @@ def _load_seen_filter(wh: Warehouse, cfg: CrawlConfig):
 
 
 def seed_frontier(
-    spark: SparkSession, wh: Warehouse, seeds: list[tuple[str, float]]
+    spark: SparkSession, wh: Warehouse, seeds: list[tuple[str, float]],
+    strip_tracking: bool = False,
 ) -> DataFrame:
     """Wave-0 frontier from parsed seed URLs (reference cli.rs:114-117:
     unparsable seeds abort; here they are dropped with the same effect of
-    never being crawled)."""
-    from ..functions.urlnorm import parse_absolute
+    never being crawled). ``strip_tracking`` applies the same tracking-param
+    canonicalization the waves apply to extracted children — the seed must
+    live in the same URL space as the seen set it founds."""
+    from ..functions.urlnorm import parse_absolute, strip_tracking_params
 
     rows = []
     for raw, priority in seeds:
         canon = parse_absolute(raw)
         if canon is not None:
+            if strip_tracking:
+                canon = strip_tracking_params(canon)
             rows.append((0, canon, float(priority)))
     df = spark.createDataFrame(rows, "wave int, url string, priority double")
     df = with_host(with_url_hash(df)).select("wave", "url", "url_hash", "host", "priority")
@@ -78,7 +83,7 @@ def crawl(
     """Run (or resume) a crawl; returns summary counts."""
     start_wave = wh.last_wave + 1
     if start_wave == 0:
-        seed_frontier(spark, wh, seeds)
+        seed_frontier(spark, wh, seeds, strip_tracking=cfg.strip_tracking)
 
     robots = None
     if cfg.host_budget is not None:

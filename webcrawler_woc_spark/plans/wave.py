@@ -174,6 +174,15 @@ def run_wave(
             html_body_gate(F.col("url"), content_type_expr, cfg.timeout_ms)
         ).select("url", "html")
     children = extract_child_links(gated).select("url", "link_type")
+    if cfg.strip_tracking:
+        # tracking-param canonicalization BEFORE the wave dedup, so utm_*
+        # variants of one URL merge there and the seen set only ever holds
+        # stripped forms (scan-side higher-order exprs, no extra shuffle)
+        from ..functions.urlnorm import strip_tracking_params_col
+
+        children = children.select(
+            strip_tracking_params_col(F.col("url")).alias("url"), "link_type"
+        )
     if extra_children is not None:
         children = children.unionByName(extra_children.select("url", "link_type"))
     children = children.cache()  # the pandas-UDF extraction runs exactly once
