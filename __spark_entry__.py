@@ -3052,6 +3052,42 @@ def q_text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_embedding(_docs(spark, sf_dir), dims=64)
 
 
+def q_crawl_freshness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-freshness profile (operators/recrawl.freshness_stats):
+    each url has two captures 20 days apart — the LATEST must win, giving
+    age doc_id % 50 days against the pinned 'now'; nearest-rank p50/p90
+    and the 30-day stale share per host. Oracle mirrors the integer order
+    statistics."""
+    from webcrawler_woc_spark.operators.recrawl import freshness_stats
+
+    DAY = 86_400_000
+    d = F.col("doc_id")
+    one = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (d % 5).cast("string")).alias("host"),
+        F.concat(F.lit("u"), d.cast("string")).alias("url"),
+        ((100 - d % 50) * DAY).cast("bigint").alias("capture_ms"),
+    )
+    older = one.withColumn("capture_ms", F.col("capture_ms") - F.lit(20 * DAY))
+    return freshness_stats(one.unionByName(older), now_ms=100 * DAY)
+
+
+def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth (operators/textstats.vocab_growth) in
+    10 doc-rank slices. The synthetic corpus's shared vocabulary
+    saturates in slice 0 (the flat-tail case), so every fifth doc also
+    carries a unique token — each slice then introduces fresh terms and
+    all 10 output rows exist, pinning the running sum."""
+    from webcrawler_woc_spark.operators.textstats import vocab_growth
+
+    d = F.col("doc_id")
+    text = F.when(
+        d % 5 == 0, F.concat(F.col("text"), F.lit(" uniqtok"), d.cast("string"))
+    ).otherwise(F.col("text"))
+    return vocab_growth(
+        _docs(spark, sf_dir).select("doc_id", text.alias("text")), n_buckets=10
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -3246,6 +3282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi_pairs": q_text_pmi_pairs,
         "crawl_schedule_makespan": q_crawl_schedule_makespan,
         "text_hash_embedding": q_text_hash_embedding,
+        "crawl_freshness_stats": q_crawl_freshness_stats,
+        "text_vocab_growth": q_text_vocab_growth,
     }
 
 
@@ -6008,6 +6046,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(dim AS INT) AS dim,
                    CAST(count(*) AS BIGINT) AS cnt
             FROM h GROUP BY 1, 2
+        """,
+        "crawl_freshness_stats": """
+            WITH l AS (
+                SELECT 'h' || (doc_id % 5) AS host,
+                       CAST(doc_id % 50 AS BIGINT) AS age_days
+                FROM documents
+            ),
+            g AS (
+                SELECT host, list_sort(list(age_days)) AS ages
+                FROM l GROUP BY host
+            )
+            SELECT host,
+                   CAST(len(ages) AS INT) AS n_urls,
+                   ages[CAST(greatest((len(ages) * 50 + 99) // 100, 1)
+                        AS INT)] AS median_age_days,
+                   ages[CAST(greatest((len(ages) * 90 + 99) // 100, 1)
+                        AS INT)] AS p90_age_days,
+                   CAST(len(list_filter(ages, a -> a > 30)) AS INT)
+                       AS n_stale_30d,
+                   CAST((len(list_filter(ages, a -> a > 30)) * 1000000)
+                        // greatest(len(ages), 1) AS BIGINT) AS stale_ppm
+            FROM g
+        """,
+        "text_vocab_growth": f"""
+            WITH d0 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN text || ' uniqtok' || doc_id
+                            ELSE text END AS text
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id,
+                       dense_rank() OVER (ORDER BY doc_id) AS rk,
+                       {TOKENS_SQL} AS toks
+                FROM d0
+            ),
+            p AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d0),
+            t AS (
+                SELECT CAST((rk - 1) // ((total + 9) // 10) AS INT)
+                           AS bucket,
+                       unnest(toks) AS term
+                FROM r, p
+            ),
+            f AS (SELECT term, min(bucket) AS bucket FROM t GROUP BY term),
+            c AS (
+                SELECT bucket, CAST(count(*) AS BIGINT) AS n_new_terms
+                FROM f GROUP BY bucket
+            )
+            SELECT bucket, n_new_terms,
+                   CAST(sum(n_new_terms) OVER (ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_terms
+            FROM c
         """,
         "text_blocklist": f"""
             WITH t AS (

@@ -330,3 +330,51 @@ def plan_revalidation(captures: DataFrame) -> DataFrame:
     return captures.select(
         "url", mode.alias("mode"), validator.alias("validator"), outcome.alias("outcome")
     )
+
+
+def freshness_stats(captures: DataFrame, now_ms: int) -> DataFrame:
+    """Per-host capture-freshness profile — the staleness readout a
+    recrawl budget is allocated against: median and p90 AGE of each
+    host's LATEST captures (latest per url first — a url recrawled
+    yesterday is fresh no matter how old its history), plus the stale
+    share past a 30-day horizon. Ages in whole days; nearest-rank
+    percentiles (observed values, all-integer — the adaptive-timeout
+    discipline: interpolated percentiles differ across engines in IEEE
+    op order).
+
+    Input: the capture log (url, host, capture_ms, ...). Output per host:
+    (host, n_urls, median_age_days, p90_age_days, n_stale_30d,
+    stale_ppm). One latest-per-url max-agg + one host rollup over sorted
+    collect_list — host arrays bounded by the same politeness invariant
+    as plan_adaptive_timeouts; swap approx percentiles past it."""
+    latest = captures.groupBy("host", "url").agg(
+        F.max("capture_ms").alias("capture_ms")
+    )
+    age_days = ((F.lit(now_ms) - F.col("capture_ms")) / F.lit(86_400_000)).cast(
+        "bigint"
+    )
+    per_host = (
+        latest.withColumn("age_days", age_days)
+        .groupBy("host")
+        .agg(
+            F.sort_array(F.collect_list("age_days")).alias("_ages"),
+        )
+    )
+    n = F.size("_ages")
+    idx50 = F.expr("greatest((size(_ages) * 50 + 99) div 100, 1)").cast("int")
+    idx90 = F.expr("greatest((size(_ages) * 90 + 99) div 100, 1)").cast("int")
+    return (
+        per_host.withColumn("n_urls", n.cast("int"))
+        .withColumn("median_age_days", F.element_at(F.col("_ages"), idx50))
+        .withColumn("p90_age_days", F.element_at(F.col("_ages"), idx90))
+        .withColumn(
+            "n_stale_30d",
+            F.size(F.filter(F.col("_ages"), lambda a: a > 30)).cast("int"),
+        )
+        .withColumn(
+            "stale_ppm",
+            F.expr("(n_stale_30d * 1000000) div greatest(size(_ages), 1)").cast("bigint"),
+        )
+        .select("host", "n_urls", "median_age_days", "p90_age_days",
+                "n_stale_30d", "stale_ppm")
+    )

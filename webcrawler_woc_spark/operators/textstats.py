@@ -1069,3 +1069,41 @@ def hash_embedding(documents: DataFrame, dims: int = 64) -> DataFrame:
         .groupBy("doc_id", "dim")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
+
+
+def vocab_growth(documents: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Heaps-law vocabulary growth — distinct terms seen as the corpus
+    grows, in ``n_buckets`` equal doc_id-order slices: natural corpora
+    add vocabulary sublinearly (V ~ k·N^b, b≈0.5); a FLAT tail means the
+    crawl is re-reading one template universe, a LINEAR tail means
+    id/hash junk is leaking through tokenization — both one-glance
+    diagnoses from this 10-row table.
+
+    Bucket of a doc = its doc_id RANK (dense, order by doc_id) sliced
+    into equal parts — rank, not raw id, so deletions/sparse ids don't
+    skew slice sizes. Per term the FIRST bucket it appears in wins; the
+    output row per bucket carries n_new_terms and the running
+    cum_terms. One explode + per-term min agg (vocab-sized) + a
+    bucket-cardinality rollup with a running-sum window over
+    ``n_buckets`` rows."""
+    from pyspark.sql import Window
+
+    ranked = documents.select(
+        "doc_id",
+        F.dense_rank().over(Window.orderBy("doc_id")).alias("_rk"),
+        _tokens(F.col("text")).alias("_toks"),
+    )
+    total = documents.count()
+    per_bucket = max(1, -(-total // n_buckets))  # ceil
+    terms = ranked.select(
+        ((F.col("_rk") - 1) / per_bucket).cast("int").alias("bucket"),
+        F.explode("_toks").alias("term"),
+    )
+    first_seen = terms.groupBy("term").agg(F.min("bucket").alias("bucket"))
+    counts = first_seen.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_new_terms")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return counts.withColumn(
+        "cum_terms", F.sum("n_new_terms").over(w).cast("bigint")
+    ).select("bucket", "n_new_terms", "cum_terms")
