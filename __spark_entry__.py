@@ -3088,6 +3088,35 @@ def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_degree_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-mixing matrix (operators/graph.degree_mixing) over the same
+    hub graph as graph_degree_hist (d -> 2^ilog2(d)) — a maximally
+    disassortative structure: every edge joins a spoke bucket to its
+    hub's bucket. The oracle mirrors the und/degree/pair rollup."""
+    from webcrawler_woc_spark.operators.graph import degree_mixing
+
+    d = F.col("doc_id")
+    hub = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(length(bin(doc_id)) AS INT) - 1)"
+    )
+    edges = (
+        _docs(spark, sf_dir)
+        .filter(d >= 2)
+        .select(d.alias("src"), hub.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return degree_mixing(edges)
+
+
+def q_pipeline_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit (operators/sampling.shard_balance) over the
+    8-shard rendezvous assignment of the documents table; the oracle
+    recomputes the identical HRW weights, counts and imbalance."""
+    from webcrawler_woc_spark.operators.sampling import shard_balance
+
+    return shard_balance(_docs(spark, sf_dir), n_shards=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine to depth 3 on sf0.001."""
     return q_crawl_bfs_depth3_seen(spark, "/root/testdata/sf0.001")
@@ -3284,6 +3313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hash_embedding": q_text_hash_embedding,
         "crawl_freshness_stats": q_crawl_freshness_stats,
         "text_vocab_growth": q_text_vocab_growth,
+        "graph_degree_mixing": q_graph_degree_mixing,
+        "pipeline_shard_balance": q_pipeline_shard_balance,
     }
 
 
@@ -6099,6 +6130,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_new_terms) OVER (ORDER BY bucket
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_terms
             FROM c
+        """,
+        "graph_degree_mixing": """
+            WITH e0 AS (
+                SELECT doc_id AS src,
+                       CAST(1 AS BIGINT) << (length(bin(doc_id)) - 1) AS dst
+                FROM documents WHERE doc_id >= 2
+            ),
+            e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+            und AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+            ),
+            deg AS (
+                SELECT src AS node,
+                       CAST(length(bin(count(*))) - 1 AS INT) AS bucket
+                FROM und GROUP BY src
+            ),
+            one_dir AS (SELECT src, dst FROM und WHERE src < dst)
+            SELECT least(a.bucket, b.bucket) AS bucket_lo,
+                   greatest(a.bucket, b.bucket) AS bucket_hi,
+                   CAST(count(*) AS BIGINT) AS n_edges
+            FROM one_dir
+                 JOIN deg a ON a.node = one_dir.src
+                 JOIN deg b ON b.node = one_dir.dst
+            GROUP BY 1, 2
+        """,
+        "pipeline_shard_balance": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_transform(range(0, 8),
+                           s -> {_rv_weight_sql_oracle()}) AS wl
+                FROM documents
+            ),
+            a AS (
+                SELECT CAST(list_position(wl, list_aggregate(wl, 'max')) - 1
+                       AS INT) AS shard
+                FROM w
+            ),
+            c AS (
+                SELECT shard, CAST(count(*) AS BIGINT) AS n_keys
+                FROM a GROUP BY shard
+            ),
+            filled AS (
+                SELECT CAST(r.s AS INT) AS shard,
+                       coalesce(c.n_keys, 0) AS n_keys
+                FROM range(0, 8) r(s) LEFT JOIN c ON c.shard = r.s
+            ),
+            m AS (SELECT min(n_keys) AS mn, max(n_keys) AS mx FROM filled)
+            SELECT shard,
+                   CAST(n_keys AS BIGINT) AS n_keys,
+                   CAST(mn AS BIGINT) AS min_keys,
+                   CAST(mx AS BIGINT) AS max_keys,
+                   CAST(((mx - mn) * 1000000) // greatest(mn, 1) AS BIGINT)
+                       AS imbalance_ppm
+            FROM filled CROSS JOIN m
         """,
         "text_blocklist": f"""
             WITH t AS (

@@ -68,6 +68,7 @@ BNLJ_OK = {
     "pipeline_domain_mixture",  # group-counts x 1-row weight-total crossJoin
     "text_pmi_pairs",  # pair-counts x 1-row corpus-total crossJoin
     "crawl_schedule_makespan",  # host table x 1-row makespan-max crossJoin
+    "pipeline_shard_balance",  # shard counts x 1-row min/max crossJoin
 }
 # streaming queries execute a StreamingQuery, not a single batch plan
 SKIP = {

@@ -740,3 +740,37 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
             F.max("degree").alias("max_degree"),
         )
     )
+
+
+def degree_mixing(edges: DataFrame) -> DataFrame:
+    """Degree-mixing matrix over the undirected graph — the integer form
+    of degree assortativity: counts of edges by the log2 degree buckets
+    of BOTH endpoints ((bucket_lo, bucket_hi), unordered so the matrix is
+    upper-triangular). The web is disassortative (hubs link to leaves —
+    mass off the diagonal); a spam farm is assortative (dense same-degree
+    cores — mass ON a high-bucket diagonal cell), so this ≤64²-row table
+    is the one-glance farm check that a scalar correlation coefficient
+    (floats, engine-divergent) would blur. Self-loops excluded with
+    degree_histogram's semantics.
+
+    One degree table (node-cardinality) joined to both edge endpoints,
+    then a bucket-pair rollup — edge-cardinality shuffle, tiny output."""
+    und = _undirected(edges, drop_self=True)
+    deg = und.groupBy("src").agg(F.count("*").cast("bigint").alias("degree"))
+    bucket = (F.length(F.bin(F.col("degree"))) - 1).cast("int")
+    bk = deg.select(F.col("src").alias("node"), bucket.alias("bucket"))
+    # each undirected edge appears twice in `und` (both directions);
+    # keep one orientation so every edge is counted once
+    one_dir = und.filter(F.col("src") < F.col("dst"))
+    joined = (
+        one_dir.join(bk.withColumnsRenamed({"node": "src", "bucket": "b_src"}), "src")
+        .join(bk.withColumnsRenamed({"node": "dst", "bucket": "b_dst"}), "dst")
+    )
+    return (
+        joined.select(
+            F.least("b_src", "b_dst").alias("bucket_lo"),
+            F.greatest("b_src", "b_dst").alias("bucket_hi"),
+        )
+        .groupBy("bucket_lo", "bucket_hi")
+        .agg(F.count("*").cast("bigint").alias("n_edges"))
+    )

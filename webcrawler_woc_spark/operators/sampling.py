@@ -313,3 +313,37 @@ def epoch_shuffle(documents: DataFrame, epoch: int) -> DataFrame:
     return documents.select("doc_id").withColumn(
         "position", F.row_number().over(w).cast("bigint")
     )
+
+
+def shard_balance(df: DataFrame, n_shards: int, key_col: str = "doc_id") -> DataFrame:
+    """Shard-balance audit over the rendezvous assignment: per shard
+    (shard, n_keys) plus the fleet-level readout repeated on every row —
+    min/max shard sizes and imbalance_ppm = (max - min) * 1e6 div
+    max(min, 1). Hash sharding is balanced only in expectation;
+    the pipeline that packs sequences per shard (pack_sequences_sharded)
+    stalls on its largest shard, so the imbalance number IS the straggler
+    forecast. Empty shards (possible at small corpora) appear with
+    n_keys = 0 — an absent row would hide exactly the pathology this
+    audit exists to catch.
+
+    One groupBy(shard) over the zero-shuffle assignment + a 1-row
+    min/max broadcast (the makespan pattern)."""
+    assigned = rendezvous_shards(df, n_shards, key_col=key_col)
+    counts = assigned.groupBy("shard").agg(F.count("*").cast("bigint").alias("n_keys"))
+    spark = df.sparkSession
+    all_shards = spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
+    full = (
+        all_shards.join(counts, "shard", "left")
+        .withColumn("n_keys", F.coalesce(F.col("n_keys"), F.lit(0).cast("bigint")))
+    )
+    agg = full.agg(
+        F.min("n_keys").alias("min_keys"), F.max("n_keys").alias("max_keys")
+    )
+    return (
+        full.crossJoin(F.broadcast(agg))
+        .withColumn(
+            "imbalance_ppm",
+            F.expr("((max_keys - min_keys) * 1000000) div greatest(min_keys, 1)").cast("bigint"),
+        )
+        .select("shard", "n_keys", "min_keys", "max_keys", "imbalance_ppm")
+    )
