@@ -65,11 +65,18 @@ def _gated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread_scan: a single-row-group documents file scans as ONE partition,
+    # serializing every text kernel onto one core; no-op once the input is
+    # big enough to split naturally (session.spread_scan docstring)
+    from webcrawler_woc_spark.session import spread_scan
+
+    return spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from webcrawler_woc_spark.session import spread_scan
+
+    return spread_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

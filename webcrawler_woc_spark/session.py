@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def get_spark(
@@ -57,6 +57,18 @@ def get_spark(
         # cached frames is never relied upon (state tables repartition
         # explicitly on write), so this is safe.
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # Input split sizing (optimization guide §6): the sandbox's parquet
+        # inputs are single small files, so the 128m default packs each whole
+        # table into ONE scan task and every scan-side kernel (Arrow UDFs,
+        # char folds, codegen folds) serializes onto one of 32 cores. 16m
+        # splits them at row-group granularity instead. Parameterised because
+        # the right value is deployment-dependent: on a real cluster scanning
+        # 100 TB of 512 MB-1 GB files, set SPARK_GRAFT_MAX_PART_BYTES=512m-1g
+        # so large sequential scans keep few, big map tasks (guide §2.2).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "16m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
@@ -70,3 +82,31 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Scale-adaptive scan spreading (optimization guide §2.5, input skew).
+
+    A tiny-file / single-row-group parquet input yields fewer scan partitions
+    than the session has cores, which serializes every downstream per-row
+    kernel (Arrow-batched pandas UDFs, per-char Catalyst folds) onto a
+    handful of tasks — measured 1 of 32 cores busy on the sandbox's
+    single-row-group ``documents.parquet``. When the scan's partition count
+    is below the session's default parallelism, round-robin repartition to
+    the core count: one shuffle of an input that is small by construction
+    (few row groups <=> few hundred MB). When the input splits naturally
+    into >= core-count partitions (many row groups / files — the 100 TB
+    case), this is a no-op and NO exchange is added.
+
+    Values are partition-independent for every contract query (aggregations,
+    joins, windows keyed on data columns), so spreading never changes
+    results — pinned by scripts/check_oracles.py across the full registry.
+    """
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if n < target:
+        return df.repartition(target)
+    return df

@@ -161,7 +161,12 @@ def robots_sitemap_pages(spark: SparkSession, n_docs: int) -> DataFrame:
 
 def pages_from_documents(spark: SparkSession, sf_dir: str, n_docs: int | None = None) -> DataFrame:
     """Full derived corpus: doc pages + robots + sitemaps."""
-    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from webcrawler_woc_spark.session import spread_scan
+
+    # spread_scan BEFORE the html derivation: a single-row-group documents
+    # file otherwise serializes html synthesis + every downstream extraction
+    # kernel onto one core (no-op for naturally-split inputs)
+    documents = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     if n_docs is None:
         n_docs = documents.count()
     return doc_pages(documents, n_docs).unionByName(robots_sitemap_pages(spark, n_docs))
