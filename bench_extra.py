@@ -58,7 +58,8 @@ def main():
         spark.sparkContext.setJobDescription(None)
         out[name] = runs
         print(f"# {name}: {runs}", file=sys.stderr)
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+    spark.stop()
 
 
 if __name__ == "__main__":

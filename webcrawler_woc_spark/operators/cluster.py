@@ -11,8 +11,11 @@ every step, so the fixed-iteration result is value-identical in the SQL
 oracle (the same trick as graph.pagerank_int).
 
 Scale shape per iteration (the textbook Spark k-means layout):
-* assignment — corpus x broadcast(centroids): k·dim integers broadcast, one
-  scan, no shuffle of the corpus; argmin by (dist ASC, cid ASC) ties.
+* assignment — corpus x broadcast(ONE row holding all k centroids as a
+  cid-sorted struct array): k·dim integers broadcast, one scan, argmin as
+  a pure projection (array_min over struct<dist,cid> == (dist ASC, cid
+  ASC) ties) — ZERO exchange of the corpus; the assigned vector rides the
+  same projection so the update never re-joins the corpus on vec_id.
 * update — posexplode to (cid, dim, val), one partial-agg'd groupBy on
   (cid, dim) (map-side combine bounds the shuffle at k·dim rows per
   partition), rebuild arrays with array_agg sorted by dim.
@@ -29,7 +32,7 @@ this is part of the beyond-reference training-data surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -121,11 +124,10 @@ def kmeans_int(
     deterministic. An empty cluster keeps its previous centroid (no
     reseeding — reseeding rules are engine lore, not arithmetic).
     """
-    # cache the scaled corpus: every assign() and every update join reads
-    # it, so without this the parquet scan + _int_vec transform re-runs
-    # ~2x iterations + 1 times (MEMORY_AND_DISK — spills at scale). The
-    # final assignment is checkpointed below so the cache can be released
-    # before returning.
+    # cache the scaled corpus: every assign() scan reads it, so without this
+    # the parquet scan + _int_vec transform re-runs once per iteration + 1
+    # (MEMORY_AND_DISK — spills at scale). The final assignment is
+    # checkpointed below so the cache can be released before returning.
     e = embeddings.select(
         "vec_id", _int_vec(F.col("embedding"), scale).alias("v")
     ).cache()
@@ -133,22 +135,46 @@ def kmeans_int(
         F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
     )
 
-    def assign(centroids: DataFrame) -> DataFrame:
-        scored = e.crossJoin(F.broadcast(centroids)).select(
-            "vec_id", "cid", _sqdist(F.col("v"), F.col("cv")).alias("dist")
+    def assign(centroids: DataFrame, with_vec: bool = False) -> DataFrame:
+        # ONE row carrying all k centroids (cid-sorted array of structs),
+        # broadcast into the corpus scan; the argmin is then a pure
+        # projection — array_min over struct<dist,cid> is lexicographic, ==
+        # the previous window's (dist ASC, cid ASC) row_number()=1, with
+        # ZERO exchange of the corpus. The old shape shuffled k x corpus
+        # rows through a per-vec_id window sort EVERY iteration (guide
+        # §2.4: remove shuffles outright). BNLJ of a 1-row build side stays
+        # the allowlisted textbook k-means scan. A data-driven transform
+        # over the centroid array (not k inlined literal folds — measured
+        # 2x slower: the giant expression tree falls out of whole-stage
+        # codegen) keeps the codegen compact.
+        one_row = centroids.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("_cents")
         )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .select("vec_id", "cid", "dist")
+        best = F.array_min(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    _sqdist(F.col("v"), c["cv"]).alias("dist"),
+                    c["cid"].alias("cid"),
+                ),
+            )
         )
+        # field access happens HERE, in a generator-free projection: a
+        # posexplode in the same select would strip the inner struct
+        # aliases (col1/col2) and `best["cid"]` would fail to resolve
+        cols = ["vec_id", best["cid"].alias("cid"), best["dist"].alias("dist")]
+        if with_vec:
+            # carry the vector through assignment so the update step never
+            # re-joins the corpus on vec_id (guide §2.4: the join shuffled
+            # both corpus-sized sides once per iteration for a column the
+            # scan already had in hand)
+            cols.append(F.col("v"))
+        return e.crossJoin(F.broadcast(one_row)).select(*cols)
 
     for _ in range(iterations):
-        a = assign(cents)
+        a = assign(cents, with_vec=True)
         dims = (
-            a.join(e, "vec_id")
-            .select("cid", F.posexplode("v").alias("dim", "val"))
+            a.select("cid", F.posexplode("v").alias("dim", "val"))
             .groupBy("cid", "dim")
             # TRUNCATING integer mean is the contract: sums go negative
             # (embedding components do) and both engines truncate toward
