@@ -40,12 +40,11 @@ def token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_scores(documents: DataFrame) -> DataFrame:
-    """Heuristic quality signals per doc: integer components + composite
-    score as floor-ppm. The composite uses a FIXED IEEE op sequence —
-    ((a + b) + c) * 1e6 — replicated verbatim in the SQL oracle, so the
-    floor'd int64 is hash-stable across engines."""
-    text = F.col("text")
+def quality_ppm_col(text) -> F.Column:
+    """THE composite quality score expression (floor-ppm) over a text
+    column — one definition shared by quality_scores and domain_quality so
+    the FIXED IEEE op sequence (((a + b) + c) * 1e6, replicated verbatim in
+    the SQL oracles) cannot drift between callers."""
     toks = _tokens(text)
     n_tokens = F.size(toks)
     text_len = F.length(text)
@@ -58,7 +57,19 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     a = F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
     b = (F.lit(1.0) - F.least(punct * F.lit(10.0) / len1, F.lit(1.0))) * F.lit(0.25)
     c = F.least(stop_hits * F.lit(5.0) / ntok1, F.lit(1.0)) * F.lit(0.25)
-    quality_ppm = F.floor(((a + b) + c) * F.lit(1000000.0)).cast("bigint")
+    return F.floor(((a + b) + c) * F.lit(1000000.0)).cast("bigint")
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic quality signals per doc: integer components + composite
+    score as floor-ppm (quality_ppm_col — hash-stable across engines)."""
+    text = F.col("text")
+    toks = _tokens(text)
+    n_tokens = F.size(toks)
+    text_len = F.length(text)
+    punct = text_len - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
+    stop_list = STOPWORDS["en"]
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*stop_list)))
 
     return documents.select(
         "doc_id",
@@ -66,7 +77,7 @@ def quality_scores(documents: DataFrame) -> DataFrame:
         text_len.alias("text_len"),
         punct.alias("punct_chars"),
         stop_hits.alias("stop_hits"),
-        quality_ppm.alias("quality_ppm"),
+        quality_ppm_col(text).alias("quality_ppm"),
     )
 
 
