@@ -67,14 +67,21 @@ def semantic_dedup(
     — deterministic, no component propagation needed).
 
     Output (vec_id, cid, keep) — the curation verdict per vector.
-    Shape: kmeans assignment (checkpointed once — three consumers below
-    would otherwise re-run the corpus scoring scan) + ONE within-cluster
-    self-join on cid (both sides cluster-partitioned) + one distinct;
-    cosine reuses similarity._dot/_norm — THE sequential-fold doubles the
-    ANN operators and their oracles share. Zero-norm vectors (upstream
-    garbage a clusterer must tolerate) are guarded: their cosine is
-    undefined, so they never register as anyone's duplicate."""
-    from .similarity import _dot, _norm
+    Shape: kmeans assignment (checkpointed once — the consumers below
+    would otherwise re-run the corpus scoring scan) + ONE shuffle of the
+    corpus by cid into a cluster-local Arrow kernel (applyInPandas) that
+    evaluates every within-cluster pair with vectorized numpy, block-row
+    bounded so memory stays O(block x cluster). The kernel accumulates the
+    dot/norm folds DIM-BY-DIM in index order, so every pair's double is
+    produced by the IDENTICAL IEEE op sequence as similarity._dot/_norm
+    (the sequential fold the ANN operators and the SQL oracles share) —
+    value-exact vs the previous 25M-row pair join, at vectorized-numpy
+    speed instead of one interpreted Catalyst fold per pair (guide §4.2).
+    Zero-norm vectors (upstream garbage a clusterer must tolerate) are
+    guarded: their cosine is undefined, so they never register as
+    anyone's duplicate."""
+    import numpy as np
+    import pandas as pd
 
     assign = (
         kmeans_int(embeddings, k=k, iterations=iterations, scale=scale)
@@ -84,29 +91,45 @@ def semantic_dedup(
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("dv")
     ).join(assign, "vec_id")
-    a = emb.select(
-        F.col("cid"), F.col("vec_id").alias("a_id"), F.col("dv").alias("av")
-    )
-    b = emb.select(
-        F.col("cid"), F.col("vec_id").alias("b_id"), F.col("dv").alias("bv")
-    )
-    norm_a = _norm(F.col("av"))
-    norm_b = _norm(F.col("bv"))
-    # the when-guard short-circuits per row: 0/0 = NaN would crash the
-    # ANSI-mode bigint cast, and a NaN "similarity" is not a duplicate
-    sim_ppm = F.when(
-        (norm_a > 0) & (norm_b > 0),
-        F.floor(_dot(F.col("av"), F.col("bv")) / (norm_a * norm_b) * 1_000_000).cast(
-            "bigint"
-        ),
-    )
-    dups = (
-        a.join(b, (a["cid"] == b["cid"]) & (F.col("a_id") < F.col("b_id")))
-        .select(F.col("b_id").alias("vec_id"), sim_ppm.alias("sim_ppm"))
-        .filter(F.col("sim_ppm") >= threshold_ppm)
-        .select("vec_id")
-        .distinct()
-    )
+
+    thr = float(threshold_ppm)
+
+    def _cluster_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": np.array([], dtype=np.int64)})
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack(pdf["dv"].to_numpy()).astype(np.float64, copy=False)
+        n, d = V.shape
+        # norms: acc = acc + v_k*v_k over dims IN ORDER, then sqrt — the
+        # exact _norm fold, vectorized across rows
+        nacc = np.zeros(n)
+        for kk in range(d):
+            nacc = nacc + V[:, kk] * V[:, kk]
+        norms = np.sqrt(nacc)
+        dup = np.zeros(n, dtype=bool)
+        jpos = np.arange(n)[None, :]
+        B = 2048  # row-block bound: peak temp = 2 x B x |cluster| doubles
+        for i0 in range(0, n, B):
+            i1 = min(i0 + B, n)
+            acc = np.zeros((i1 - i0, n))
+            tmp = np.empty((i1 - i0, n))
+            for kk in range(d):
+                # acc = acc + a_k*b_k per dim in order == the _dot fold
+                np.multiply(V[i0:i1, kk, None], V[None, :, kk], out=tmp)
+                acc = acc + tmp
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.floor(acc / (norms[i0:i1, None] * norms[None, :]) * 1_000_000.0)
+            hit = (
+                (norms[i0:i1, None] > 0)
+                & (norms[None, :] > 0)
+                & (sim >= thr)
+                & (jpos > np.arange(i0, i1)[:, None])  # a_id < b_id, ids sorted
+            )
+            dup |= hit.any(axis=0)
+        return pd.DataFrame({"vec_id": ids[dup]})
+
+    dups = emb.groupBy("cid").applyInPandas(_cluster_dups, "vec_id long")
     return assign.join(
         dups.withColumn("_dup", F.lit(True)), "vec_id", "left"
     ).select("vec_id", "cid", F.col("_dup").isNull().alias("keep"))

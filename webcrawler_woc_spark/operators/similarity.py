@@ -33,14 +33,20 @@ def cosine_topk(
     Output (query_id, neighbor_id, cosine_sim rounded 6dp, rank). Ties break
     on neighbor_id ASC => fully deterministic.
     """
+    # norms are computed ONCE per vector in the scan projection instead of
+    # once per (query, candidate) pair — the fold over the array is the
+    # per-row hot cost, and the pair row previously paid three folds (dot +
+    # both norms); same IEEE sequence, so the ppm value is bit-identical
     emb = embeddings.select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).withColumn("vnorm", _norm(F.col("v")))
     queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
     )
     joined = F.broadcast(queries).crossJoin(emb).filter(F.col("query_id") != F.col("vec_id"))
-    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("vnorm"))
     sims = joined.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -144,15 +150,18 @@ def ivf_ann_topk(
     """
     if n_lists is None:
         n_lists = adaptive_n_lists(embeddings.count())
+    # per-vector norm computed once in the scan projection (see cosine_topk)
     emb = embeddings.select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).withColumn("vnorm", _norm(F.col("v")))
     cents = emb.filter(F.col("vec_id") < n_lists).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("vnorm").alias("cnorm"),
     )
 
     def top_lists(side: DataFrame, id_col: str, keep: int) -> DataFrame:
-        cos = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+        cos = _dot(F.col("v"), F.col("cv")) / (F.col("vnorm") * F.col("cnorm"))
         scored = side.crossJoin(F.broadcast(cents)).select(
             F.col(id_col),
             F.col("cid"),
@@ -168,7 +177,7 @@ def ivf_ann_topk(
     assign = top_lists(emb, "vec_id", 1)  # the inverted file: one list per vector
     probes = top_lists(
         emb.filter(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("query_id"), F.col("v")
+            F.col("vec_id").alias("query_id"), F.col("v"), F.col("vnorm")
         ),
         "query_id",
         nprobe,
@@ -178,9 +187,17 @@ def ivf_ann_topk(
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id")
     )
-    q = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
-    cos = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    n = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("vnorm").alias("nnorm"),
+    )
+    cos = _dot(F.col("qv"), F.col("nv")) / (F.col("qnorm") * F.col("nnorm"))
     sims = (
         cand.withColumnRenamed("vec_id", "neighbor_id")
         .join(F.broadcast(q), "query_id")
@@ -216,15 +233,19 @@ def embedding_cosine_dups(
     """
     if n_planes is None:
         n_planes = adaptive_n_planes(embeddings.count())
-    emb = embeddings.select(
-        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("bucket", lsh_signature(F.col("v"), dim, n_planes))
+    emb = (
+        embeddings.select(
+            F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("bucket", lsh_signature(F.col("v"), dim, n_planes))
+        .withColumn("vnorm", _norm(F.col("v")))
+    )
     a = emb.alias("a")
     b = emb.alias("b")
     pairs = a.join(
         b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
     )
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.vnorm") * F.col("b.vnorm"))
     return (
         pairs.select(
             F.col("a.vec_id").alias("vec_id_a"),
@@ -254,11 +275,18 @@ def lsh_ann_topk(
     Output (query_id, neighbor_id, sim_ppm, rank)."""
     if n_planes is None:
         n_planes = adaptive_n_planes(embeddings.count())
-    emb = embeddings.select(
-        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("bucket", lsh_signature(F.col("v"), dim, n_planes))
+    emb = (
+        embeddings.select(
+            F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("bucket", lsh_signature(F.col("v"), dim, n_planes))
+        .withColumn("vnorm", _norm(F.col("v")))
+    )
     queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
+        F.col("bucket"),
     )
     if multiprobe:
         probes = F.array(
@@ -269,10 +297,10 @@ def lsh_ann_topk(
             ],
         )
         queries = queries.select(
-            "query_id", "qv", F.explode(probes).alias("bucket")
+            "query_id", "qv", "qnorm", F.explode(probes).alias("bucket")
         )
     joined = F.broadcast(queries).join(emb, "bucket").filter(F.col("query_id") != F.col("vec_id"))
-    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("vnorm"))
     sims = joined.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
