@@ -1094,21 +1094,35 @@ def vocab_growth(documents: DataFrame, n_buckets: int = 10) -> DataFrame:
     into equal parts — rank, not raw id, so deletions/sparse ids don't
     skew slice sizes. Per term the FIRST bucket it appears in wins; the
     output row per bucket carries n_new_terms and the running
-    cum_terms. One explode + per-term min agg (vocab-sized) + a
-    bucket-cardinality rollup with a running-sum window over
-    ``n_buckets`` rows."""
+    cum_terms.
+
+    Scale shape: the global dense_rank runs over a ``doc_id``-ONLY
+    projection (8 bytes/row through the unavoidable single-partition
+    sort — the epoch-shuffle shape, operators/sampling.py), and the
+    (doc_id -> bucket) map joins back to the corpus BEFORE the token
+    explode (guide §3.3: join on the un-exploded key, explode after);
+    per-doc array_distinct shrinks the explode without changing the
+    per-term min. The corpus text NEVER crosses a partitionless window
+    (pinned by tests/test_round6_opt.py). Then one explode + per-term
+    min agg (vocab-sized) + a bucket-cardinality rollup with a
+    running-sum window over ``n_buckets`` rows."""
     from pyspark.sql import Window
 
-    ranked = documents.select(
+    bucket_map = documents.select("doc_id").select(
         "doc_id",
         F.dense_rank().over(Window.orderBy("doc_id")).alias("_rk"),
-        _tokens(F.col("text")).alias("_toks"),
     )
     total = documents.count()
     per_bucket = max(1, -(-total // n_buckets))  # ceil
-    terms = ranked.select(
-        ((F.col("_rk") - 1) / per_bucket).cast("int").alias("bucket"),
-        F.explode("_toks").alias("term"),
+    bucket_map = bucket_map.select(
+        "doc_id", ((F.col("_rk") - 1) / per_bucket).cast("int").alias("bucket")
+    )
+    terms = (
+        documents.select(
+            "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("_toks")
+        )
+        .join(bucket_map, "doc_id")
+        .select("bucket", F.explode("_toks").alias("term"))
     )
     first_seen = terms.groupBy("term").agg(F.min("bucket").alias("bucket"))
     counts = first_seen.groupBy("bucket").agg(
