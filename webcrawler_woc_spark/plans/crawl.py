@@ -158,6 +158,8 @@ def _flush_residual(wh: Warehouse, residual: DataFrame, final_wave: int) -> None
     """Emit leftover frontier as crawled=false links (op 19)."""
     from ..functions.udfs import link_type_col
 
+    from pyspark.sql import Observation
+
     flush = residual.select(
         F.col("url"),
         F.col("url_hash"),
@@ -170,8 +172,13 @@ def _flush_residual(wh: Warehouse, residual: DataFrame, final_wave: int) -> None
         link_type_col(F.col("url")).alias("link_type"),
         F.lit(False).alias("contains_words"),
     )
+    # the count rides the write as an observation — the previous read-back
+    # count() was a whole extra job per crawl (guide §1.5 zero-extra-jobs
+    # metrics, same pattern as run_wave's links_out counts)
+    obs = Observation(f"residual_flush_w{final_wave}")
+    flush = flush.observe(obs, F.count(F.lit(1)).alias("n"))
     path = wh.write_wave_table("links_out", final_wave, flush)
-    n = wh.spark.read.parquet(path).count()
+    n = int(obs.get["n"])
     wh.manifest["waves"][str(final_wave)] = {
         "tables": {"links_out": path},
         "counts": {"residual_flush": n},

@@ -64,7 +64,15 @@ class Warehouse:
     def write_wave_table(self, table: str, wave: int, df: DataFrame, bucket: bool = False) -> str:
         path = self.table_wave_path(table, wave)
         if bucket and "url_hash" in df.columns:
-            df = df.repartition(self.n_buckets, F.pmod(F.col("url_hash"), F.lit(self.n_buckets)))
+            # repartition by the bucket EXPRESSION without pinning the
+            # partition count: AQE sizes the shuffle to the data (guide
+            # §2.2/§6 — scale-adaptive, not a constant), so a 30-URL wave
+            # writes 1-2 files instead of n_buckets near-empty ones while a
+            # 10^9-URL wave still spreads across the full shuffle width.
+            # Rows with equal pmod(url_hash, n_buckets) stay co-located in
+            # one file, which is the at-rest property the bucketed readers
+            # (and the sharded-probe sidecar builder) rely on.
+            df = df.repartition(F.pmod(F.col("url_hash"), F.lit(self.n_buckets)))
         df.write.mode("overwrite").parquet(path)
         return path
 
