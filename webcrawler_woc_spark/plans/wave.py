@@ -232,6 +232,22 @@ def run_wave(
     # file-per-bucket probe (each task loads only its own bucket — the
     # 10^10-URL form); falls back to broadcast when no sharded sidecar is
     # committed yet (wave 0, or a warehouse written in broadcast mode).
+    # scale-adaptive probe skip: the sketch prefilter (broadcast bitmaps +
+    # a pandas-UDF probe evaluated on BOTH union branches) pays for itself
+    # only once the cumulative seen set dwarfs the wave's candidates. While
+    # the whole seen set is itself broadcast-small, the exact anti-join
+    # alone is strictly cheaper — and by the no-false-negative contract the
+    # result is identical with or without the probe. The manifest's exact
+    # per-wave scheduled counts give the cumulative size for free. The
+    # sidecar UPDATE below is unconditional either way (resume contract).
+    from ..config import small_enough_to_broadcast as _bcast_ok
+
+    _seen_rows = sum(
+        int(info.get("counts", {}).get("scheduled", 0))
+        for w, info in wh.manifest["waves"].items()
+        if int(w) < wave
+    )
+    probe_filter = bloom if not _bcast_ok(_seen_rows) else None
     _sharded_dir = (
         wh.sharded_dir() if cfg.seen_probe_mode() == "sharded" and bloom is not None else None
     )
@@ -241,15 +257,15 @@ def run_wave(
         sc_frontier = sharded_prefiltered_anti_join(
             spark, sc_frontier, seen_prev, _sharded_dir, candidates_rows=extracted
         )
-    elif bloom is not None and getattr(bloom, "kind", "bloom") == "cuckoo":
+    elif probe_filter is not None and getattr(probe_filter, "kind", "bloom") == "cuckoo":
         from ..operators.cuckoo import cuckoo_prefiltered_anti_join
 
         sc_frontier = cuckoo_prefiltered_anti_join(
-            spark, sc_frontier, seen_prev, bloom, candidates_rows=extracted
+            spark, sc_frontier, seen_prev, probe_filter, candidates_rows=extracted
         )
     else:
         sc_frontier = bloom_prefiltered_anti_join(
-            spark, sc_frontier, seen_prev, bloom, candidates_rows=extracted
+            spark, sc_frontier, seen_prev, probe_filter, candidates_rows=extracted
         )
     from ..config import small_enough_to_broadcast
 
@@ -387,22 +403,72 @@ def run_wave(
             return path
         return wh.write_wave_table(table, wv, df_, bucket=bucket)
 
+    # seen-filter update job, defined here so it can OVERLAP the write pool
+    # below (it reads only the already-filled scheduled cache; the merged
+    # sidecar is persisted by commit_wave AFTER the pool joins). Both kinds
+    # build distributed (one small table/bitmap per bucket reaches the
+    # driver, never the URLs) and merge into the running filter.
+    kind = cfg.seen_filter_kind()
+    _filter_update = None
+    if kind == "bloom":
+        if bloom is None:
+            bloom = PartitionedBloom(cfg.n_buckets)
+        from ..operators.bloom import build_bucket_bitmaps
+
+        def _filter_update(b=bloom):
+            rows = build_bucket_bitmaps(new_seen, b.n_buckets, b.m_bits, b.k)
+            b.merge_spark_bitmaps(rows)
+
+    elif kind == "cuckoo":
+        if bloom is None:
+            from ..operators.cuckoo import PartitionedCuckoo
+
+            bloom = PartitionedCuckoo(cfg.n_buckets)
+        from ..operators.cuckoo import build_bucket_tables, merge_spark_tables
+
+        def _filter_update(b=bloom):
+            rows = build_bucket_tables(new_seen, b.n_buckets, b.m)
+            merge_spark_tables(b, rows)
+
+    def _lineage_job():
+        return [
+            {"host": r["host"], "fetched": r["cnt"]}
+            for r in fetched.groupBy("host")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("host"))
+            .limit(100)  # lineage keeps the hottest hosts; full counts live in parquet
+            .collect()
+        ]
+
     table_paths = {}
-    # one pool slot per write: every input is cached, so the 7 jobs only
+    # one pool slot per job: every input is cached, so the jobs only
     # contend for executor cores, and the block is bounded by the slowest
-    # single write instead of two 4-slot rounds
-    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+    # single write. The three metric/sidecar jobs (frontier-in count, host
+    # lineage, seen-filter build) read only filled caches / tiny parquet,
+    # so they back-fill cores the write tail leaves idle (guide §2.6)
+    # instead of running sequentially after the pool.
+    with ThreadPoolExecutor(max_workers=len(writes) + 3) as pool:
         futs = {
             table: pool.submit(
                 _timed, tkey, lambda t=table, w=wv, d=df_, b=bucket: _write_or_skip(t, w, d, b)
             )
             for table, (tkey, wv, df_, bucket) in writes.items()
         }
+        f_frontier_in = pool.submit(_timed, "c_frontier_in", frontier.count)
+        f_lineage = pool.submit(_timed, "c_lineage", _lineage_job)
+        f_filter = (
+            pool.submit(_timed, "bloom_update", _filter_update)
+            if _filter_update is not None
+            else None
+        )
         for table, fut in futs.items():
             table_paths[table] = fut.result()
+        frontier_in = f_frontier_in.result()
+        host_lineage = f_lineage.result()
+        if f_filter is not None:
+            f_filter.result()
 
-    # -- metrics + lineage (observed on the writes: exact, zero extra jobs) --
-    frontier_in = _timed("c_frontier_in", frontier.count)
+    # -- metrics (observed on the writes: exact, zero extra jobs) -----------
     if "links_out" in skipped:
         # the observation never fired (write skipped on mid-wave resume);
         # recover the counts from the committed parquet. fetched was dropped
@@ -420,44 +486,6 @@ def run_wave(
         new_frontier_n = spark.read.parquet(table_paths["frontier"]).count()
     else:
         new_frontier_n = int(obs_frontier.get["n"])
-    host_lineage = _timed(
-        "c_lineage",
-        lambda: [
-            {"host": r["host"], "fetched": r["cnt"]}
-            for r in fetched.groupBy("host")
-            .agg(F.count("*").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("host"))
-            .limit(100)  # lineage keeps the hottest hosts; full counts live in parquet
-            .collect()
-        ],
-    )
-
-    # -- seen-filter update (transactional with the manifest commit). Both
-    # kinds build distributed (one small table/bitmap per bucket reaches the
-    # driver, never the URLs) and merge into the running filter. ------------
-    kind = cfg.seen_filter_kind()
-    if kind == "bloom":
-        if bloom is None:
-            bloom = PartitionedBloom(cfg.n_buckets)
-        from ..operators.bloom import build_bucket_bitmaps
-
-        def _bloom_update():
-            rows = build_bucket_bitmaps(new_seen, bloom.n_buckets, bloom.m_bits, bloom.k)
-            bloom.merge_spark_bitmaps(rows)
-
-        _timed("bloom_update", _bloom_update)
-    elif kind == "cuckoo":
-        if bloom is None:
-            from ..operators.cuckoo import PartitionedCuckoo
-
-            bloom = PartitionedCuckoo(cfg.n_buckets)
-        from ..operators.cuckoo import build_bucket_tables, merge_spark_tables
-
-        def _cuckoo_update():
-            rows = build_bucket_tables(new_seen, bloom.n_buckets, bloom.m)
-            merge_spark_tables(bloom, rows)
-
-        _timed("bloom_update", _cuckoo_update)  # same timing key: the sidecar slot
 
     counts = {
         "frontier_in": frontier_in,
