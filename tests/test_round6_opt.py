@@ -100,3 +100,32 @@ def test_spread_scan_spreads_and_noops(spark):
     wide = spark.range(1000).repartition(target + 3)
     # already >= parallelism: unchanged, no exchange added
     assert spread_scan(wide) is wide
+
+
+def test_fast_join_matches_stdlib_urljoin():
+    """_fast_join must be byte-identical to CPython's urljoin wherever it
+    claims the fast path (returns non-None), across tricky rel shapes."""
+    from urllib.parse import urljoin, urlsplit
+
+    from webcrawler_woc_spark.functions.urlnorm import _fast_join
+
+    bases = [
+        "http://h.example/",
+        "http://h.example/a/b",
+        "http://h.example/a/b/",
+        "http://h.example/a/b?q=1#f",
+        "https://user@h.example:8080/x/y/z.html",
+    ]
+    rels = [
+        "/page/5", "page/5", "../page/5", "../../p", "../../../p", "./p",
+        ".", "..", "p/./q", "p/../q", "p//q", "/p//q", "p?x=1", "p#f",
+        "p?x=1#f", "/", "//other.example/p", "sub/", "a/b/../../../c",
+        "?x=1", "#f", "", "p:q", "http://abs.example/z", "%7Euser/p",
+        "p q", "..%2Fp", "a/.../b", "/..", "/../p", "p/..", "p/../..",
+    ]
+    for base in bases:
+        sp = urlsplit(base)
+        for rel in rels:
+            fast = _fast_join(sp.scheme, sp.netloc, sp.path, rel)
+            if fast is not None:
+                assert fast == urljoin(base, rel), (base, rel)
