@@ -5285,7 +5285,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS INT) AS is_cycle
             FROM documents WHERE doc_id % 3 <> 0
         """,
-        "crawl_soft404": """
+        "crawl_soft404": r"""
             WITH p AS (
                 SELECT doc_id,
                        'http://h' || (doc_id % 5) || '.example/p' || doc_id AS url,

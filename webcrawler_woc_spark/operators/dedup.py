@@ -544,13 +544,17 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        # hamming filter BEFORE the distinct: a pair matches in <= 2 chunk
+        # bands, so the raw join emits each pair up to twice — filtering
+        # first shrinks the distinct's exchange to the (rare) near pairs
+        # instead of every banded candidate (guide §2.3); bit_count is a
+        # scan-cheap scalar, the dedup shuffle is not
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
     return pairs
 
