@@ -332,7 +332,13 @@ def ranked_search(documents: DataFrame, terms: list[str], k: int = 10) -> DataFr
         F.count("*").cast("bigint").alias("tf")
     )
     dfs = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
-    idf = dfs.withColumn("idf_ppm", F.expr(f"({10**6} * {n_docs}) div df"))
+    # BIGINT literal: the int32 product 10^6 * N overflows under ANSI mode
+    # once the corpus passes ~2147 docs (latent until sf0.1 — the small-SF
+    # oracle gates never reached it); DuckDB's INTEGER is 64-bit-promoted,
+    # so the bigint cast only un-crashes Spark, values are unchanged
+    idf = dfs.withColumn(
+        "idf_ppm", F.expr(f"(CAST({10**6} AS BIGINT) * {n_docs}) div df")
+    )
     scored = (
         tf.join(F.broadcast(idf), "token")
         .groupBy("doc_id")
