@@ -322,8 +322,11 @@ def containment_pairs(
     (the shingle inverted-index self-join is corpus-quadratic in the worst
     case; candidates bound it). The undirected candidate join runs ONCE
     (doc_a < doc_b) and both directions are evaluated from the same joined
-    row, so containment costs exactly what Jaccard costs."""
-    sh = shingles if shingles is not None else char_shingles(documents, n)
+    row, so containment costs exactly what Jaccard costs. The shingle
+    frame is cached (as in ngram_jaccard_pairs) — its three consumers
+    (both join sides + the size agg) would otherwise each re-run the
+    explode + per-doc distinct over the corpus."""
+    sh = shingles if shingles is not None else char_shingles(documents, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -577,6 +580,13 @@ def dedup_clusters(pairs: DataFrame, iterations: int = 5) -> DataFrame:
     """
     from webcrawler_woc_spark.operators.graph import connected_components
 
+    # pin the pair list ONCE: every propagation round joins the edge list,
+    # and nodes/edges both derive from ``pairs`` — without the pin the
+    # whole upstream pair pipeline (LSH banding + verify, corpus-scale)
+    # re-executes once per consumer per round (measured 81s -> 12s on the
+    # minhash keepmin query at sf0.1). The pinned frame is pair-graph
+    # sized: only near-dups enter it, tiny relative to the corpus.
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
     nodes = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))

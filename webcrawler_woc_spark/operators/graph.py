@@ -112,6 +112,10 @@ def salsa_int(nodes: DataFrame, edges: DataFrame, iterations: int = 2) -> DataFr
     hits_int minus its max-broadcast normalization crossJoins."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    # pin the edge list too (see _pagerank_rounds): each half-step joins
+    # it, and unpinned lineage re-runs the upstream extraction per join
+    edges = edges.select("src", "dst").localCheckpoint()
+    nodes = nodes.localCheckpoint()
     # materialize the degree tables ONCE: lazy frames would re-run the
     # corpus-scale edges groupBy inside every half-step's checkpoint job
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
@@ -199,16 +203,19 @@ def trustrank_int(
     ``seeds`` is a (doc_id) frame, vetted-seed-set sized — broadcast into
     the teleport term, never shuffled with the graph."""
     is_seed = F.col("_seed").isNotNull()
+    # pin iteration inputs once — see _pagerank_rounds: unpinned lineage
+    # re-runs the upstream edge/node pipelines per consumer per round
+    edges = edges.select("src", "dst").localCheckpoint()
     seed_marked = nodes.join(
         F.broadcast(seeds.select(F.col("doc_id"), F.lit(1).alias("_seed"))),
         "doc_id",
         "left",
-    )
+    ).localCheckpoint()
     trust = seed_marked.select(
         "doc_id",
         F.when(is_seed, F.lit(PPM)).otherwise(F.lit(0)).cast("bigint").alias("rank_ppm"),
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
     for _ in range(iterations):
         contrib = (
             edges.join(deg, "src")
@@ -235,8 +242,17 @@ def _pagerank_rounds(
     nodes: DataFrame, edges: DataFrame, ranks: DataFrame, iterations: int
 ) -> DataFrame:
     """The shared per-round plan: edge ⋈ rank contribution join, dangling
-    mass dropped, lineage cut per round (see the localCheckpoint note)."""
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    mass dropped, lineage cut per round (see the localCheckpoint note).
+
+    Iteration inputs are PINNED once (localCheckpoint): edges/nodes/deg
+    are lazy lineage consumed by every round's joins — when the edge list
+    derives from HTML extraction, an unpinned loop re-parses the corpus
+    once per consumer per round (measured ~7 full extraction passes for a
+    3-round pagerank; graph engines materialize the edge table for this
+    exact reason)."""
+    edges = edges.select("src", "dst").localCheckpoint()
+    nodes = nodes.localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
     for _ in range(iterations):
         contrib = (
             edges.join(deg, "src")
@@ -286,7 +302,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame, iterations: int = 5
     """
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint()  # pinned once — every round joins it (_pagerank_rounds note)
     labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
     for _ in range(iterations):
         neigh = (
@@ -329,6 +345,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
+        .localCheckpoint()  # three consumers (degree unions + orientation join)
     )
     deg = (
         und.select(F.col("lo").alias("v"))
@@ -346,7 +363,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     oriented = ranked.select(
         F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("s"),
         F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("t"),
-    )
+    ).localCheckpoint()  # three consumers (the e1/e2/e3 wedge joins)
     e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
     e2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
     e3 = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
@@ -380,6 +397,11 @@ def hits_int(nodes: DataFrame, edges: DataFrame, iterations: int = 2) -> DataFra
     """
     if iterations < 1:
         raise ValueError("hits_int needs iterations >= 1 (auth scores are undefined before the first half-step)")
+    # pin iteration inputs once (see _pagerank_rounds) — the headroom scan
+    # below and every half-step join then read the materialized edge list
+    # instead of re-running the upstream extraction lineage
+    edges = edges.select("src", "dst").localCheckpoint()
+    nodes = nodes.localCheckpoint()
     # ppm half-step bound: score_sum <= deg·10^6, rescale multiplies by 10^6,
     # so deg·10^12 must stay under 2^63-1 => deg <= 9.22·10^6
     _DEG_HEADROOM = (2**63 - 1) // (PPM * PPM)
@@ -558,14 +580,16 @@ def host_pagerank_int(host_edges: DataFrame, iterations: int = 2) -> DataFrame:
     cut per round (localCheckpoint, the pagerank pattern). Output
     (host, rank_ppm).
     """
+    # pinned once (see _pagerank_rounds) — host_edges often derives from
+    # the corpus-scale host_link_graph aggregation, re-run per round if lazy
     edges = host_edges.select(
         F.col("src_host").alias("src"), F.col("dst_host").alias("dst"),
         F.col("n_links").cast("bigint").alias("w"),
-    )
+    ).localCheckpoint()
     nodes = edges.select(F.col("src").alias("host")).union(
         edges.select(F.col("dst").alias("host"))
-    ).distinct()
-    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ).distinct().localCheckpoint()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow")).localCheckpoint()
     ranks = nodes.select("host", F.lit(PPM).cast("bigint").alias("rank_ppm"))
     for _ in range(iterations):
         contrib = (
@@ -608,7 +632,7 @@ def label_propagation(nodes: DataFrame, edges: DataFrame, iterations: int = 3) -
     lineage cut per round (localCheckpoint, the pagerank pattern). The
     mode vote uses max_by over a (count, -label) struct rather than a
     window sort: one aggregate, no per-partition sort."""
-    und = _undirected(edges)
+    und = _undirected(edges).localCheckpoint()  # pinned once — joined per round
     labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(iterations):
         votes = (
@@ -657,7 +681,9 @@ def kcore_nodes(edges: DataFrame, k: int = 3, max_rounds: int = 3) -> DataFrame:
     Per round: one groupBy(node) degree count + one semi-join restricting
     edges to survivors — shuffle rows = edge count; lineage cut per round.
     """
-    und = _undirected(edges, drop_self=True)
+    # pinned once (two consumers per round: the degree count and the
+    # restriction join); the loop re-pins the shrinking survivor set
+    und = _undirected(edges, drop_self=True).localCheckpoint()
     for _ in range(max_rounds):
         deg = und.groupBy("src").agg(F.count("*").alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("src")
