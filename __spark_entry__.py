@@ -811,7 +811,11 @@ def q_rel_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from webcrawler_woc_spark.operators.dedup import exact_dedup
 
-    return exact_dedup(_docs(spark, sf_dir))
+    # raw read, no spread_scan: exact_dedup's scan side is just xxhash64 +
+    # a map-side-combined partial agg — its own groupBy exchange provides
+    # the parallelism, and a round-robin pre-shuffle of the full text
+    # column would be pure added bytes (measured +55% on this query)
+    return exact_dedup(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
