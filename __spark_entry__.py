@@ -537,7 +537,10 @@ def q_graph_pagerank_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     children = extract_child_links(_gated(spark, sf_dir)).select("parent_url", "url")
-    edges = doc_edges(children)
+    # pin the extracted edge list ONCE at the query level: the cold-start
+    # rounds pin `base` and the incremental pass pins `base ∪ delta` — an
+    # unpinned frame would run the corpus HTML extraction twice
+    edges = doc_edges(children).localCheckpoint()
     base = edges.filter("dst % 3 != 0")
     delta = edges.filter("dst % 3 = 0")
     nodes = _docs(spark, sf_dir).select("doc_id")

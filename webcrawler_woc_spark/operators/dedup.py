@@ -430,6 +430,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    # pin the (docs x bands)-sized band table: both self-join sides read it,
+    # and unpinned lineage would build the signature aggregation twice
+    band_rows = band_rows.localCheckpoint()
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     return (
